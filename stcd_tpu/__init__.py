@@ -1,0 +1,39 @@
+"""STCD-TPU — a TPU-native change-detection framework (JAX / Flax / Pallas).
+
+Rebuilds the capabilities of the PyTorch reference VCISwang/STCD
+(TGRS 2024, "Diffusion Models and Pseudo-change: A Transfer Learning-based
+Change Detection in Remote Sensing Images") as an idiomatic TPU-first stack:
+
+- ``stcd_tpu.layers``    — Flax building blocks (Conv+BN+ReLU, SE/SCSE, heads).
+- ``stcd_tpu.encoders``  — backbone zoo with the smp stage contract
+  (ref: segmentation_models_pytorch/encoders/__init__.py:51-91).
+- ``stcd_tpu.decoders``  — decoder zoo (Unet first; ref decoders/unet/decoder.py).
+- ``stcd_tpu.models``    — the bespoke CD zoo (SegCD/UnetSeg/FFCTLCD/CDNet,
+  FC-Siam family, SNUNet, DTCDSCN, DSIFN, BIT, ChangeFormer, ChangeVIG)
+  mirroring ``define_G`` (ref: models/networks.py:138-215).
+- ``stcd_tpu.losses``    — BCE+Dice and the full loss family
+  (ref: models/losses.py, segmentation_models_pytorch/losses/).
+- ``stcd_tpu.metrics``   — confusion-matrix metrics (ref: train_sup.py:188-266)
+  and the functional metric suite (ref: metrics/functional.py).
+- ``stcd_tpu.data``      — paired-image datasets, jittable on-device
+  augmentation, double-buffered device prefetch (ref: data/dataset.py).
+- ``stcd_tpu.parallel``  — mesh construction + sharded train steps (the
+  TPU-native replacement for the reference's nn.DataParallel).
+- ``stcd_tpu.train``     — train loops mirroring train_sup.py /
+  train_pse_cd.py / train_stcd.py, orbax checkpointing, LR schedules.
+- ``stcd_tpu.ops``       — Pallas TPU kernels for the hot fused ops.
+
+Layout convention is NHWC (TPU-native); the reference is NCHW. All public
+``forward`` semantics match the reference given a layout transpose.
+"""
+
+__version__ = "0.1.0"
+
+from stcd_tpu.models.factory import create_model, define_G  # noqa: F401
+from stcd_tpu.models.segcd import (  # noqa: F401
+    Unet,
+    UnetSeg,
+    SegCD,
+    FFCTLCD,
+    CDNet,
+)

@@ -1,0 +1,100 @@
+"""Batching + double-buffered device prefetch.
+
+The TPU-native replacement for the reference's
+``DataLoader(num_workers=n_cpu, pin_memory=True)`` (train_sup.py:52-57):
+a thread pool decodes images, batches are stacked on host, and a prefetch
+depth of 2 keeps the next batch's H2D copy in flight while the device
+computes — so input never gates the MXU.
+
+``shard`` placement: when a sharding is given, each host batch is placed
+with ``jax.device_put(batch, sharding)`` so XLA sees a global array laid
+out over the data axis (the pjit data-parallel path).
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import itertools
+import threading
+from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def _stack(samples: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        else:
+            out[key] = vals  # e.g. names
+    return out
+
+
+class DataLoader:
+    """Minimal epoch-based loader: shuffle, batch, threaded decode, prefetch."""
+
+    def __init__(self, dataset, batch_size: int = 4, shuffle: bool = False,
+                 num_workers: int = 4, drop_last: bool = True,
+                 seed: int = 1337, sharding=None, prefetch: int = 2):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self):
+        n = len(self.dataset)
+        idx = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        self._epoch += 1
+        return idx
+
+    def _batches(self) -> Iterator[Dict[str, Any]]:
+        idx = self._indices()
+        nb = len(self)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            for b in range(nb):
+                sel = idx[b * self.batch_size:(b + 1) * self.batch_size]
+                samples = list(pool.map(self.dataset.__getitem__, sel))
+                yield _stack(samples)
+
+    def __iter__(self):
+        it = self._batches()
+        if self.sharding is None and self.prefetch <= 0:
+            yield from it
+            return
+        queue = collections.deque()
+
+        def place(batch):
+            names = batch.pop("name", None)
+            arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+            if self.sharding is not None:
+                arrays = jax.device_put(arrays, self.sharding)
+            else:
+                arrays = jax.device_put(arrays)
+            if names is not None:
+                arrays["name"] = names
+            return arrays
+
+        for batch in it:
+            queue.append(place(batch))
+            if len(queue) > self.prefetch:
+                yield queue.popleft()
+        while queue:
+            yield queue.popleft()

@@ -1,0 +1,212 @@
+"""ResNet encoder with the smp stage contract (NHWC).
+
+Parity targets:
+- torchvision-style ResNet (ref models/resnet.py:127-359), including
+  ``replace_stride_with_dilation`` used by BIT (models/networks.py:234-241).
+- smp ResNetEncoder stage contract (ref encoders/resnet.py:47-65):
+  forward(x) returns a 6-level pyramid
+  [identity(x), conv1+bn+relu, maxpool+layer1, layer2, layer3, layer4].
+
+TPU-first notes: NHWC layout, all convs on the MXU; BN batch statistics
+under a sharded global batch are global (XLA all-reduces them), matching
+the reference's single-device whole-batch BN.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stcd_tpu.layers.modules import max_pool
+
+Dtype = Any
+
+
+def _bn(train: bool, dtype, name: str):
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name
+    )
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock (ref models/resnet.py:37-76). expansion=1."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    dtype: Optional[Dtype] = None
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        identity = x
+        d = self.dilation
+        out = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,
+            dtype=self.dtype, name="conv1",
+        )(x)
+        out = _bn(train, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d),
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(out)
+        out = _bn(train, self.dtype, "bn2")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = _bn(train, self.dtype, "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+class Bottleneck(nn.Module):
+    """ResNet Bottleneck (ref models/resnet.py:79-124). expansion=4.
+
+    Stride on the 3x3 conv (torchvision v1.5 style, as in the reference).
+    """
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    downsample: bool = False
+    groups: int = 1
+    base_width: int = 64
+    dtype: Optional[Dtype] = None
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        width = int(self.features * (self.base_width / 64.0)) * self.groups
+        identity = x
+        d = self.dilation
+        out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        out = _bn(train, self.dtype, "bn1")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            width, (3, 3), strides=(self.stride, self.stride), padding=[(d, d)] * 2,
+            kernel_dilation=(d, d), feature_group_count=self.groups, use_bias=False,
+            dtype=self.dtype, name="conv2",
+        )(out)
+        out = _bn(train, self.dtype, "bn2")(out)
+        out = nn.relu(out)
+        out = nn.Conv(
+            self.features * self.expansion, (1, 1), use_bias=False,
+            dtype=self.dtype, name="conv3",
+        )(out)
+        out = _bn(train, self.dtype, "bn3")(out)
+        if self.downsample:
+            identity = nn.Conv(
+                self.features * self.expansion, (1, 1),
+                strides=(self.stride, self.stride), use_bias=False,
+                dtype=self.dtype, name="downsample_conv",
+            )(x)
+            identity = _bn(train, self.dtype, "downsample_bn")(identity)
+        return nn.relu(out + identity)
+
+
+_RESNET_CFGS = {
+    # name: (block, layers, width_per_stage_base)
+    "resnet18": (BasicBlock, (2, 2, 2, 2)),
+    "resnet34": (BasicBlock, (3, 4, 6, 3)),
+    "resnet50": (Bottleneck, (3, 4, 6, 3)),
+    "resnet101": (Bottleneck, (3, 4, 23, 3)),
+    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+}
+
+
+def resnet_out_channels(name: str) -> Tuple[int, ...]:
+    block, _ = _RESNET_CFGS[name]
+    e = block.expansion
+    return (3, 64, 64 * e, 128 * e, 256 * e, 512 * e)
+
+
+class ResNetLayer(nn.Module):
+    """One ResNet stage: ``blocks`` residual blocks, first may downsample."""
+
+    block: Any
+    features: int
+    blocks: int
+    stride: int = 1
+    dilation: int = 1
+    prev_dilation: int = 1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        in_c = x.shape[-1]
+        out_c = self.features * self.block.expansion
+        x = self.block(
+            self.features,
+            stride=self.stride,
+            dilation=self.prev_dilation,
+            downsample=(self.stride != 1 or in_c != out_c),
+            dtype=self.dtype,
+            name="block0",
+        )(x, train)
+        for i in range(1, self.blocks):
+            x = self.block(
+                self.features, dilation=self.dilation, dtype=self.dtype,
+                name=f"block{i}",
+            )(x, train)
+        return x
+
+
+class ResNetEncoder(nn.Module):
+    """smp-contract ResNet encoder (ref encoders/resnet.py:37-70).
+
+    ``__call__(x, train)`` returns ``depth+1`` features:
+    [x, conv1-relu (/2), layer1 (/4), layer2 (/8), layer3 (/16), layer4 (/32)].
+
+    ``replace_stride_with_dilation``: per torchvision, a True entry converts
+    layer{2,3,4}'s stride into dilation (used by BIT's dilated backbone,
+    models/resnet.py + models/networks.py:234-241).
+    """
+
+    name: str = "resnet50"
+    depth: int = 5
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        block, layers = _RESNET_CFGS[self.name]
+        features = [x]
+        if self.depth >= 1:
+            h = nn.Conv(
+                64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False,
+                dtype=self.dtype, name="conv1",
+            )(x)
+            h = _bn(train, self.dtype, "bn1")(h)
+            h = nn.relu(h)
+            features.append(h)
+        if self.depth >= 2:
+            h = max_pool(h, window=3, stride=2, padding=1)
+            h = ResNetLayer(block, 64, layers[0], dtype=self.dtype, name="layer1")(h, train)
+            features.append(h)
+        dilation = 1
+        strides_dil = []
+        for replace in self.replace_stride_with_dilation:
+            if replace:
+                dilation *= 2
+                strides_dil.append((1, dilation, dilation // 2))
+            else:
+                strides_dil.append((2, dilation, dilation))
+        stage_feats = (128, 256, 512)
+        for i in range(3):  # layer2..layer4 -> depth 3..5
+            if self.depth >= 3 + i:
+                stride, dil, prev_dil = strides_dil[i]
+                # prev_dilation applies to the first block of the stage
+                h = ResNetLayer(
+                    block, stage_feats[i], layers[1 + i], stride=stride,
+                    dilation=dil, prev_dilation=max(prev_dil, 1),
+                    dtype=self.dtype, name=f"layer{2 + i}",
+                )(h, train)
+                features.append(h)
+        return features

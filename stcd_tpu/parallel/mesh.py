@@ -1,0 +1,54 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-process nn.DataParallel
+(SURVEY.md §2.5); the TPU-native equivalent is a jax.sharding.Mesh with a
+'data' axis: batches are sharded over it, parameters replicated, and XLA
+inserts the psum for gradients during jit compilation. A 'model' axis is
+provisioned for tensor-parallel sharding of the widest conv kernels
+(beyond-parity capability).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(data: Optional[int] = None, model: int = 1,
+                devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
+    """Optionally shard the largest conv kernels over 'model' (output
+    channels); everything else replicated. Returns a pytree of shardings.
+
+    With model=1 this is pure replication — the data-parallel baseline.
+    """
+    model_axis = mesh.shape["model"]
+
+    def spec_for(x):
+        if (model_axis > 1 and hasattr(x, "ndim") and x.ndim == 4
+                and x.size >= min_size_to_shard and x.shape[-1] % model_axis == 0):
+            return NamedSharding(mesh, P(None, None, None, "model"))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(spec_for, params)

@@ -1,0 +1,151 @@
+"""Epoch-level training loops for the three STCD stages.
+
+Parity targets:
+- train_seg      <- train_sup.py:112-185 (main/train_epoch)
+- train_cd       <- train_pse_cd.py:199-301 (train_cd_epoch)
+- train_semi_cd  <- train_stcd.py:388-512 (train_semi_cd)
+Plus the gated utilities:
+- generate_pseudo_labels <- train_pse_cd.py:128-179 / train_stcd.py:137-204
+- select_reliable        <- train_pse_cd.py:87-126 / train_stcd.py:96-135
+
+Loop shape matches the reference: per-iteration optimizer step with Poly
+decay on the global step, per-epoch eval with the confusion-matrix
+metrics, best checkpoint by class-1 IoU, periodic snapshots at
+n/3, 2n/3, n (ref train_sup.py:175-183).
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from stcd_tpu.data.io import save_mask_png, write_list
+from stcd_tpu.metrics.confusion import SegmentationMetric
+from stcd_tpu.train.checkpoint import CheckpointManager
+from stcd_tpu.utils.logging import ScalarLogger, Throughput
+
+
+def _epoch_metrics(metric: SegmentationMetric) -> Dict[str, float]:
+    return {
+        "OA": float(metric.OverallAccuracy()),
+        "precision": float(metric.Precision()[1]),
+        "recall": float(metric.Recall()[1]),
+        "F1": float(metric.F1score()[1]),
+        "IoU": float(metric.IntersectionOverUnion()[1]),
+        "mIoU": float(metric.meanIntersectionOverUnion()),
+    }
+
+
+def run_training(train_step, eval_step, state, train_loader, eval_loader,
+                 n_epochs: int, save_dir: str, rng,
+                 log_every: int = 10, eval_key: str = "IoU",
+                 snapshot_epochs: Optional[set] = None,
+                 logger: Optional[ScalarLogger] = None):
+    """Generic stage driver (the shared shape of all three train_*.py loops).
+
+    Returns (state, best_metric, history).
+    """
+    ckpt = CheckpointManager(save_dir)
+    logger = logger or ScalarLogger(os.path.join(save_dir, "logs"))
+    if snapshot_epochs is None:
+        snapshot_epochs = {n_epochs // 3, n_epochs * 2 // 3, n_epochs}
+    best = 0.0
+    history = []
+    meter = Throughput()
+    global_step = 0
+    for epoch in range(1, n_epochs + 1):
+        train_metric = SegmentationMetric(2)
+        for batch in train_loader:
+            rng, step_rng = jax.random.split(rng)
+            names = batch.pop("name", None)
+            state, out = train_step(state, batch, step_rng)
+            train_metric.confusionMatrix += np.asarray(out["cm"], np.float64)
+            bs = next(iter(batch.values())).shape[0]
+            meter.update(bs)
+            if global_step % log_every == 0:
+                logger.add_scalar("train/loss", float(out["loss"]), global_step)
+                for k in ("seg_loss", "cd_loss", "ct_loss"):
+                    if k in out:
+                        logger.add_scalar(f"train/{k}", float(out[k]), global_step)
+            global_step += 1
+        tm = _epoch_metrics(train_metric)
+        logger.add_scalar("train/F1", tm["F1"], epoch)
+        logger.add_scalar("train/IoU", tm["IoU"], epoch)
+        logger.add_scalar("train/imgs_per_sec", meter.rate(), epoch)
+
+        em = evaluate(eval_step, state, eval_loader)
+        for k, v in em.items():
+            logger.add_scalar(f"val/{k}", v, epoch)
+        history.append({"epoch": epoch, "train": tm, "val": em})
+        if em[eval_key] > best:
+            best = em[eval_key]
+            ckpt.save_best(state, best)
+        if epoch in snapshot_epochs:
+            ckpt.save_snapshot(state, epoch)
+        ckpt.save_last(state, epoch, best, epoch)
+        logger.flush()
+    return state, best, history
+
+
+def evaluate(eval_step, state, eval_loader) -> Dict[str, float]:
+    metric = SegmentationMetric(2)
+    for batch in eval_loader:
+        batch = dict(batch)
+        batch.pop("name", None)
+        out = eval_step(state, batch)
+        metric.confusionMatrix += np.asarray(out["cm"], np.float64)
+    return _epoch_metrics(metric)
+
+
+def generate_pseudo_labels(eval_step, state, loader, out_dir: str,
+                           threshold: float = 0.7) -> Dict[str, float]:
+    """Thresholded sigmoid(diff) -> PNG x255 (ref train_pse_cd.py:128-179;
+    threshold 0.5 variant at train_stcd.py:137-204). Accumulates F1/IoU vs
+    the GT labels for reporting, as the reference does."""
+    metric = SegmentationMetric(2)
+    os.makedirs(out_dir, exist_ok=True)
+    for batch in loader:
+        names = batch.pop("name")
+        out = eval_step(state, batch)
+        preds = (np.asarray(out["probs"]) > threshold).astype(np.uint8)
+        labels = np.asarray(batch["label"]).astype(np.int64)
+        metric.addBatch(preds.astype(np.int64), labels)
+        for i, name in enumerate(names):
+            save_mask_png(preds[i], os.path.join(out_dir, name))
+    return _epoch_metrics(metric)
+
+
+def select_reliable(eval_steps, states, loader, list_dir: str):
+    """Ensemble reliability ranking (ref train_stcd.py:96-135): for each
+    sample, the K model predictions' mean pairwise IoU ranks stability;
+    the top half goes to reliable_ids.txt, the rest to unreliable_ids.txt.
+
+    ``states``: list of (eval_step-compatible) states from different epochs.
+    """
+    id_to_reliability = []
+    for batch in loader:
+        names = batch.pop("name")
+        preds = []
+        for eval_step, st in zip(eval_steps, states):
+            out = eval_step(st, batch)
+            preds.append((np.asarray(out["probs"]) > 0.5).astype(np.int64))
+        bs = preds[0].shape[0]
+        for i in range(bs):
+            mious = []
+            for k in range(len(preds) - 1):
+                a, b = preds[k][i], preds[-1][i]
+                m = SegmentationMetric(2)
+                m.addBatch(a, b)
+                mious.append(m.meanIntersectionOverUnion())
+            id_to_reliability.append((names[i], float(np.mean(mious))))
+    id_to_reliability.sort(key=lambda x: x[1], reverse=True)
+    half = len(id_to_reliability) // 2
+    write_list([i for i, _ in id_to_reliability[:half]],
+               os.path.join(list_dir, "reliable_ids.txt"))
+    write_list([i for i, _ in id_to_reliability[half:]],
+               os.path.join(list_dir, "unreliable_ids.txt"))
+    return id_to_reliability

@@ -1,0 +1,165 @@
+"""Golden-value tests for the loss layer vs torch-computed references.
+
+The torch expressions reproduce the reference math (train_sup.py:312-338,
+models/losses.py) independently — no reference code is imported.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from stcd_tpu import losses as L
+
+
+@pytest.fixture
+def probs_target(np_rng):
+    p = np_rng.uniform(0.02, 0.98, size=(4, 16, 16, 1)).astype(np.float32)
+    t = (np_rng.uniform(size=(4, 16, 16, 1)) > 0.7).astype(np.float32)
+    return p, t
+
+
+def test_bce_dice_matches_torch(probs_target):
+    p, t = probs_target
+    tp, tt = torch.tensor(p), torch.tensor(t)
+    expected_bce = torch.nn.BCELoss(reduction="mean")(tp, tt).item()
+    m1, m2 = tp.view(-1), tt.view(-1)
+    inter = (m1 * m2).sum()
+    expected_dice = (1 - (2.0 * inter + 1.0) / (m1.sum() + m2.sum() + 1.0)).item()
+
+    np.testing.assert_allclose(float(L.bce_loss(p, t)), expected_bce, rtol=1e-5)
+    np.testing.assert_allclose(float(L.dice_loss(p, t)), expected_dice, rtol=1e-5)
+    np.testing.assert_allclose(float(L.bce_dice(p, t)),
+                               expected_bce + expected_dice, rtol=1e-5)
+    np.testing.assert_allclose(float(L.cd_loss(p, t)),
+                               expected_bce + expected_dice, rtol=1e-5)
+
+
+def test_cross_entropy_matches_torch(np_rng):
+    logits = np_rng.normal(size=(2, 8, 8, 3)).astype(np.float32)
+    target = np_rng.integers(0, 3, size=(2, 8, 8)).astype(np.int64)
+    target[0, 0, :4] = 255  # ignore pixels
+    expected = F.cross_entropy(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(target),
+        ignore_index=255).item()
+    got = float(L.cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_cross_entropy_resizes_logits(np_rng):
+    logits = np_rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    target = np_rng.integers(0, 3, size=(2, 8, 8)).astype(np.int64)
+    up = F.interpolate(torch.tensor(logits).permute(0, 3, 1, 2), size=(8, 8),
+                       mode="bilinear", align_corners=True)
+    expected = F.cross_entropy(up, torch.tensor(target), ignore_index=255).item()
+    got = float(L.cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_contrastive_loss_matches_reference_math(np_rng):
+    """ref train_stcd.py:334-385."""
+    n = 3
+    pred = np_rng.uniform(0, 1, size=(2 * n, 8, 8, 1)).astype(np.float32)
+    cd = (np_rng.uniform(size=(n, 8, 8, 1)) > 0.5).astype(np.float32)
+    pse = (np_rng.uniform(size=(n, 8, 8, 1)) > 0.5).astype(np.float32)
+
+    tp = torch.tensor(pred)
+    cd_pred, pse_pred = tp[:n], tp[n:]
+    cdt, pset = torch.tensor(cd), torch.tensor(pse)
+    M = (cdt == pset).float()
+    N = (cdt != pset).float()
+    neg = torch.abs(cd_pred - 1)
+    loss_pos = (F.mse_loss(pse_pred, cd_pred, reduction="none") * M).sum() / (M.sum() + 1e-8)
+    loss_neg = (F.mse_loss(pse_pred, neg, reduction="none") * N).sum() / (N.sum() + 1e-8)
+    expected = (loss_pos + loss_neg).item()
+
+    got = float(L.contrastive_loss(jnp.asarray(pred), jnp.asarray(cd), jnp.asarray(pse)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_miou_mmiou_match_reference_math(np_rng):
+    logits = np_rng.normal(size=(2, 8, 8, 2)).astype(np.float32)
+    target = np_rng.integers(0, 2, size=(2, 8, 8)).astype(np.int64)
+
+    tl = torch.tensor(logits).permute(0, 3, 1, 2)
+    tt = torch.tensor(target)
+    inputs = F.softmax(tl, dim=1)
+    one_hot = F.one_hot(tt, 2).permute(0, 3, 1, 2).float()
+    inter = (inputs * one_hot).reshape(2, 2, -1).sum(2)
+    union = (inputs + one_hot - inputs * one_hot).reshape(2, 2, -1).sum(2)
+    expected_miou = (-torch.mean(inter / (union + 1e-8))).item()
+    iou = inter / (union + 1e-8)
+    expected_mmiou = (-iou.min() - iou.mean()).item()
+
+    np.testing.assert_allclose(
+        float(L.miou_loss(jnp.asarray(logits), jnp.asarray(target))),
+        expected_miou, rtol=1e-5)
+    np.testing.assert_allclose(
+        float(L.mmiou_loss(jnp.asarray(logits), jnp.asarray(target))),
+        expected_mmiou, rtol=1e-5)
+
+
+def test_smp_dice_binary(np_rng):
+    logits = np_rng.normal(size=(4, 8, 8, 1)).astype(np.float32)
+    target = (np_rng.uniform(size=(4, 8, 8, 1)) > 0.5).astype(np.float32)
+    p = torch.sigmoid(torch.tensor(logits)).view(-1)
+    t = torch.tensor(target).view(-1)
+    inter = (p * t).sum()
+    card = p.sum() + t.sum()
+    expected = (1 - (2 * inter) / card.clamp_min(1e-7)).item()
+    got = float(L.DiceLoss(mode="binary")(jnp.asarray(logits), jnp.asarray(target)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_smp_focal_binary(np_rng):
+    logits = np_rng.normal(size=(4, 8, 8)).astype(np.float32)
+    target = (np_rng.uniform(size=(4, 8, 8)) > 0.5).astype(np.float32)
+    x, t = torch.tensor(logits), torch.tensor(target)
+    logpt = F.binary_cross_entropy_with_logits(x, t, reduction="none")
+    pt = torch.exp(-logpt)
+    expected = ((1 - pt) ** 2.0 * logpt).mean().item()
+    got = float(L.FocalLoss(mode="binary", gamma=2.0)(jnp.asarray(logits),
+                                                      jnp.asarray(target)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_smp_soft_ce(np_rng):
+    logits = np_rng.normal(size=(4, 8, 8, 3)).astype(np.float32)
+    target = np_rng.integers(0, 3, size=(4, 8, 8)).astype(np.int64)
+    lsm = F.log_softmax(torch.tensor(logits), dim=-1)
+    nll = F.nll_loss(lsm.reshape(-1, 3), torch.tensor(target).reshape(-1))
+    smooth = -lsm.mean(-1).mean()
+    expected = (0.9 * nll + 0.1 * smooth).item()
+    got = float(L.SoftCrossEntropyLoss(smooth_factor=0.1)(jnp.asarray(logits),
+                                                          jnp.asarray(target)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+def test_smp_mcc(np_rng):
+    pred = np_rng.uniform(size=(4, 8, 8, 1)).astype(np.float32)
+    target = (np_rng.uniform(size=(4, 8, 8, 1)) > 0.5).astype(np.float32)
+    got = float(L.MCCLoss()(jnp.asarray(pred), jnp.asarray(target)))
+    p, t = torch.tensor(pred).view(4, -1), torch.tensor(target).view(4, -1)
+    eps = 1e-5
+    tp = (p * t).sum() + eps
+    tn = ((1 - p) * (1 - t)).sum() + eps
+    fp = (p * (1 - t)).sum() + eps
+    fn = ((1 - p) * t).sum() + eps
+    mcc = (tp * tn - fp * fn) / torch.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    np.testing.assert_allclose(got, (1 - mcc).item(), rtol=1e-5)
+
+
+def test_lovasz_binary_nonnegative(np_rng):
+    logits = np_rng.normal(size=(2, 8, 8, 1)).astype(np.float32)
+    target = (np_rng.uniform(size=(2, 8, 8, 1)) > 0.5).astype(np.float32)
+    val = float(L.LovaszLoss(mode="binary")(jnp.asarray(logits), jnp.asarray(target)))
+    assert val >= 0.0
+
+
+def test_focal_loss_reference_runs(np_rng):
+    logits = np_rng.normal(size=(2, 8, 8, 2)).astype(np.float32)
+    target = np_rng.integers(0, 2, size=(2, 8, 8))
+    val = float(L.focal_loss(jnp.asarray(logits), jnp.asarray(target), gamma=1.0))
+    assert np.isfinite(val) and val > 0

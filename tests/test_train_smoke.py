@@ -1,0 +1,74 @@
+"""End-to-end CPU smoke: the stage-2 (pseudo-change CD) loop on a tiny
+synthetic dataset — exercises model, loss, metrics, Poly/Adam, data
+pipeline, checkpointing (SURVEY.md §7 milestone 4)."""
+
+import numpy as np
+
+import jax
+import optax
+
+from stcd_tpu.data.datasets import SyntheticCDDataset
+from stcd_tpu.data.loader import DataLoader
+from stcd_tpu.models import SegCD
+from stcd_tpu.train.loops import evaluate, run_training, generate_pseudo_labels
+from stcd_tpu.train.schedules import poly_schedule
+from stcd_tpu.train.state import create_train_state
+from stcd_tpu.train.steps import make_cd_steps
+
+
+def _tiny_state(model, size=32):
+    import jax.numpy as jnp
+    a = jnp.zeros((2, size, size, 3))
+    tx = optax.adam(poly_schedule(1e-3, 2, 2))
+    return create_train_state(model, jax.random.PRNGKey(0), (a, a), tx)
+
+
+def test_cd_training_smoke(tmp_path):
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(32, 24, 16, 12, 8))
+    state = _tiny_state(model)
+    train_step, eval_step = make_cd_steps(model, augment=False)
+
+    ds = SyntheticCDDataset(length=4, size=32)
+    train_loader = DataLoader(ds, batch_size=2, shuffle=True, prefetch=0)
+    eval_loader = DataLoader(ds, batch_size=2, prefetch=0)
+
+    state, best, history = run_training(
+        train_step, eval_step, state, train_loader, eval_loader,
+        n_epochs=2, save_dir=str(tmp_path / "ckpt"), rng=jax.random.PRNGKey(1))
+    assert len(history) == 2
+    assert np.isfinite(history[-1]["val"]["F1"])
+    # checkpoint artifacts exist
+    import glob
+    assert glob.glob(str(tmp_path / "ckpt" / "*_best_model")) or best == 0.0
+    assert glob.glob(str(tmp_path / "ckpt" / "last_ckpt"))
+
+
+def test_pseudo_label_generation(tmp_path):
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(32, 24, 16, 12, 8))
+    state = _tiny_state(model)
+    _, eval_step = make_cd_steps(model, augment=False)
+    ds = SyntheticCDDataset(length=2, size=32)
+    loader = DataLoader(ds, batch_size=2, prefetch=0)
+    metrics = generate_pseudo_labels(eval_step, state, loader,
+                                     str(tmp_path / "pseudo_label"), threshold=0.7)
+    import glob
+    assert len(glob.glob(str(tmp_path / "pseudo_label" / "*.png"))) == 2
+    assert 0.0 <= metrics["OA"] <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(32, 24, 16, 12, 8))
+    state = _tiny_state(model)
+    mgr = CheckpointManager(str(tmp_path))
+    mgr.save_last(state, epoch_id=3, best_val_acc=0.5, best_epoch_id=2)
+    restored = mgr.restore_last(state)
+    assert restored is not None
+    st2, epoch_id, best, best_epoch = restored
+    assert (epoch_id, best, best_epoch) == (3, 0.5, 2)
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(st2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
