@@ -1,0 +1,90 @@
+"""Throughput benchmark: SegCD(resnet50) train step, 256x256 pairs/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline = ours / PyTorch-CPU reference throughput (measured by
+benchmarks/torch_cpu_baseline.py, recorded in baseline_measured.json;
+BASELINE.md: the reference publishes no numbers, so the CPU baseline is
+ours to measure). Target >= 5x (BASELINE.json).
+
+Runs on whatever jax.devices() offers (real TPU chip under the driver;
+CPU locally with BENCH_SMALL=1 for a quick sanity run).
+"""
+
+import functools
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stcd_tpu.models import SegCD
+from stcd_tpu.train.state import create_train_state
+from stcd_tpu.train.schedules import poly_schedule
+from stcd_tpu.train.steps import make_cd_steps
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL") == "1"
+    platform = jax.devices()[0].platform
+    if small or platform == "cpu":
+        batch, size, iters, warmup = 2, 64, 3, 1
+        encoder, dec = "resnet18", (32, 24, 16, 12, 8)
+    else:
+        batch = int(os.environ.get("BENCH_BATCH", "32"))
+        size, iters, warmup = 256, 20, 3
+        encoder, dec = "resnet50", (256, 128, 64, 32, 16)
+
+    dtype = jnp.bfloat16 if platform != "cpu" else None
+    model = SegCD(encoder_name=encoder, classes=1, decoder_channels=dec,
+                  dtype=dtype)
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (batch, size, size, 3), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3), jnp.float32)
+    label = (jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size, 1)) > 0.8
+             ).astype(jnp.float32)
+    tx = optax.adam(poly_schedule(1e-3, 60, 1000))
+    state = create_train_state(model, key, (a, b), tx)
+    train_step, _ = make_cd_steps(model, augment=True)
+    batch_dict = {"A": a, "B": b, "label": label}
+
+    # compile + warmup
+    state, out = train_step(state, batch_dict, jax.random.PRNGKey(3))
+    jax.block_until_ready(out["loss"])
+    for i in range(warmup):
+        state, out = train_step(state, batch_dict, jax.random.PRNGKey(4 + i))
+    jax.block_until_ready(out["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        state, out = train_step(state, batch_dict, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(out["loss"])
+    dt = time.perf_counter() - t0
+    pairs_per_sec = batch * iters / dt
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "benchmarks", "baseline_measured.json")
+    vs = None
+    try:
+        with open(baseline_path) as f:
+            base = json.load(f)["value"]
+        if not (small or platform == "cpu"):
+            vs = pairs_per_sec / base
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "segcd_resnet50_train_pairs_per_sec_per_chip"
+        if not (small or platform == "cpu") else "segcd_small_cpu_pairs_per_sec",
+        "value": round(pairs_per_sec, 3),
+        "unit": "256x256 bi-temporal pairs/sec/chip" if not (small or platform == "cpu")
+        else f"{size}x{size} pairs/sec (cpu sanity)",
+        "vs_baseline": round(vs, 2) if vs is not None else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

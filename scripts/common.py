@@ -1,0 +1,59 @@
+"""Shared CLI plumbing for the three stage scripts.
+
+Flag surface mirrors the reference argparse (train_sup.py:24-36 et al.)
+with the reference's hardcoded source-booleans (load_model / select_data /
+generate_label, ref train_stcd.py:70,96,137) promoted to real flags, plus
+TPU-specific knobs (dtype, mesh shape).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+# This environment may force-register a TPU platform via sitecustomize
+# (JAX_PLATFORMS is overridden programmatically); honor an explicit CPU
+# request before any backend is initialized.
+if os.environ.get("STCD_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
+
+def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--epoch", type=int, default=0, help="epoch to start training from")
+    p.add_argument("--n_epochs", type=int, default=60, help="number of epochs of training")
+    p.add_argument("--root_path", type=str, default="data/", help="root path")
+    p.add_argument("--dataset_name", type=str, default=dataset_default)
+    p.add_argument("--CDdataset_name", type=str, default=dataset_default)
+    p.add_argument("--save_name", type=str, default=save_default, help="experiments name")
+    p.add_argument("--batch_size", type=int, default=4, help="size of the batches")
+    p.add_argument("--n_cpu", type=int, default=4, help="host io threads")
+    p.add_argument("--img_height", type=int, default=256)
+    p.add_argument("--img_width", type=int, default=256)
+    p.add_argument("--load_path", type=str, default="resume/", help="load path")
+    # promoted gated booleans (hardcoded in the reference source)
+    p.add_argument("--load_model", action="store_true", help="resume weights from --load_path")
+    p.add_argument("--select_data", action="store_true", help="reliability ranking -> list files")
+    p.add_argument("--generate_label", action="store_true", help="write pseudo labels")
+    # promoted hardcoded hyperparameters (reference defaults preserved)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--encoder", type=str, default="resnet50")
+    p.add_argument("--encoder_weights", type=str, default=None,
+                   help="path to converted imagenet weights (msgpack), or None")
+    p.add_argument("--decoder_channels", type=str, default="256,128,64,32,16",
+                   help="comma-separated unet decoder widths")
+    # TPU knobs
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--data_axis", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    return p
+
+
+def make_mesh(args):
+    from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
+    n = args.data_axis or len(jax.devices())
+    mesh = create_mesh(data=n, model=1, devices=jax.devices()[:n])
+    return mesh, batch_sharding(mesh)

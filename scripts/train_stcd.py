@@ -1,0 +1,97 @@
+"""Stage 3 — STCD fine-tune (the flagship stage).
+
+Parity with /root/reference/train_stcd.py: LEVIR_Dataset yields joint
+seg + change 9-tuples; real and pseudo pairs are concatenated into one
+SegCD forward; total loss = seg_loss_A + cd_loss + ct_loss (ref :445,
+contrastive_loss :334-385). Gated utilities mirror train_pse_cd:
+reliability selection (ref :96-135) and pseudo-label generation at
+threshold 0.5 into pseudo_label/ (ref :137-204).
+"""
+
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from scripts.common import base_parser, make_mesh
+from stcd_tpu.data.datasets import CDDataset, LEVIRDataset
+from stcd_tpu.data.loader import DataLoader
+from stcd_tpu.models import SegCD
+from stcd_tpu.train.checkpoint import CheckpointManager
+from stcd_tpu.train.loops import (
+    generate_pseudo_labels,
+    run_training,
+    select_reliable,
+)
+from stcd_tpu.train.schedules import poly_schedule
+from stcd_tpu.train.state import create_train_state
+from stcd_tpu.train.steps import make_semi_cd_steps
+
+
+def main():
+    args = base_parser("LEVIR", "runs/STCD").parse_args()
+    print(args)
+    mesh, sharding = make_mesh(args)
+
+    dtype = jnp.bfloat16 if args.bf16 else None
+    dec = tuple(int(c) for c in args.decoder_channels.split(","))
+    model = SegCD(encoder_name=args.encoder, classes=1,
+                  decoder_channels=dec, dtype=dtype)
+    rng = jax.random.PRNGKey(args.seed)
+    example = jnp.zeros((args.batch_size, args.img_height, args.img_width, 3))
+
+    train_ds = LEVIRDataset(args.root_path, args.dataset_name, "train")
+    val_ds = CDDataset(args.root_path, args.CDdataset_name, "val")
+    train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
+                              num_workers=args.n_cpu, seed=args.seed,
+                              sharding=sharding)
+    val_loader = DataLoader(val_ds, args.batch_size * 2, num_workers=args.n_cpu,
+                            sharding=sharding)
+
+    tx = optax.adam(poly_schedule(args.lr, args.n_epochs, max(len(train_loader), 1)))
+    state = create_train_state(model, rng, (example, example), tx)
+    train_step, eval_step = make_semi_cd_steps(model, augment=True)
+
+    if args.load_model:
+        mgr = CheckpointManager(args.load_path)
+        best = mgr.best_path()
+        if best:
+            state = mgr.load_weights(state, best)
+            print(f"resumed weights from {best} (WHU-pseudo-change equivalent)")
+        else:
+            print("Will start from scratch")
+
+    if args.select_data:
+        mgr = CheckpointManager(args.load_path)
+        import glob
+        snaps = sorted(glob.glob(os.path.join(args.load_path, "*_model")))[:3]
+        states = [mgr.load_weights(state, s) for s in snaps] + [state]
+        loader = DataLoader(CDDataset(args.root_path, args.dataset_name, "train"),
+                            1, num_workers=args.n_cpu, sharding=None)
+        select_reliable([eval_step] * len(states), states, loader,
+                        os.path.join(args.root_path, args.dataset_name, "train", "list"))
+        return
+
+    if args.generate_label:
+        loader = DataLoader(
+            CDDataset(args.root_path, args.dataset_name, "train", reliable="reliable"),
+            1, num_workers=args.n_cpu, sharding=None, drop_last=False)
+        metrics = generate_pseudo_labels(
+            eval_step, state, loader,
+            os.path.join(args.root_path, args.dataset_name, "train", "pseudo_label"),
+            threshold=0.5)
+        print("pseudo-label metrics:", metrics)
+        return
+
+    state, best, history = run_training(
+        train_step, eval_step, state, train_loader, val_loader,
+        n_epochs=args.n_epochs, save_dir=args.save_name, rng=rng)
+    print(f"best cd IoU: {best:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,24 +1,28 @@
-"""Test configuration: force an 8-device virtual CPU mesh before jax import.
+"""Test configuration: force an 8-device virtual CPU mesh.
 
-This is the idiomatic JAX substitute for multi-device testing without a
-cluster (SURVEY.md §4): all sharding/collective paths compile and run on
-8 virtual CPU devices.
+This environment registers the real TPU (platform 'axon') via
+sitecustomize and overrides JAX_PLATFORMS, so env vars are not enough —
+the platform must be set programmatically before any backend is touched.
+8 virtual CPU devices are the idiomatic JAX substitute for multi-device
+testing without a cluster (SURVEY.md §4).
+
+Set STCD_TEST_TPU=1 to run the suite on the real chip instead.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
-
 import numpy as np
 import pytest
+
+import jax
+
+if os.environ.get("STCD_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 
 @pytest.fixture
 def rng():
-    import jax
     return jax.random.PRNGKey(0)
 
 

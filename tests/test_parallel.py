@@ -1,0 +1,82 @@
+"""Multi-device data parallelism tests on the 8-virtual-CPU mesh.
+
+Validates the TPU-native DataParallel replacement (SURVEY.md §2.5):
+a train step over a batch sharded across 8 devices computes exactly the
+same loss/gradient math as the single-placement step — XLA inserts the
+cross-device reductions, including global BatchNorm statistics.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from stcd_tpu.models import SegCD
+from stcd_tpu.parallel.mesh import batch_sharding, create_mesh, param_sharding
+from stcd_tpu.train.schedules import poly_schedule
+from stcd_tpu.train.state import create_train_state
+from stcd_tpu.train.steps import make_cd_steps
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 8, 6, 4))
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (8, 32, 32, 3))
+    b = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    lab = (jax.random.uniform(jax.random.PRNGKey(2), (8, 32, 32, 1)) > 0.8
+           ).astype(jnp.float32)
+    tx = optax.adam(poly_schedule(1e-3, 2, 2))
+    state = create_train_state(model, key, (a, b), tx)
+    return model, state, {"A": a, "B": b, "label": lab}
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.shape["data"] * mesh.shape["model"] == len(jax.devices())
+    mesh2 = create_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+
+
+def test_sharded_step_matches_single_device(setup):
+    model, state, batch = setup
+    train_step, _ = make_cd_steps(model, augment=False)
+
+    # single placement
+    s1, out1 = train_step(state, batch, jax.random.PRNGKey(3))
+
+    # 8-way data-parallel placement
+    mesh = create_mesh(data=8, model=1)
+    repl = NamedSharding(mesh, P())
+    state_sharded = state.replace(
+        params=jax.device_put(state.params, repl),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+    )
+    batch_sharded = jax.device_put(batch, batch_sharding(mesh))
+    s2, out2 = train_step(state_sharded, batch_sharded, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out1["cm"]), np.asarray(out2["cm"]))
+    # updated params identical -> gradient psum == single-device gradient
+    p1 = jax.tree_util.tree_leaves(s1.params)
+    p2 = jax.tree_util.tree_leaves(s2.params)
+    for x, y in zip(p1, p2):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-3)
+
+
+def test_tensor_parallel_param_sharding(setup):
+    model, state, batch = setup
+    mesh = create_mesh(data=4, model=2)
+    shardings = param_sharding(mesh, state.params, min_size_to_shard=1024)
+    leaves = jax.tree_util.tree_leaves(shardings)
+    assert len(leaves) > 0
+    state2 = state.replace(params=jax.device_put(state.params, shardings))
+    train_step, _ = make_cd_steps(model, augment=False)
+    batch_sharded = jax.device_put(batch, batch_sharding(mesh))
+    _, out = train_step(state2, batch_sharded, jax.random.PRNGKey(3))
+    assert np.isfinite(float(out["loss"]))

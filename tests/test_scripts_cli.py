@@ -1,0 +1,48 @@
+"""CLI end-to-end: stage-2 script on a miniature on-disk dataset tree,
+exercising the reference's file-layout conventions + flag surface."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _make_tree(root, n=4, size=32):
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        d = os.path.join(root, "LEVIR", split)
+        for sub in ("A", "B", "pseudo_label_WHU", "label", "list"):
+            os.makedirs(os.path.join(d, sub), exist_ok=True)
+        names = [f"{i}.png" for i in range(n)]
+        for name in names:
+            img = (rng.uniform(0, 1, (size, size, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(d, "A", name))
+            Image.fromarray(img[::-1]).save(os.path.join(d, "B", name))
+            lab = ((rng.uniform(0, 1, (size, size)) > 0.7) * 255).astype(np.uint8)
+            lab3 = np.stack([lab] * 3, -1)
+            Image.fromarray(lab3).save(os.path.join(d, "pseudo_label_WHU", name))
+            Image.fromarray(lab3).save(os.path.join(d, "label", name))
+        with open(os.path.join(d, "list", split + ".txt"), "w") as f:
+            f.write("\n".join(names))
+
+
+@pytest.mark.slow
+def test_train_pse_cd_cli(tmp_path):
+    _make_tree(str(tmp_path))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STCD_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_pse_cd.py"),
+         "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+         "--CDdataset_name", "LEVIR", "--n_epochs", "1", "--batch_size", "2",
+         "--img_height", "32", "--img_width", "32", "--encoder", "resnet18",
+         "--decoder_channels", "16,12,8,6,4",
+         "--save_name", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "best cd IoU" in out.stdout
+    assert (tmp_path / "run" / "last_ckpt").exists()
