@@ -1,0 +1,74 @@
+"""Shape/forward tests for the wider CD zoo (replacing the reference's
+__main__ smoke blocks: SNUNet.py:246-251, DTCDSCN.py:323-329,
+DSIFN.py:191-198, networks.py:444-451)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+H = W = 64
+
+
+@pytest.fixture(scope="module")
+def ab():
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, 3), jnp.float32)
+    b = jax.random.normal(jax.random.PRNGKey(1), (2, H, W, 3), jnp.float32)
+    return a, b
+
+
+def _run(model, a, b, train_rngs=False):
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    out = model.apply(variables, a, b)
+    return out
+
+
+def test_snunet_ecam(ab):
+    from stcd_tpu.models.snunet import SNUNetECAM
+    out = _run(SNUNetECAM(out_ch=1, n1=8), *ab)
+    assert out.shape == (2, H, W, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_snunet_conc(ab):
+    from stcd_tpu.models.snunet import SiamNestedUNetConc
+    out = _run(SiamNestedUNetConc(out_ch=1, n1=8), *ab)
+    assert out.shape == (2, H, W, 1)
+
+
+def test_dtcdscn(ab):
+    from stcd_tpu.models.dtcdscn import CDNet34
+    out = _run(CDNet34(num_classes=1), *ab)
+    assert out.shape == (2, H, W, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_dsifn(ab):
+    from stcd_tpu.models.dsifn import DSIFN
+    out = _run(DSIFN(), *ab)
+    assert out.shape == (2, H, W, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bit_resnet(ab):
+    from stcd_tpu.models.bit import ResNetCD
+    out = _run(ResNetCD(output_nc=2), *ab)
+    assert out.shape == (2, H, W, 2)
+
+
+def test_bit_transformer(ab):
+    from stcd_tpu.models.bit import BASETransformer
+    model = BASETransformer(output_nc=2, token_len=4, resnet_stages_num=4,
+                            with_pos="learned", enc_depth=1, dec_depth=1)
+    out = _run(model, *ab)
+    assert out.shape == (2, H, W, 2)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bit_no_tokenizer(ab):
+    from stcd_tpu.models.bit import BASETransformer
+    model = BASETransformer(output_nc=2, tokenizer=False, pool_size=2,
+                            resnet_stages_num=4, with_pos=None, token_trans=True)
+    out = _run(model, *ab)
+    assert out.shape == (2, H, W, 2)
