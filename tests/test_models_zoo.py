@@ -72,3 +72,42 @@ def test_bit_no_tokenizer(ab):
                             resnet_stages_num=4, with_pos=None, token_trans=True)
     out = _run(model, *ab)
     assert out.shape == (2, H, W, 2)
+
+
+def test_changeformer_v6(ab):
+    from stcd_tpu.models.changeformer import ChangeFormerV6
+    model = ChangeFormerV6(embed_dim=64)
+    a, b = ab
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    outs = model.apply(variables, a, b)
+    assert isinstance(outs, list) and len(outs) == 5
+    assert outs[-1].shape == (2, H, W, 2)  # full-res final pred
+    assert outs[0].shape == (2, H // 32, W // 32, 2)  # 1/32 side pred
+    assert np.all(np.isfinite(np.asarray(outs[-1])))
+
+
+def test_changeformer_v1(ab):
+    from stcd_tpu.models.changeformer import ChangeFormerV1
+    model = ChangeFormerV1()
+    a, b = ab
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    out = model.apply(variables, a, b)
+    assert out.shape == (2, H, W, 2)
+
+
+def test_changeformer_v3(ab):
+    from stcd_tpu.models.changeformer import ChangeFormerV3
+    model = ChangeFormerV3()
+    a, b = ab
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    out = model.apply(variables, a, b)
+    assert out.shape == (2, H, W, 2)
+
+
+def test_changeformer_v4(ab):
+    from stcd_tpu.models.changeformer import ChangeFormerV4
+    model = ChangeFormerV4()
+    a, b = ab
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+    outs = model.apply(variables, a, b)
+    assert outs[-1].shape == (2, H, W, 2)
