@@ -111,3 +111,61 @@ def test_changeformer_v4(ab):
     variables = model.init(jax.random.PRNGKey(0), a, b)
     outs = model.apply(variables, a, b)
     assert outs[-1].shape == (2, H, W, 2)
+
+
+def test_knn_graph_correctness(np_rng):
+    """KNN indices must match brute-force nearest neighbors."""
+    from stcd_tpu.models.gcn_lib import knn_graph
+    x = np_rng.normal(size=(1, 12, 4)).astype(np.float32)
+    idx = np.asarray(knn_graph(jnp.asarray(x), jnp.asarray(x), k=3))
+    d = ((x[0][:, None, :] - x[0][None, :, :]) ** 2).sum(-1)
+    expected = np.argsort(d, axis=1)[:, :3]
+    assert set(idx[0, 0].tolist()) == set(expected[0].tolist())
+    assert idx[0, 0, 0] == 0  # nearest neighbor of a point is itself
+
+
+def test_grapher_shapes(ab):
+    from stcd_tpu.models.gcn_lib import Grapher
+    a, _ = ab
+    x = a[:, :16, :16, :]
+    g = Grapher(kernel_size=4, dilation=1, r=2)
+    v = g.init(jax.random.PRNGKey(0), x)
+    out = g.apply(v, x)
+    assert out.shape == x.shape
+
+
+def test_changegnn_v2(ab):
+    from stcd_tpu.models.changevig import ChangeGNNV2
+    a, b = ab
+    model = ChangeGNNV2(embed_dim=32, img_size=H)
+    v = model.init(jax.random.PRNGKey(0), a, b)
+    outs = model.apply(v, a, b)
+    assert outs[-1].shape == (2, H, W, 2)
+    assert np.all(np.isfinite(np.asarray(outs[-1])))
+
+
+def test_vig_v20(ab):
+    from stcd_tpu.models.changevig import VIG
+    a, b = ab
+    model = VIG(embed_dim=32, img_size=H)
+    v = model.init(jax.random.PRNGKey(0), a, b)
+    outs = model.apply(v, a, b)
+    assert outs[-1].shape == (2, H, W, 2)
+
+
+def test_changegnn_v2_compare_modes(ab):
+    from stcd_tpu.models.changevig import ChangeGNNV2Compare
+    a, b = ab
+    model = ChangeGNNV2Compare(embed_dim=32, img_size=H, diff_mode="abs")
+    v = model.init(jax.random.PRNGKey(0), a, b)
+    outs = model.apply(v, a, b)
+    assert outs[-1].shape == (2, H, W, 2)
+
+
+def test_changegnn_v1(ab):
+    from stcd_tpu.models.changevig import ChangeGNNV1
+    a, b = ab
+    model = ChangeGNNV1(embed_dim=32, img_size=H)
+    v = model.init(jax.random.PRNGKey(0), a, b)
+    outs = model.apply(v, a, b)
+    assert len(outs) == 5 and outs[-1].shape == (2, H, W, 2)
