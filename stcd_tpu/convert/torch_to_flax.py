@@ -1,0 +1,147 @@
+"""torch -> Flax weight conversion for the encoder zoo.
+
+Accuracy parity depends on ImageNet-pretrained encoders
+(encoder_weights="imagenet" in every reference init_* — train_sup.py:303);
+TPU hosts have no torch-hub egress, so weights arrive as torch state_dicts
+(.pth) converted offline with this module.
+
+Supported layouts:
+- torchvision ResNet state_dict ("conv1.weight", "bn1.*",
+  "layer{1..4}.{i}.conv{1..3}.*", "...downsample.{0,1}.*")
+  -> stcd_tpu.encoders.resnet.ResNetEncoder params/batch_stats.
+- torchvision VGG16 features ("features.{idx}.weight/bias")
+  -> stcd_tpu.encoders.vgg.VGG16Features / VGGEncoder.
+
+Conventions: torch conv weights are OIHW -> flax HWIO; BN {weight,bias,
+running_mean,running_var} -> {scale,bias} + batch_stats {mean,var};
+Linear weights transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+
+def _conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _bn(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    params = {"scale": np.asarray(sd[prefix + ".weight"]),
+              "bias": np.asarray(sd[prefix + ".bias"])}
+    stats = {"mean": np.asarray(sd[prefix + ".running_mean"]),
+             "var": np.asarray(sd[prefix + ".running_var"])}
+    return params, stats
+
+
+def convert_resnet(sd: Dict[str, Any], layers_per_stage) -> Tuple[dict, dict]:
+    """Returns (params, batch_stats) pytrees for ResNetEncoder.
+
+    ``layers_per_stage``: e.g. (2,2,2,2) for resnet18, (3,4,6,3) for resnet50.
+    """
+    sd = {k: v for k, v in sd.items()}
+    params: dict = {}
+    stats: dict = {}
+    params["conv1"] = {"kernel": _conv(sd["conv1.weight"])}
+    params["bn1"], stats["bn1"] = _bn(sd, "bn1")
+    bottleneck = any(k.startswith("layer1.0.conv3") for k in sd)
+    n_convs = 3 if bottleneck else 2
+    for li, n_blocks in enumerate(layers_per_stage, start=1):
+        lp: dict = {}
+        ls: dict = {}
+        for bi in range(n_blocks):
+            bp: dict = {}
+            bs: dict = {}
+            base = f"layer{li}.{bi}"
+            for ci in range(1, n_convs + 1):
+                bp[f"conv{ci}"] = {"kernel": _conv(sd[f"{base}.conv{ci}.weight"])}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{base}.downsample.0.weight"])}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{base}.downsample.1")
+            lp[f"block{bi}"] = bp
+            ls[f"block{bi}"] = bs
+        params[f"layer{li}"] = lp
+        stats[f"layer{li}"] = ls
+    return params, stats
+
+
+# torchvision vgg16 (no BN) conv indices in .features
+_VGG16_CONV_IDX = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
+
+
+def convert_vgg16_features(sd: Dict[str, Any]) -> dict:
+    """torchvision vgg16 .features -> VGG16Features params (13 convs)."""
+    params = {}
+    for our_idx, tv_idx in enumerate(_VGG16_CONV_IDX):
+        params[f"conv{our_idx}"] = {
+            "kernel": _conv(sd[f"features.{tv_idx}.weight"]),
+            "bias": np.asarray(sd[f"features.{tv_idx}.bias"]),
+        }
+    return params
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a .pth state_dict into numpy (torch required only here)."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def apply_encoder_weights(variables: dict, encoder_path: Tuple[str, ...],
+                          params: dict, stats: dict) -> dict:
+    """Graft converted encoder weights into a model's variables dict at
+    ``encoder_path`` (e.g. ("encoder",)). Returns a new variables dict."""
+    import jax
+
+    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+
+    def set_at(tree, path, sub):
+        node = tree
+        for p in path[:-1]:
+            node = node[p]
+        node[path[-1]] = sub
+
+    new_params = _merge(_get(variables["params"], encoder_path), params)
+    new_stats = _merge(_get(variables.get("batch_stats", {}), encoder_path), stats)
+    vp = _to_mutable(variables["params"])
+    set_at(vp, encoder_path, new_params)
+    out = {"params": vp}
+    if "batch_stats" in variables:
+        vs = _to_mutable(variables["batch_stats"])
+        set_at(vs, encoder_path, new_stats)
+        out["batch_stats"] = vs
+    return out
+
+
+def _to_mutable(tree):
+    if isinstance(tree, dict):
+        return {k: _to_mutable(v) for k, v in tree.items()}
+    return tree
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _merge(template, new):
+    """Structural merge with shape checks (template wins on missing keys)."""
+    out = dict(_to_mutable(template))
+    for k, v in new.items():
+        if isinstance(v, dict):
+            out[k] = _merge(template.get(k, {}), v)
+        else:
+            t = template.get(k)
+            if t is not None and tuple(np.shape(t)) != tuple(np.shape(v)):
+                raise ValueError(f"shape mismatch at {k}: "
+                                 f"{np.shape(t)} vs {np.shape(v)}")
+            out[k] = np.asarray(v)
+    return out

@@ -1,0 +1,324 @@
+"""Config-driven CDTrainer / CDEvaluator.
+
+Working equivalents of the reference's vestigial trainer/evaluator
+(models/trainer.py:22-371, models/evaluator.py:19-193 — dead in the
+reference tree due to missing imports; SURVEY.md headline facts), keeping
+their semantics:
+
+- optimizer choice sgd/adam/adamw (trainer.py:41-50: SGD momentum .99
+  wd 5e-4; Adam wd 0; AdamW betas (.9,.999) wd .01)
+- epoch-granular LR policies via get_scheduler (networks.py:26-57)
+- loss choice ce/bce/cd_loss/fl/miou/mmiou (trainer.py:92-114), with
+  get_alpha class-frequency scan for focal/miou
+- multi-scale train/infer over list-valued predictions (trainer.py:280-311)
+- full checkpoint save/resume {epoch_id, best_val_acc, best_epoch_id,
+  model, optimizer} in last_ckpt/best_ckpt (trainer.py:130-186)
+- per-epoch train/val acc curves as .npy (trainer.py:266-274)
+- best-by-val-mF1 selection (trainer.py:358-366)
+- CDEvaluator: best-ckpt load + eval loop + colorized mask dump
+  (evaluator.py:68-121)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stcd_tpu.data.io import save_mask_png
+from stcd_tpu.layers.modules import upsample_nearest
+from stcd_tpu.losses import functional as L
+from stcd_tpu.metrics.confusion import SegmentationMetric, confusion_matrix
+from stcd_tpu.models.factory import define_G
+from stcd_tpu.train.checkpoint import CheckpointManager
+from stcd_tpu.train.schedules import get_scheduler
+from stcd_tpu.train.state import TrainState
+from stcd_tpu.utils.logging import ScalarLogger, Throughput
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """The args object the reference trainer expects (trainer.py:24-127),
+    promoted to a real config."""
+
+    net_G: str = "base_transformer_pos_s4_dd8"
+    n_class: int = 2
+    embed_dim: int = 64
+    img_size: int = 256
+    lr: float = 0.01
+    optimizer: str = "sgd"
+    lr_policy: str = "linear"
+    lr_decay_iters: int = 50
+    max_epochs: int = 100
+    loss: str = "ce"
+    multi_scale_train: bool = False
+    multi_scale_infer: bool = False
+    multi_pred_weights: Sequence[float] = (0.5, 0.5, 0.5, 0.8, 1.0)
+    checkpoint_dir: str = "checkpoints"
+    vis_dir: str = "vis"
+    batch_size: int = 8
+    seed: int = 1337
+    dtype: Any = None
+
+
+def get_alpha_from_loader(loader) -> np.ndarray:
+    """Class-frequency scan (ref models/losses.py:38-59 get_alpha):
+    occurrence counts per class over the training labels (255 -> class 0)."""
+    counts = None
+    for batch in loader:
+        lab = np.asarray(batch["label"]).astype(np.int64)
+        lab[lab == 255] = 0
+        n_class = int(lab.max()) + 1
+        c = np.bincount(lab.reshape(-1), minlength=n_class)
+        if counts is None:
+            counts = c.astype(np.float64)
+        else:
+            if len(c) > len(counts):
+                counts = np.pad(counts, (0, len(c) - len(counts)))
+            counts[: len(c)] += c
+    return counts
+
+
+def _make_optimizer(cfg: TrainerConfig, schedule) -> optax.GradientTransformation:
+    if cfg.optimizer == "sgd":
+        return optax.chain(optax.add_decayed_weights(5e-4),
+                           optax.sgd(schedule, momentum=0.99))
+    if cfg.optimizer == "adam":
+        return optax.adam(schedule)
+    if cfg.optimizer == "adamw":
+        return optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=0.01)
+    raise NotImplementedError(cfg.optimizer)
+
+
+def _as_list(pred):
+    return pred if isinstance(pred, (list, tuple)) else [pred]
+
+
+class CDTrainer:
+    """args-driven training harness over the define_G zoo."""
+
+    def __init__(self, cfg: TrainerConfig, dataloaders: dict,
+                 alpha: Optional[np.ndarray] = None):
+        self.cfg = cfg
+        self.dataloaders = dataloaders
+        self.model = define_G(cfg.net_G, n_class=cfg.n_class,
+                              embed_dim=cfg.embed_dim, img_size=cfg.img_size,
+                              dtype=cfg.dtype)
+        steps_per_epoch = max(len(dataloaders["train"]), 1)
+        schedule = get_scheduler(cfg.lr_policy, cfg.lr, steps_per_epoch,
+                                 max_epochs=cfg.max_epochs,
+                                 lr_decay_iters=cfg.lr_decay_iters)
+        self.tx = _make_optimizer(cfg, schedule)
+        if cfg.loss in ("fl", "miou") and alpha is None:
+            alpha = get_alpha_from_loader(dataloaders["train"])
+        self.alpha = alpha
+        self.ckpt = CheckpointManager(cfg.checkpoint_dir)
+        self.logger = ScalarLogger(os.path.join(cfg.checkpoint_dir, "logs"))
+        self.best_val_acc = 0.0
+        self.best_epoch_id = 0
+        self.epoch_to_start = 0
+        self._build_steps()
+
+    # --- loss dispatch (ref trainer.py:92-114) ---
+    def _pxl_loss(self, preds, gt):
+        cfg = self.cfg
+        losses = []
+        weights = list(cfg.multi_pred_weights)
+        sel = preds if cfg.multi_scale_train else preds[-1:]
+        wsel = weights[: len(sel)] if cfg.multi_scale_train else [1.0]
+        for w, pred in zip(wsel, sel):
+            g = gt
+            if pred.shape[1] != gt.shape[1]:
+                factor = gt.shape[1] // pred.shape[1]
+                g = gt[:, ::factor, ::factor]  # nearest downsample
+            if cfg.loss == "ce":
+                losses.append(w * L.cross_entropy(pred, g[..., 0].astype(jnp.int32)))
+            elif cfg.loss == "bce":
+                losses.append(w * L.bce_loss(jax.nn.sigmoid(pred), g))
+            elif cfg.loss == "cd_loss":
+                losses.append(w * L.cd_loss(jax.nn.sigmoid(pred), g))
+            elif cfg.loss == "fl":
+                losses.append(w * L.focal_loss(pred, g[..., 0], alpha=self.alpha,
+                                               gamma=2.0, smooth=1e-5))
+            elif cfg.loss == "miou":
+                a = self.alpha / np.sum(self.alpha)
+                losses.append(w * L.miou_loss(pred, g[..., 0], weight=1.0 - a,
+                                              n_classes=self.cfg.n_class))
+            elif cfg.loss == "mmiou":
+                losses.append(w * L.mmiou_loss(pred, g[..., 0],
+                                               n_classes=self.cfg.n_class))
+            else:
+                raise NotImplementedError(cfg.loss)
+        return sum(losses)
+
+    def _final_pred(self, preds):
+        """multi_scale_infer: average all scales at full res (ref :280-295)."""
+        if not self.cfg.multi_scale_infer or len(preds) == 1:
+            return preds[-1]
+        full = preds[-1]
+        acc = jnp.zeros_like(full)
+        for p in preds:
+            if p.shape[1] != full.shape[1]:
+                p = upsample_nearest(p, full.shape[1] // p.shape[1])
+            acc = acc + p
+        return acc / len(preds)
+
+    def _pred_to_labels(self, pred):
+        if self.cfg.n_class > 1:
+            return jnp.argmax(pred, axis=-1)
+        return (pred >= 0.5).astype(jnp.int32)[..., 0]
+
+    def _build_steps(self):
+        model = self.model
+
+        @jax.jit
+        def train_step(state, a, b, label, rng):
+            def loss_fn(params):
+                preds, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    a, b, True, mutable=["batch_stats"], rngs={"dropout": rng})
+                preds = _as_list(preds)
+                return self._pxl_loss(preds, label), (mutated, preds)
+
+            (loss, (mutated, preds)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            state = state.apply_gradients(grads=grads,
+                                          batch_stats=mutated["batch_stats"])
+            final = self._final_pred(preds)
+            cm = confusion_matrix(self._pred_to_labels(final),
+                                  label[..., 0].astype(jnp.int32), self.cfg.n_class)
+            return state, loss, cm
+
+        @jax.jit
+        def eval_step(state, a, b, label):
+            preds = _as_list(state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats}, a, b))
+            final = self._final_pred(preds)
+            cm = confusion_matrix(self._pred_to_labels(final),
+                                  label[..., 0].astype(jnp.int32), self.cfg.n_class)
+            return final, cm
+
+        self.train_step = train_step
+        self.eval_step = eval_step
+
+    def _init_state(self) -> TrainState:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        zeros = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
+        variables = self.model.init(rng, zeros, zeros)
+        return TrainState.create_with_stats(
+            apply_fn=self.model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}), tx=self.tx)
+
+    @staticmethod
+    def scores(metric: SegmentationMetric) -> dict:
+        """ConfuseMatrixMeter.get_scores equivalent: acc/miou/mf1 + per-class."""
+        f1 = metric.F1score()
+        iou = metric.IntersectionOverUnion()
+        return {
+            "acc": float(metric.OverallAccuracy()),
+            "miou": float(np.nanmean(iou)),
+            "mf1": float(np.nanmean(f1)),
+            "iou_0": float(iou[0]), "iou_1": float(iou[-1]),
+            "F1_0": float(f1[0]), "F1_1": float(f1[-1]),
+            "precision_1": float(metric.Precision()[-1]),
+            "recall_1": float(metric.Recall()[-1]),
+        }
+
+    def _run_epoch(self, state, loader, rng, training: bool):
+        metric = SegmentationMetric(self.cfg.n_class)
+        last_loss = 0.0
+        for batch in loader:
+            a = jnp.asarray(batch["A"])
+            b = jnp.asarray(batch["B"])
+            label = jnp.asarray(batch["label"]).astype(jnp.float32)
+            if training:
+                rng, step_rng = jax.random.split(rng)
+                state, loss, cm = self.train_step(state, a, b, label, step_rng)
+                last_loss = float(loss)
+            else:
+                _, cm = self.eval_step(state, a, b, label)
+            metric.confusionMatrix += np.asarray(cm, np.float64)
+        return state, metric, last_loss, rng
+
+    def train_models(self) -> TrainState:
+        """ref trainer.py:316-371 (train/val loop + curves + checkpoints)."""
+        cfg = self.cfg
+        state = self._init_state()
+        restored = self.ckpt.restore_last(state, "last_ckpt")
+        train_curve, val_curve = [], []
+        if restored is not None:
+            state, last_epoch, self.best_val_acc, self.best_epoch_id = restored
+            self.epoch_to_start = last_epoch + 1
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        for epoch_id in range(self.epoch_to_start, cfg.max_epochs):
+            state, m, loss, rng = self._run_epoch(
+                state, self.dataloaders["train"], rng, training=True)
+            tr = self.scores(m)
+            train_curve.append(tr["mf1"])
+            self.logger.add_scalar("train/mf1", tr["mf1"], epoch_id)
+            self.logger.add_scalar("train/loss", loss, epoch_id)
+
+            state, m, _, rng = self._run_epoch(
+                state, self.dataloaders["val"], rng, training=False)
+            va = self.scores(m)
+            val_curve.append(va["mf1"])
+            for k, v in va.items():
+                self.logger.add_scalar(f"val/{k}", v, epoch_id)
+
+            if va["mf1"] > self.best_val_acc:
+                self.best_val_acc = va["mf1"]
+                self.best_epoch_id = epoch_id
+                self.ckpt.save_last(state, epoch_id, self.best_val_acc,
+                                    self.best_epoch_id, name="best_ckpt")
+            self.ckpt.save_last(state, epoch_id, self.best_val_acc,
+                                self.best_epoch_id, name="last_ckpt")
+            np.save(os.path.join(cfg.checkpoint_dir, "train_acc.npy"),
+                    np.asarray(train_curve, np.float32))
+            np.save(os.path.join(cfg.checkpoint_dir, "val_acc.npy"),
+                    np.asarray(val_curve, np.float32))
+            self.logger.flush()
+        return state
+
+
+class CDEvaluator:
+    """ref models/evaluator.py:19-193 / basic_model.py:9-74: best-ckpt load,
+    eval loop with score report, colorized prediction dump."""
+
+    def __init__(self, cfg: TrainerConfig, dataloader):
+        self.cfg = cfg
+        self.dataloader = dataloader
+        self.trainer = CDTrainer(cfg, {"train": dataloader, "val": dataloader})
+
+    def load(self, ckpt_name: str = "best_ckpt") -> TrainState:
+        state = self.trainer._init_state()
+        restored = self.trainer.ckpt.restore_last(state, ckpt_name)
+        if restored is None:
+            raise FileNotFoundError(f"no checkpoint {ckpt_name} in "
+                                    f"{self.cfg.checkpoint_dir}")
+        return restored[0]
+
+    def eval_models(self, ckpt_name: str = "best_ckpt",
+                    save_vis: bool = True) -> dict:
+        state = self.load(ckpt_name)
+        metric = SegmentationMetric(self.cfg.n_class)
+        os.makedirs(self.cfg.vis_dir, exist_ok=True)
+        for batch in self.dataloader:
+            names = batch.get("name")
+            a = jnp.asarray(batch["A"])
+            b = jnp.asarray(batch["B"])
+            label = jnp.asarray(batch["label"]).astype(jnp.float32)
+            final, cm = self.trainer.eval_step(state, a, b, label)
+            metric.confusionMatrix += np.asarray(cm, np.float64)
+            if save_vis and names is not None:
+                preds = np.asarray(self.trainer._pred_to_labels(final))
+                for i, name in enumerate(names):
+                    save_mask_png(preds[i].astype(np.float32),
+                                  os.path.join(self.cfg.vis_dir, name))
+        return CDTrainer.scores(metric)
