@@ -39,7 +39,7 @@ def register_encoder(name: str, cls, kwargs: dict, out_channels: Tuple[int, ...]
 
 
 for _name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
-    register_encoder(_name, ResNetEncoder, {"name": _name}, resnet_out_channels(_name))
+    register_encoder(_name, ResNetEncoder, {"arch": _name}, resnet_out_channels(_name))
 
 register_encoder("vgg16", VGGEncoder, {"batch_norm": False}, vgg_out_channels("vgg16"))
 register_encoder("vgg16_bn", VGGEncoder, {"batch_norm": True}, vgg_out_channels("vgg16_bn"))

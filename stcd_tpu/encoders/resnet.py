@@ -169,14 +169,14 @@ class ResNetEncoder(nn.Module):
     models/resnet.py + models/networks.py:234-241).
     """
 
-    name: str = "resnet50"
+    arch: str = "resnet50"
     depth: int = 5
     replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
-        block, layers = _RESNET_CFGS[self.name]
+        block, layers = _RESNET_CFGS[self.arch]
         features = [x]
         if self.depth >= 1:
             h = nn.Conv(

@@ -172,7 +172,7 @@ class _DilatedBackbone(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         depth = {3: 3, 4: 4, 5: 5}[self.resnet_stages_num]
-        feats = ResNetEncoder(name=self.backbone, depth=depth,
+        feats = ResNetEncoder(arch=self.backbone, depth=depth,
                               replace_stride_with_dilation=(False, True, True),
                               dtype=self.dtype)(x, train)
         h = feats[-1]

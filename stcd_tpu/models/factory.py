@@ -8,6 +8,7 @@ from typing import Any, Optional
 
 from stcd_tpu.models import segcd as _segcd
 from stcd_tpu.models import siam_unet as _siam
+from stcd_tpu.models import smp_models as _smp
 
 
 _ARCHS = {
@@ -15,6 +16,14 @@ _ARCHS = {
     "unetseg": _segcd.UnetSeg,
     "segcd": _segcd.SegCD,
     "ffctlcd": _segcd.FFCTLCD,
+    "unetplusplus": _smp.UnetPlusPlus,
+    "manet": _smp.MAnet,
+    "linknet": _smp.Linknet,
+    "fpn": _smp.FPN,
+    "pspnet": _smp.PSPNet,
+    "deeplabv3": _smp.DeepLabV3,
+    "deeplabv3plus": _smp.DeepLabV3Plus,
+    "pan": _smp.PAN,
 }
 
 

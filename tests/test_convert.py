@@ -74,7 +74,7 @@ def test_resnet18_forward_parity(np_rng):
     with torch.no_grad():
         torch_feats = tv(torch.tensor(x))
 
-    enc = ResNetEncoder(name="resnet18")
+    enc = ResNetEncoder(arch="resnet18")
     variables = {"params": params, "batch_stats": stats}
     feats = enc.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     assert len(feats) == 6
