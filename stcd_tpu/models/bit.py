@@ -109,10 +109,13 @@ class CrossAttention(nn.Module):
         shp = lambda t: t.reshape(t.shape[0], t.shape[1], self.heads, self.dim_head
                                   ).transpose(0, 2, 1, 3)
         q, k, v = shp(q), shp(k), shp(v)
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(dots, axis=-1) if self.softmax else dots
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v)
+        if self.softmax:
+            from stcd_tpu.ops.attention import cross_attention
+            out = cross_attention(q, k, v, scale=scale)
+        else:
+            dots = jnp.einsum("bhid,bhjd->bhij", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            out = jnp.einsum("bhij,bhjd->bhid", dots.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
         out = nn.Dense(d, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)

@@ -121,11 +121,16 @@ class SRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
         scale = hd ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        if train and self.attn_drop > 0.0:
+            # attention-matrix dropout requires the materialized matrix
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        else:
+            from stcd_tpu.ops.attention import cross_attention
+            out = cross_attention(q, k, v, scale=scale)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop, deterministic=not train)(out)
