@@ -44,6 +44,15 @@ for _name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
 register_encoder("vgg16", VGGEncoder, {"batch_norm": False}, vgg_out_channels("vgg16"))
 register_encoder("vgg16_bn", VGGEncoder, {"batch_norm": True}, vgg_out_channels("vgg16_bn"))
 
+from stcd_tpu.encoders.mix_transformer import (  # noqa: E402
+    MixTransformerEncoder,
+    mit_out_channels,
+)
+
+for _name in ("mit_b0", "mit_b1", "mit_b2", "mit_b3", "mit_b4", "mit_b5"):
+    register_encoder(_name, MixTransformerEncoder, {"variant": _name},
+                     mit_out_channels(_name))
+
 
 def encoder_names():
     return sorted(_REGISTRY)

@@ -174,3 +174,26 @@ def contrastive_loss(pred: jax.Array, cd_label: jax.Array,
     loss_pos = jnp.sum(se_pos * agree) / (jnp.sum(agree) + _EPS)
     loss_neg = jnp.sum(se_neg * disagree) / (jnp.sum(disagree) + _EPS)
     return loss_pos + loss_neg
+
+
+def get_alpha(loader) -> "np.ndarray":
+    """Class-occurrence scan over a labeled loader (ref models/losses.py:38-59).
+
+    Accepts any iterable of batches with a 'label' (or 'L') entry; 255 is
+    folded into class 0 as the reference does.
+    """
+    import numpy as np
+
+    counts = None
+    for batch in loader:
+        lab = np.asarray(batch["label"] if "label" in batch else batch["L"])
+        lab = lab.astype(np.int64)
+        lab[lab == 255] = 0
+        c = np.bincount(lab.reshape(-1))
+        if counts is None:
+            counts = c.astype(np.float64)
+        else:
+            if len(c) > len(counts):
+                counts = np.pad(counts, (0, len(c) - len(counts)))
+            counts[: len(c)] += c
+    return counts
