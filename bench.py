@@ -27,7 +27,59 @@ from stcd_tpu.train.schedules import poly_schedule
 from stcd_tpu.train.steps import make_cd_steps
 
 
+def bench_changeformer():
+    """Secondary config (BASELINE.json): ChangeFormerV6 at 512x512, bf16
+    train step with the fused Pallas SRA attention path."""
+    import time as _t
+    from stcd_tpu.models.changeformer import ChangeFormerV6
+    from stcd_tpu.losses.functional import cross_entropy
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    size = int(os.environ.get("BENCH_SIZE", "512"))
+    model = ChangeFormerV6(embed_dim=256, dtype=jnp.bfloat16)
+    a = jax.random.normal(jax.random.PRNGKey(0), (batch, size, size, 3))
+    b = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3))
+    label = (jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size)) > 0.8
+             ).astype(jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), a[:1], b[:1])
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(variables["params"])
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, a, b, label, rng):
+        def loss_fn(p):
+            preds, mut = model.apply({"params": p, "batch_stats": batch_stats},
+                                     a, b, True, mutable=["batch_stats"],
+                                     rngs={"dropout": rng})
+            return sum(cross_entropy(pr, label) for pr in preds), mut
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), mut["batch_stats"], \
+            opt_state2, loss
+
+    params, bs = variables["params"], variables.get("batch_stats", {})
+    params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
+                                       jax.random.PRNGKey(3))
+    jax.block_until_ready(loss)
+    t0 = _t.perf_counter()
+    iters = 10
+    for i in range(iters):
+        params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
+                                           jax.random.PRNGKey(4 + i))
+    jax.block_until_ready(loss)
+    dt = _t.perf_counter() - t0
+    print(json.dumps({
+        "metric": "changeformerv6_512_train_pairs_per_sec_per_chip",
+        "value": round(batch * iters / dt, 3),
+        "unit": f"{size}x{size} bi-temporal pairs/sec/chip",
+        "vs_baseline": None,
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODEL") == "changeformer":
+        bench_changeformer()
+        return
     small = os.environ.get("BENCH_SMALL") == "1"
     platform = jax.devices()[0].platform
     if small or platform == "cpu":

@@ -47,7 +47,7 @@ def make_seg_steps(model, augment: bool = True):
     (ref train_sup.py:163: sigmoid > 0.5).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         aug_key, drop_key = jax.random.split(rng)
         (image,) = _augment_pair(aug_key, batch["image"], enabled=augment)
@@ -88,7 +88,7 @@ def make_cd_steps(model, augment: bool = True):
     train_step(state, batch{A,B,label}, rng); loss = BCE_DICE(sigmoid(diff)).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         aug_key, drop_key = jax.random.split(rng)
         a, b = _augment_pair(aug_key, batch["A"], batch["B"], enabled=augment)
@@ -132,7 +132,7 @@ def make_semi_cd_steps(model, augment: bool = True):
     loss = seg_loss_A + cd_loss + ct_loss (ref :445).
     """
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         aug_key, drop_key = jax.random.split(rng)
         a, b, ca, cb = _augment_pair(aug_key, batch["A"], batch["B"],

@@ -22,6 +22,7 @@ their semantics:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -177,7 +178,7 @@ class CDTrainer:
     def _build_steps(self):
         model = self.model
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, a, b, label, rng):
             def loss_fn(params):
                 preds, mutated = state.apply_fn(
