@@ -1,0 +1,46 @@
+"""Weight re-initialization (ref models/networks.py:85-116 init_weights,
+:119-135 init_net): normal | xavier | kaiming | orthogonal applied to all
+conv/dense kernels in a param tree, BN scales ~ N(1, gain), biases zeroed.
+
+The reference applies this to every define_G model after construction;
+here it is an optional functional pass over the initialized params.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+
+def init_weights(params: Any, rng: jax.Array, init_type: str = "normal",
+                 init_gain: float = 0.02) -> Any:
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    keys = jax.random.split(rng, len(flat))
+    for k_rng, (path, value) in zip(keys, sorted(flat.items())):
+        name = path[-1]
+        v = value
+        if name == "kernel" and hasattr(value, "ndim") and value.ndim >= 2:
+            if init_type == "normal":
+                v = init_gain * jax.random.normal(k_rng, value.shape, value.dtype)
+            elif init_type == "xavier":
+                v = jax.nn.initializers.xavier_normal()(k_rng, value.shape,
+                                                        value.dtype) * (init_gain / 0.02)
+            elif init_type == "kaiming":
+                v = jax.nn.initializers.kaiming_normal()(k_rng, value.shape,
+                                                         value.dtype)
+            elif init_type == "orthogonal":
+                v = jax.nn.initializers.orthogonal(scale=init_gain)(
+                    k_rng, value.shape, value.dtype)
+            else:
+                raise NotImplementedError(
+                    f"initialization method [{init_type}] is not implemented")
+        elif name == "scale":  # BatchNorm gamma ~ N(1, gain) (ref :106-108)
+            v = 1.0 + init_gain * jax.random.normal(k_rng, value.shape, value.dtype)
+        elif name == "bias":
+            v = jnp.zeros_like(value)
+        out[path] = v
+    return traverse_util.unflatten_dict(out)

@@ -163,3 +163,21 @@ def test_focal_loss_reference_runs(np_rng):
     target = np_rng.integers(0, 2, size=(2, 8, 8))
     val = float(L.focal_loss(jnp.asarray(logits), jnp.asarray(target), gamma=1.0))
     assert np.isfinite(val) and val > 0
+
+
+def test_init_weights_pass(np_rng):
+    import jax
+    import jax.numpy as jnp
+    from stcd_tpu.models.init import init_weights
+
+    params = {"conv": {"kernel": jnp.ones((3, 3, 4, 8)), "bias": jnp.ones((8,))},
+              "bn": {"scale": jnp.full((8,), 2.0), "bias": jnp.full((8,), 2.0)}}
+    out = init_weights(params, jax.random.PRNGKey(0), "normal", 0.02)
+    k = np.asarray(out["conv"]["kernel"])
+    assert abs(k.std() - 0.02) < 0.01 and abs(k.mean()) < 0.01
+    assert np.allclose(np.asarray(out["conv"]["bias"]), 0)
+    s = np.asarray(out["bn"]["scale"])
+    assert abs(s.mean() - 1.0) < 0.1
+    for kind in ("xavier", "kaiming", "orthogonal"):
+        out = init_weights(params, jax.random.PRNGKey(1), kind)
+        assert np.isfinite(np.asarray(out["conv"]["kernel"])).all()
