@@ -169,3 +169,20 @@ def test_changegnn_v1(ab):
     v = model.init(jax.random.PRNGKey(0), a, b)
     outs = model.apply(v, a, b)
     assert len(outs) == 5 and outs[-1].shape == (2, H, W, 2)
+
+
+def test_define_g_covers_all_reference_keys():
+    """Every net_G key in the reference factory (networks.py:138-215)
+    constructs a module."""
+    from stcd_tpu.models.factory import define_G
+    keys = ["Unet", "SiamUnet_sub", "SiamUnet_abs", "SiamUnet_conc",
+            "SiamUnet_cross_conc", "DTCDSCN", "IFNet", "SNUNet",
+            "base_resnet18", "base_transformer_pos_s4",
+            "base_transformer_pos_s4_dd8", "base_transformer_pos_s4_dd8_dedim8",
+            "ChangeFormerV1", "ChangeFormerV2", "ChangeFormerV3",
+            "ChangeFormerV4", "ChangeFormerV5", "ChangeFormerV6",
+            "ChangeGNNV1", "ChangeGNNV2", "ChangeGNNV2_sub", "ChangeGNNV2_abs",
+            "ChangeGNNV2_conc", "GNN"]
+    for k in keys:
+        m = define_G(k, n_class=2, embed_dim=64, img_size=64)
+        assert m is not None, k
