@@ -86,7 +86,7 @@ def main():
         batch, size, iters, warmup = 2, 64, 3, 1
         encoder, dec = "resnet18", (32, 24, 16, 12, 8)
     else:
-        batch = int(os.environ.get("BENCH_BATCH", "32"))
+        batch = int(os.environ.get("BENCH_BATCH", "64"))
         size, iters, warmup = 256, 20, 3
         encoder, dec = "resnet50", (256, 128, 64, 32, 16)
 
