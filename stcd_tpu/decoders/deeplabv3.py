@@ -13,7 +13,7 @@ from stcd_tpu.layers.modules import resize_bilinear, upsample_bilinear
 
 def _bn(train, dtype, name):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        dtype=dtype, name=name)
+                        dtype=jnp.float32, name=name)
 
 
 class SeparableConvBNReLU(nn.Module):

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Any, Optional
 
+import jax.numpy as jnp
 from flax import linen as nn
 
 from stcd_tpu.layers.modules import ConvBNReLU
@@ -25,7 +26,7 @@ class LinknetDecoderBlock(nn.Module):
                              name="transpose")(x)
         if self.use_batchnorm:
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, name="transpose_bn")(x)
+                             epsilon=1e-5, dtype=jnp.float32, name="transpose_bn")(x)
         x = nn.relu(x)
         x = ConvBNReLU(self.out_channels, 1, use_batchnorm=self.use_batchnorm,
                        dtype=self.dtype, name="conv2")(x, train)

@@ -24,7 +24,7 @@ class ConvBnRelu(nn.Module):
         x = nn.Conv(self.features, (self.kernel_size,) * 2, padding=[(p, p)] * 2,
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn")(x)
+                         dtype=jnp.float32, name="bn")(x)
         return nn.relu(x) if self.add_relu else x
 
 

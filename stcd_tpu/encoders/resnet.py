@@ -27,7 +27,7 @@ Dtype = Any
 
 def _bn(train: bool, dtype, name: str):
     return nn.BatchNorm(
-        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name
+        use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name
     )
 
 

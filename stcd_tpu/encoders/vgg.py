@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 from flax import linen as nn
 
 from stcd_tpu.layers.modules import max_pool
@@ -76,7 +77,7 @@ class VGGEncoder(nn.Module):
                             name=f"conv{conv_idx}")(h)
                 if self.batch_norm:
                     h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                     epsilon=1e-5, dtype=self.dtype,
+                                     epsilon=1e-5, dtype=jnp.float32,
                                      name=f"bn{conv_idx}")(h)
                 h = nn.relu(h)
                 conv_idx += 1

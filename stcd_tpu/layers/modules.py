@@ -175,7 +175,7 @@ class ConvBNReLU(nn.Module):
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=self.dtype,
+                dtype=jnp.float32,
                 name="bn",
             )(x)
         return nn.relu(x)

@@ -33,9 +33,18 @@ def bce_loss(probs: jax.Array, target: jax.Array) -> jax.Array:
     """
     p = probs.astype(jnp.float32)
     t = target.astype(jnp.float32)
-    logp = jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
-    log1mp = jnp.maximum(jnp.log(jnp.maximum(1.0 - p, 0.0)), -100.0)
-    return -jnp.mean(t * logp + (1.0 - t) * log1mp)
+
+    # Saturated sigmoids (exactly 0/1 — bf16 logits reach them easily) must
+    # give the torch-clamped value (-100) with a FINITE gradient. The guard
+    # epsilon must be a normal fp32 (subnormals are flushed to 0 on TPU/XLA
+    # backends, which would resurrect log(0) and nan gradients).
+    eps = 1.2e-38
+
+    def safe_log(x):
+        return jnp.where(x < eps, -100.0,
+                         jnp.maximum(jnp.log(jnp.maximum(x, eps)), -100.0))
+
+    return -jnp.mean(t * safe_log(p) + (1.0 - t) * safe_log(1.0 - p))
 
 
 def dice_loss(probs: jax.Array, target: jax.Array, smooth: float = 1.0) -> jax.Array:

@@ -45,7 +45,7 @@ class TwoLayerConv2d(nn.Module):
         x = nn.Conv(c, (self.kernel_size,) * 2, padding=[(p, p)] * 2,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="bn")(x)
+                         epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x)
         return nn.Conv(self.out_channels, (self.kernel_size,) * 2,
                        padding=[(p, p)] * 2, dtype=self.dtype, name="conv2")(x)

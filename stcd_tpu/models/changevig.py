@@ -45,7 +45,7 @@ Dtype = Any
 
 def _bn(train, dtype, name):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        dtype=dtype, name=name)
+                        dtype=jnp.float32, name=name)
 
 
 def _conv_bn(x, feats, k, name, train, dtype, stride=1, groups=1, use_bias=True):

@@ -28,7 +28,7 @@ from stcd_tpu.encoders.vgg import VGG16Features
 
 def _bn(train, dtype, name):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        dtype=dtype, name=name)
+                        dtype=jnp.float32, name=name)
 
 
 class ChannelAttention(nn.Module):

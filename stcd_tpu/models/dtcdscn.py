@@ -29,7 +29,7 @@ Dtype = Any
 
 def _bn(train, dtype, name):
     return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                        dtype=dtype, name=name)
+                        dtype=jnp.float32, name=name)
 
 
 class SELayer(nn.Module):

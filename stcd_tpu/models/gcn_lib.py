@@ -99,7 +99,7 @@ class BasicConv(nn.Module):
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn")(x)
+                         dtype=jnp.float32, name="bn")(x)
         return act_layer(self.act)(x)
 
 
@@ -164,7 +164,7 @@ class Grapher(nn.Module):
         shortcut = x
         hfeat = nn.Dense(c, dtype=self.dtype, name="fc1_conv")(x)
         hfeat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype, name="fc1_bn")(hfeat)
+                             epsilon=1e-5, dtype=jnp.float32, name="fc1_bn")(hfeat)
         nodes = hfeat.reshape(b, h * w, c)
         if self.r > 1:
             pooled = nn.avg_pool(hfeat, (self.r, self.r), strides=(self.r, self.r))
@@ -181,7 +181,7 @@ class Grapher(nn.Module):
         out = out.reshape(b, h, w, 2 * c)
         out = nn.Dense(c, dtype=self.dtype, name="fc2_conv")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-5, dtype=self.dtype, name="fc2_bn")(out)
+                           epsilon=1e-5, dtype=jnp.float32, name="fc2_bn")(out)
         if train and self.drop_path > 0:
             keep = 1.0 - self.drop_path
             mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b, 1, 1, 1))

@@ -35,6 +35,8 @@ from stcd_tpu.layers.modules import (
     SegmentationHead,
     resize_bilinear,
 )
+
+
 from stcd_tpu.layers.se import ChannelSpatialSELayer
 
 
@@ -48,6 +50,7 @@ class _EncDecHead(nn.Module):
     decoder_attention_type: Optional[str] = None
     classes: int = 1
     activation: Union[str, None] = None
+    aux_params: Optional[dict] = None
     dtype: Optional[Any] = None
 
     def setup(self):
@@ -66,6 +69,11 @@ class _EncDecHead(nn.Module):
         self.segmentation_head = SegmentationHead(
             self.classes, kernel_size=3, activation=self.activation, dtype=self.dtype
         )
+        if self.aux_params is not None:
+            self.classification_head = ClassificationHead(
+                dtype=self.dtype, **self.aux_params)
+        else:
+            self.classification_head = None
 
     def encode(self, x, train=False):
         return self.encoder(x, train)
@@ -78,10 +86,15 @@ class _EncDecHead(nn.Module):
 
 
 class Unet(_EncDecHead):
-    """smp Unet (ref unet/model.py:18-106). ``__call__(x) -> mask``."""
+    """smp Unet (ref unet/model.py:18-106). ``__call__(x) -> mask`` or
+    ``(mask, labels)`` with aux_params (ref base/model.py:24-56)."""
 
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        return self.head(self.decode(self.encode(x, train), train))
+    def __call__(self, x: jax.Array, train: bool = False):
+        feats = self.encode(x, train)
+        mask = self.head(self.decode(feats, train))
+        if self.classification_head is not None:
+            return mask, self.classification_head(feats[-1], train)
+        return mask
 
 
 class UnetSeg(_EncDecHead):

@@ -58,7 +58,7 @@ class _CBDR(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn")(x)
+                         dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x)
         return Dropout2d(0.2, name="do")(x, train)
 
@@ -96,12 +96,12 @@ class CrossConcFuse(nn.Module):
         x = nn.Conv(c, (3, 3), padding=[(1, 1)] * 2, feature_group_count=c,
                     dtype=self.dtype, name="diff_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="diff_bn")(x)
+                         dtype=jnp.float32, name="diff_bn")(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="res_conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="res_bn")(x)
+                         dtype=jnp.float32, name="res_bn")(x)
         return nn.relu(x)
 
 

@@ -34,12 +34,12 @@ class ConvBlockNested(nn.Module):
                     name="conv1")(x)
         identity = x
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn1")(x)
+                         dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="conv2")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                         dtype=self.dtype, name="bn2")(x)
+                         dtype=jnp.float32, name="bn2")(x)
         return nn.relu(x + identity)
 
 

@@ -58,7 +58,7 @@ def make_seg_steps(model, augment: bool = True):
                 {"params": params, "batch_stats": state.batch_stats},
                 image, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
-            probs = jax.nn.sigmoid(pred)
+            probs = jax.nn.sigmoid(pred.astype(jnp.float32))
             return bce_dice(probs, label), (mutated, probs)
 
         (loss, (mutated, probs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -74,7 +74,7 @@ def make_seg_steps(model, augment: bool = True):
         image = eval_preprocess(batch["image"])
         pred = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats}, image)
-        probs = jax.nn.sigmoid(pred)
+        probs = jax.nn.sigmoid(pred.astype(jnp.float32))
         cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
                               batch["label"].astype(jnp.int32), 2)
         return {"cm": cm, "probs": probs}
@@ -99,7 +99,7 @@ def make_cd_steps(model, augment: bool = True):
                 {"params": params, "batch_stats": state.batch_stats},
                 a, b, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
-            probs = jax.nn.sigmoid(diff)
+            probs = jax.nn.sigmoid(diff.astype(jnp.float32))
             return bce_dice(probs, label), (mutated, probs)
 
         (loss, (mutated, probs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -115,7 +115,7 @@ def make_cd_steps(model, augment: bool = True):
         b = eval_preprocess(batch["B"])
         seg_a, seg_b, diff = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats}, a, b)
-        probs = jax.nn.sigmoid(diff)
+        probs = jax.nn.sigmoid(diff.astype(jnp.float32))
         cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
                               batch["label"].astype(jnp.int32), 2)
         return {"cm": cm, "probs": probs}
@@ -150,8 +150,8 @@ def make_semi_cd_steps(model, augment: bool = True):
                 {"params": params, "batch_stats": state.batch_stats},
                 data_a, data_b, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
-            seg_probs = jax.nn.sigmoid(seg_a)
-            cd_probs = jax.nn.sigmoid(diff)
+            seg_probs = jax.nn.sigmoid(seg_a.astype(jnp.float32))
+            cd_probs = jax.nn.sigmoid(diff.astype(jnp.float32))
             seg_loss_a = bce_dice(seg_probs[:n], s_label_a)
             cd_loss_v = bce_dice(cd_probs, labels)
             ct_loss = contrastive_loss(cd_probs, cd_l, cl)

@@ -181,3 +181,18 @@ def test_init_weights_pass(np_rng):
     for kind in ("xavier", "kaiming", "orthogonal"):
         out = init_weights(params, jax.random.PRNGKey(1), kind)
         assert np.isfinite(np.asarray(out["conv"]["kernel"])).all()
+
+
+def test_bce_grad_finite_at_saturation():
+    """bf16 sigmoids reach exactly 0/1; BCE value AND grad must stay finite
+    (regression: log(0) grad poisoned bf16 training with NaN)."""
+    import jax
+
+    probs = jnp.array([0.0, 1.0, 0.5, 1e-20], jnp.float32)
+    target = jnp.array([1.0, 0.0, 1.0, 0.0], jnp.float32)
+    val, grad = jax.value_and_grad(lambda p: L.bce_loss(p, target))(probs)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    # torch-parity: the value clamp is -100 per element
+    np.testing.assert_allclose(float(L.bce_loss(jnp.array([0.0]), jnp.array([1.0]))),
+                               100.0, atol=1e-4)
