@@ -141,9 +141,9 @@ class CDTrainer:
             if cfg.loss == "ce":
                 losses.append(w * L.cross_entropy(pred, g[..., 0].astype(jnp.int32)))
             elif cfg.loss == "bce":
-                losses.append(w * L.bce_loss(jax.nn.sigmoid(pred), g))
+                losses.append(w * L.bce_loss(jax.nn.sigmoid(pred.astype(jnp.float32)), g))
             elif cfg.loss == "cd_loss":
-                losses.append(w * L.cd_loss(jax.nn.sigmoid(pred), g))
+                losses.append(w * L.cd_loss(jax.nn.sigmoid(pred.astype(jnp.float32)), g))
             elif cfg.loss == "fl":
                 losses.append(w * L.focal_loss(pred, g[..., 0], alpha=self.alpha,
                                                gamma=2.0, smooth=1e-5))
