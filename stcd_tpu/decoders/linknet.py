@@ -7,6 +7,8 @@ from typing import Any, Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import ConvBNReLU
 
 
@@ -25,7 +27,7 @@ class LinknetDecoderBlock(nn.Module):
                              transpose_kernel=True, dtype=self.dtype,
                              name="transpose")(x)
         if self.use_batchnorm:
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = MPBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name="transpose_bn")(x)
         x = nn.relu(x)
         x = ConvBNReLU(self.out_channels, 1, use_batchnorm=self.use_batchnorm,

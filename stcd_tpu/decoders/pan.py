@@ -8,6 +8,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import max_pool, resize_bilinear
 
 
@@ -23,7 +25,7 @@ class ConvBnRelu(nn.Module):
         p = self.padding
         x = nn.Conv(self.features, (self.kernel_size,) * 2, padding=[(p, p)] * 2,
                     dtype=self.dtype, name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         return nn.relu(x) if self.add_relu else x
 

@@ -20,13 +20,15 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import max_pool
 
 Dtype = Any
 
 
 def _bn(train: bool, dtype, name: str):
-    return nn.BatchNorm(
+    return MPBatchNorm(
         use_running_average=not train, momentum=0.9, epsilon=1e-5, dtype=jnp.float32, name=name
     )
 

@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import max_pool
 
 # torchvision vgg16 cfg "D"
@@ -76,7 +78,7 @@ class VGGEncoder(nn.Module):
                             use_bias=not self.batch_norm, dtype=self.dtype,
                             name=f"conv{conv_idx}")(h)
                 if self.batch_norm:
-                    h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                    h = MPBatchNorm(use_running_average=not train, momentum=0.9,
                                      epsilon=1e-5, dtype=jnp.float32,
                                      name=f"bn{conv_idx}")(h)
                 h = nn.relu(h)

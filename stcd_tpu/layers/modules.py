@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 Dtype = Any
 
 
@@ -171,7 +173,7 @@ class ConvBNReLU(nn.Module):
             name="conv",
         )(x)
         if self.use_batchnorm:
-            x = nn.BatchNorm(
+            x = MPBatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.encoders.resnet import ResNetEncoder
 from stcd_tpu.layers.modules import resize_bilinear, upsample_nearest
 
@@ -44,7 +46,7 @@ class TwoLayerConv2d(nn.Module):
         p = self.kernel_size // 2
         x = nn.Conv(c, (self.kernel_size,) * 2, padding=[(p, p)] * 2,
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x)
         return nn.Conv(self.out_channels, (self.kernel_size,) * 2,

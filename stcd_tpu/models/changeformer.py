@@ -29,6 +29,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import resize_bilinear
 
 Dtype = Any
@@ -212,7 +214,7 @@ class ConvDiff(nn.Module):
                         dtype=self.dtype, name=f"conv{i}")(x)
             alpha = self.param(f"prelu{i}", nn.initializers.constant(0.25), (1,))
             x = jnp.where(x >= 0, x, alpha * x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            x = MPBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
             x = nn.Dropout(0.6, deterministic=not train, name=f"do{i}")(x)
         return x
@@ -229,7 +231,7 @@ class MakePrediction(nn.Module):
         c = x.shape[-1]
         x = nn.Conv(c, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         return nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
                        dtype=self.dtype, name="conv2")(x)
@@ -298,7 +300,7 @@ class DecoderTransformerV3(nn.Module):
             prev = d
         _c = nn.Conv(e, (1, 1), dtype=dt, name="linear_fuse_conv")(
             jnp.concatenate(ups, axis=-1))
-        _c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        _c = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                           dtype=jnp.float32, name="linear_fuse_bn")(_c)
         x = UpsampleConvLayer(e, dtype=dt, name="convd2x")(_c)
         x = ResidualBlock(dtype=dt, name="dense_2x")(x)

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import resize_bilinear
 from stcd_tpu.models.changeformer import (
     ConvDiff,
@@ -44,7 +46,7 @@ Dtype = Any
 
 
 def _bn(train, dtype, name):
-    return nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+    return MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                         dtype=jnp.float32, name=name)
 
 

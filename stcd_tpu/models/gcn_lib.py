@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 
 def act_layer(name: str):
     """gcn_lib.act_layer parity: {relu, prelu->relu, leakyrelu, gelu, hswish}."""
@@ -98,7 +100,7 @@ class BasicConv(nn.Module):
     def __call__(self, x, train=False):
         x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
                      name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         return act_layer(self.act)(x)
 
@@ -163,7 +165,7 @@ class Grapher(nn.Module):
         b, h, w, c = x.shape
         shortcut = x
         hfeat = nn.Dense(c, dtype=self.dtype, name="fc1_conv")(x)
-        hfeat = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        hfeat = MPBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name="fc1_bn")(hfeat)
         nodes = hfeat.reshape(b, h * w, c)
         if self.r > 1:
@@ -180,7 +182,7 @@ class Grapher(nn.Module):
                        name="graph_conv")(nodes, nbrs, idx, train)
         out = out.reshape(b, h, w, 2 * c)
         out = nn.Dense(c, dtype=self.dtype, name="fc2_conv")(out)
-        out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        out = MPBatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=jnp.float32, name="fc2_bn")(out)
         if train and self.drop_path > 0:
             keep = 1.0 - self.drop_path

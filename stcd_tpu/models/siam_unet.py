@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import (
     ConvTranspose2x,
     Dropout2d,
@@ -57,7 +59,7 @@ class _CBDR(nn.Module):
     def __call__(self, x, train=False):
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
         x = nn.relu(x)
         return Dropout2d(0.2, name="do")(x, train)
@@ -95,12 +97,12 @@ class CrossConcFuse(nn.Module):
         x = jnp.stack([a, b], axis=-1).reshape(n, h, w, 2 * c)  # [a0,b0,a1,b1,...]
         x = nn.Conv(c, (3, 3), padding=[(1, 1)] * 2, feature_group_count=c,
                     dtype=self.dtype, name="diff_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="diff_bn")(x)
         x = nn.relu(x)
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="res_conv")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="res_bn")(x)
         return nn.relu(x)
 

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+
 from stcd_tpu.layers.modules import max_pool
 
 
@@ -33,12 +35,12 @@ class ConvBlockNested(nn.Module):
         x = nn.Conv(self.mid_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="conv1")(x)
         identity = x
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="conv2")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn2")(x)
         return nn.relu(x + identity)
 
