@@ -15,9 +15,7 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import itertools
-import threading
-from typing import Any, Callable, Dict, Iterator, Optional, Sequence
+from typing import Any, Dict, Iterator, Sequence
 
 import jax
 import numpy as np

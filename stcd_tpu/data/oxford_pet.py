@@ -9,8 +9,6 @@ resizes to 256x256 as the reference does.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 from PIL import Image
 

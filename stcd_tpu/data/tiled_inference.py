@@ -9,7 +9,6 @@ and stitch predictions back, averaging overlaps.
 
 from __future__ import annotations
 
-import math
 from typing import Callable, Optional, Tuple
 
 import numpy as np

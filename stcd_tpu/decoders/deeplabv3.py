@@ -10,7 +10,7 @@ from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 
-from stcd_tpu.layers.modules import resize_bilinear, upsample_bilinear
+from stcd_tpu.layers.modules import upsample_bilinear
 
 
 def _bn(train, dtype, name):

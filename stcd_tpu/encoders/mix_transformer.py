@@ -8,7 +8,7 @@ MixVisionTransformerEncoder does the same — its out_channels[1] == 0).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence
+from typing import Any, List, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn

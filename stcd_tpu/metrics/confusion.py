@@ -14,8 +14,6 @@ while callers pass 'cuda:0' — so it always stays on CPU; see SURVEY §5).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

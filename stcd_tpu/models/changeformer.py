@@ -23,7 +23,7 @@ strided conv XLA maps to the MXU. The Siamese encoder runs 2N-batched.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

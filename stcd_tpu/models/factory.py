@@ -4,8 +4,6 @@ ref models/networks.py:138-215)."""
 
 from __future__ import annotations
 
-from typing import Any, Optional
-
 from stcd_tpu.models import segcd as _segcd
 from stcd_tpu.models import siam_unet as _siam
 from stcd_tpu.models import smp_models as _smp

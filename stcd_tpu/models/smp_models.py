@@ -12,7 +12,6 @@ from __future__ import annotations
 
 from typing import Any, Optional, Sequence, Union
 
-import jax
 from flax import linen as nn
 
 from stcd_tpu.decoders.deeplabv3 import DeepLabV3Decoder, DeepLabV3PlusDecoder

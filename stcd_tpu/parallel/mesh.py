@@ -10,7 +10,7 @@ provisioned for tensor-parallel sharding of the widest conv kernels
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

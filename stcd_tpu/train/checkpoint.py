@@ -12,7 +12,7 @@ from __future__ import annotations
 import glob
 import os
 import shutil
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import numpy as np

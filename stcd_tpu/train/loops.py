@@ -16,9 +16,8 @@ n/3, 2n/3, n (ref train_sup.py:175-183).
 
 from __future__ import annotations
 
-import itertools
 import os
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import numpy as np

@@ -7,11 +7,9 @@ best metric), which SURVEY.md §5 designates as the scheme to implement.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
-import jax
 import optax
-from flax import struct
 from flax.training import train_state
 
 

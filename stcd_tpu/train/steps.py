@@ -21,8 +21,6 @@ TPU-native details:
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

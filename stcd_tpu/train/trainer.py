@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import numpy as np
 
@@ -40,7 +40,7 @@ from stcd_tpu.models.factory import define_G
 from stcd_tpu.train.checkpoint import CheckpointManager
 from stcd_tpu.train.schedules import get_scheduler
 from stcd_tpu.train.state import TrainState
-from stcd_tpu.utils.logging import ScalarLogger, Throughput
+from stcd_tpu.utils.logging import ScalarLogger
 
 
 @dataclasses.dataclass
