@@ -20,6 +20,7 @@ from flax import serialization
 
 from stcd_tpu.convert.torch_to_flax import (
     convert_resnet,
+    convert_unetseg,
     convert_vgg16_features,
     load_torch_state_dict,
 )
@@ -31,13 +32,18 @@ _LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("arch", choices=list(_LAYERS) + ["vgg16"])
+    p.add_argument("arch", choices=list(_LAYERS) + ["vgg16"]
+                   + [f"segcd_{n}" for n in _LAYERS])
     p.add_argument("torch_path")
     p.add_argument("out_path")
     args = p.parse_args()
     sd = load_torch_state_dict(args.torch_path)
     if args.arch == "vgg16":
         payload = {"params": convert_vgg16_features(sd)}
+    elif args.arch.startswith("segcd_"):
+        # full reference-trained SegCD/UnetSeg checkpoint
+        params, stats = convert_unetseg(sd, _LAYERS[args.arch[len("segcd_"):]])
+        payload = {"params": params, "batch_stats": stats}
     else:
         params, stats = convert_resnet(sd, _LAYERS[args.arch])
         payload = {"params": params, "batch_stats": stats}

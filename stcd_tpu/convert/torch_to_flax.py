@@ -145,3 +145,52 @@ def _merge(template, new):
                                  f"{np.shape(t)} vs {np.shape(v)}")
             out[k] = np.asarray(v)
     return out
+
+
+def _conv_block(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """smp Conv2dReLU Sequential: {prefix}.0 = conv, {prefix}.1 = bn."""
+    params = {"conv": {"kernel": _conv(sd[prefix + ".0.weight"])}}
+    if prefix + ".0.bias" in sd:
+        params["conv"]["bias"] = np.asarray(sd[prefix + ".0.bias"])
+    stats = {}
+    if prefix + ".1.weight" in sd and prefix + ".1.running_mean" in sd:
+        params["bn"], stats["bn"] = _bn(sd, prefix + ".1")
+    return params, stats
+
+
+def convert_unet_decoder(sd: Dict[str, Any], n_blocks: int = 5,
+                         prefix: str = "decoder") -> Tuple[dict, dict]:
+    """smp UnetDecoder state_dict -> our UnetDecoder params/batch_stats.
+
+    smp names: decoder.blocks.{i}.conv{1,2}.{0=conv,1=bn}.*
+    (ref decoders/unet/decoder.py:8-43); ours: block{i}/conv{1,2}/{conv,bn}.
+    """
+    params, stats = {}, {}
+    for i in range(n_blocks):
+        bp, bs = {}, {}
+        for cname in ("conv1", "conv2"):
+            p, s = _conv_block(sd, f"{prefix}.blocks.{i}.{cname}")
+            bp[cname] = p
+            bs[cname] = s
+        params[f"block{i}"] = {c: bp[c] for c in ("conv1", "conv2")}
+        stats[f"block{i}"] = {c: bs[c] for c in ("conv1", "conv2") if bs[c]}
+    return params, stats
+
+
+def convert_unetseg(sd: Dict[str, Any], layers_per_stage,
+                    n_blocks: int = 5) -> Tuple[dict, dict]:
+    """Full smp UnetSeg/SegCD/FFCTLCD state_dict -> (params, batch_stats)
+    for stcd_tpu.models.segcd models (encoder. + decoder. + segmentation_head.).
+
+    Enables loading reference-trained checkpoints
+    (torch.save(model.module.state_dict()), ref train_sup.py:175-183).
+    """
+    enc_sd = {k[len("encoder."):]: v for k, v in sd.items()
+              if k.startswith("encoder.")}
+    enc_p, enc_s = convert_resnet(enc_sd, layers_per_stage)
+    dec_p, dec_s = convert_unet_decoder(sd, n_blocks)
+    head = {"conv": {"kernel": _conv(sd["segmentation_head.0.weight"]),
+                     "bias": np.asarray(sd["segmentation_head.0.bias"])}}
+    params = {"encoder": enc_p, "decoder": dec_p, "segmentation_head": head}
+    stats = {"encoder": enc_s, "decoder": dec_s}
+    return params, stats

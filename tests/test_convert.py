@@ -118,3 +118,83 @@ def test_vgg16_features_parity(np_rng):
         np.testing.assert_allclose(np.asarray(o),
                                    t.numpy().transpose(0, 2, 3, 1),
                                    atol=2e-4, err_msg=f"tap {i}")
+
+
+class TVConv2dReLU(nn.Sequential):
+    def __init__(self, cin, cout):
+        super().__init__(nn.Conv2d(cin, cout, 3, 1, 1, bias=False),
+                         nn.BatchNorm2d(cout), nn.ReLU())
+
+
+class TVDecoderBlock(nn.Module):
+    def __init__(self, cin, cskip, cout):
+        super().__init__()
+        self.conv1 = TVConv2dReLU(cin + cskip, cout)
+        self.conv2 = TVConv2dReLU(cout, cout)
+
+    def forward(self, x, skip=None):
+        x = F.interpolate(x, scale_factor=2, mode="nearest")
+        if skip is not None:
+            x = torch.cat([x, skip], 1)
+        return self.conv2(self.conv1(x))
+
+
+class TVSegCD(nn.Module):
+    """smp-named SegCD (encoder./decoder.blocks./segmentation_head.0)."""
+
+    def __init__(self):
+        super().__init__()
+        self.encoder = TVResNet18()
+        enc = (3, 64, 64, 128, 256, 512)[1:][::-1]
+        dec = (64, 32, 24, 16, 8)
+        cins = [enc[0]] + list(dec[:-1])
+        cskips = list(enc[1:]) + [0]
+        class D(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.blocks = nn.ModuleList(
+                    [TVDecoderBlock(i, s, o) for i, s, o in zip(cins, cskips, dec)])
+            def forward(self, feats):
+                feats = feats[1:][::-1]
+                x, skips = feats[0], feats[1:]
+                for i, b in enumerate(self.blocks):
+                    x = b(x, skips[i] if i < len(skips) else None)
+                return x
+        self.decoder = D()
+        self.segmentation_head = nn.Sequential(nn.Conv2d(dec[-1], 1, 3, 1, 1))
+
+    def forward(self, a, b):
+        d1 = self.decoder(self.encoder(a))
+        d2 = self.decoder(self.encoder(b))
+        m1 = self.segmentation_head(d1)
+        m2 = self.segmentation_head(d2)
+        diffea = self.segmentation_head(torch.abs(d1 - d2))
+        return m1, m2, torch.min(diffea, torch.abs(m1 - m2))
+
+
+def test_full_segcd_checkpoint_parity(np_rng):
+    """Load a reference-style SegCD state_dict into our SegCD and match the
+    full forward (the 'switch from the reference' path: reference-trained
+    checkpoints are directly loadable)."""
+    from stcd_tpu.convert.torch_to_flax import convert_unetseg
+    from stcd_tpu.models import SegCD
+
+    tv = TVSegCD().eval()
+    _randomize_bn_stats(tv)
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_unetseg(sd, (2, 2, 2, 2))
+
+    a = np_rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    b = np_rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        torch_out = tv(torch.tensor(a), torch.tensor(b))
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(64, 32, 24, 16, 8))
+    ours = model.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(a.transpose(0, 2, 3, 1)),
+                       jnp.asarray(b.transpose(0, 2, 3, 1)))
+    for i, (o, t) in enumerate(zip(ours, torch_out)):
+        np.testing.assert_allclose(np.asarray(o),
+                                   t.numpy().transpose(0, 2, 3, 1),
+                                   atol=5e-4, err_msg=f"output {i}")
