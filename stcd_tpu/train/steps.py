@@ -37,7 +37,16 @@ def _augment_pair(key, *imgs, enabled: bool):
     return tuple(train_augment(k, x) for k, x in zip(keys, imgs))
 
 
-def make_seg_steps(model, augment: bool = True):
+def _maybe_remat(apply_fn, remat: bool):
+    """Optional coarse rematerialization: with remat=True the forward's
+    activations are not saved; the backward recomputes them (trades ~33%
+    FLOPs for activation memory — lets batch sizes grow past HBM)."""
+    if not remat:
+        return apply_fn
+    return jax.checkpoint(apply_fn)
+
+
+def make_seg_steps(model, augment: bool = True, remat: bool = False):
     """Supervised segmentation (stage 1). Returns (train_step, eval_step).
 
     train_step(state, batch{image,label}, rng) -> (state, metrics)
@@ -51,11 +60,16 @@ def make_seg_steps(model, augment: bool = True):
         (image,) = _augment_pair(aug_key, batch["image"], enabled=augment)
         label = batch["label"].astype(jnp.float32)
 
-        def loss_fn(params):
-            pred, mutated = state.apply_fn(
+        def fwd(params, image, drop_key):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 image, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
+
+        fwd = _maybe_remat(fwd, remat)
+
+        def loss_fn(params):
+            pred, mutated = fwd(params, image, drop_key)
             probs = jax.nn.sigmoid(pred.astype(jnp.float32))
             return bce_dice(probs, label), (mutated, probs)
 
@@ -80,7 +94,7 @@ def make_seg_steps(model, augment: bool = True):
     return train_step, eval_step
 
 
-def make_cd_steps(model, augment: bool = True):
+def make_cd_steps(model, augment: bool = True, remat: bool = False):
     """Pseudo-change CD pretrain (stage 2; ref train_pse_cd.py:199-301).
 
     train_step(state, batch{A,B,label}, rng); loss = BCE_DICE(sigmoid(diff)).
@@ -92,11 +106,16 @@ def make_cd_steps(model, augment: bool = True):
         a, b = _augment_pair(aug_key, batch["A"], batch["B"], enabled=augment)
         label = batch["label"].astype(jnp.float32)
 
-        def loss_fn(params):
-            (seg_a, seg_b, diff), mutated = state.apply_fn(
+        def fwd(params, a, b, drop_key):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
                 a, b, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
+
+        fwd = _maybe_remat(fwd, remat)
+
+        def loss_fn(params):
+            (seg_a, seg_b, diff), mutated = fwd(params, a, b, drop_key)
             probs = jax.nn.sigmoid(diff.astype(jnp.float32))
             return bce_dice(probs, label), (mutated, probs)
 
@@ -121,7 +140,7 @@ def make_cd_steps(model, augment: bool = True):
     return train_step, eval_step
 
 
-def make_semi_cd_steps(model, augment: bool = True):
+def make_semi_cd_steps(model, augment: bool = True, remat: bool = False):
     """STCD fine-tune (stage 3; ref train_stcd.py:388-512).
 
     Batch carries both a synthesized pseudo-change pair (A, B with labels
@@ -143,11 +162,17 @@ def make_semi_cd_steps(model, augment: bool = True):
         cl = batch["CL"].astype(jnp.float32)
         labels = jnp.concatenate([cd_l, cl], axis=0)
 
-        def loss_fn(params):
-            (seg_a, seg_b, diff), mutated = state.apply_fn(
+        def fwd(params, a_, b_, drop_key):
+            return state.apply_fn(
                 {"params": params, "batch_stats": state.batch_stats},
-                data_a, data_b, True, mutable=["batch_stats"],
+                a_, b_, True, mutable=["batch_stats"],
                 rngs={"dropout": drop_key})
+
+        fwd = _maybe_remat(fwd, remat)
+
+        def loss_fn(params):
+            (seg_a, seg_b, diff), mutated = fwd(params, data_a, data_b,
+                                                drop_key)
             seg_probs = jax.nn.sigmoid(seg_a.astype(jnp.float32))
             cd_probs = jax.nn.sigmoid(diff.astype(jnp.float32))
             seg_loss_a = bce_dice(seg_probs[:n], s_label_a)
