@@ -47,6 +47,8 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
                    help="comma-separated unet decoder widths")
     # TPU knobs
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize activations (bigger batches per HBM)")
     p.add_argument("--data_axis", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     return p

@@ -61,7 +61,7 @@ def main():
         else:
             print("Will start from scratch")
 
-    train_step, eval_step = make_seg_steps(model, augment=True)
+    train_step, eval_step = make_seg_steps(model, augment=True, remat=args.remat)
     state, best, history = run_training(
         train_step, eval_step, state, train_loader, val_loader,
         n_epochs=args.n_epochs, save_dir=args.save_name, rng=rng)
