@@ -37,3 +37,13 @@ from stcd_tpu.models.segcd import (  # noqa: F401
     FFCTLCD,
     CDNet,
 )
+from stcd_tpu.models.smp_models import (  # noqa: F401  (smp top-level exports)
+    UnetPlusPlus,
+    MAnet,
+    Linknet,
+    FPN,
+    PSPNet,
+    DeepLabV3,
+    DeepLabV3Plus,
+    PAN,
+)
