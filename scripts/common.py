@@ -19,6 +19,12 @@ import jax
 if os.environ.get("STCD_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
 
+# persistent compile cache (first compile of a config is slow; reuse it)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/root/.cache/stcd_jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()

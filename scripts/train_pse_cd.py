@@ -51,7 +51,7 @@ def main():
     val_ds = CDDataset(args.root_path, args.CDdataset_name, "val")
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.n_cpu, seed=args.seed,
-                              sharding=sharding)
+                              sharding=sharding, drop_last=True)
     val_loader = DataLoader(val_ds, args.batch_size * 2, num_workers=args.n_cpu,
                             sharding=sharding)
 

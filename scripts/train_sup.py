@@ -38,7 +38,7 @@ def main():
     val_ds = WHUDataset(args.root_path, args.dataset_name, "val")
     train_loader = DataLoader(train_ds, args.batch_size, shuffle=True,
                               num_workers=args.n_cpu, seed=args.seed,
-                              sharding=sharding)
+                              sharding=sharding, drop_last=True)
     val_loader = DataLoader(val_ds, args.batch_size * 2, num_workers=args.n_cpu,
                             sharding=sharding)
 

@@ -36,7 +36,7 @@ class DataLoader:
     """Minimal epoch-based loader: shuffle, batch, threaded decode, prefetch."""
 
     def __init__(self, dataset, batch_size: int = 4, shuffle: bool = False,
-                 num_workers: int = 4, drop_last: bool = True,
+                 num_workers: int = 4, drop_last: bool = False,
                  seed: int = 1337, sharding=None, prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +53,13 @@ class DataLoader:
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _shardable(self, shape) -> bool:
+        try:
+            self.sharding.shard_shape(shape)
+            return True
+        except (ValueError, TypeError):
+            return False
 
     def _indices(self):
         n = len(self.dataset)
@@ -82,9 +89,12 @@ class DataLoader:
         def place(batch):
             names = batch.pop("name", None)
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-            if self.sharding is not None:
+            if self.sharding is not None and all(
+                    self._shardable(v.shape) for v in arrays.values()):
                 arrays = jax.device_put(arrays, self.sharding)
             else:
+                # partial final batch that doesn't divide the data axis:
+                # replicate it and let pjit reshard
                 arrays = jax.device_put(arrays)
             if names is not None:
                 arrays["name"] = names

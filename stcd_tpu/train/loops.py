@@ -52,7 +52,10 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
     logger = logger or ScalarLogger(os.path.join(save_dir, "logs"))
     if snapshot_epochs is None:
         snapshot_epochs = {n_epochs // 3, n_epochs * 2 // 3, n_epochs}
-    best = 0.0
+    best = -1.0  # first epoch always saves a best artifact (the reference
+    # never writes one when IoU stays at 0.0 — a latent flaw its own
+    # load_model path trips over)
+    score = lambda em: 0.0 if np.isnan(em[eval_key]) else float(em[eval_key])
     history = []
     meter = Throughput()
     global_step = 0
@@ -80,8 +83,8 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
         for k, v in em.items():
             logger.add_scalar(f"val/{k}", v, epoch)
         history.append({"epoch": epoch, "train": tm, "val": em})
-        if em[eval_key] > best:
-            best = em[eval_key]
+        if score(em) > best:
+            best = score(em)
             ckpt.save_best(state, best)
         if epoch in snapshot_epochs:
             ckpt.save_snapshot(state, epoch)

@@ -44,6 +44,22 @@ def test_loader_batches_and_shuffles():
     assert len(batches[0]["name"]) == 4
 
 
+def test_loader_keeps_partial_final_batch_by_default():
+    # regression: a val set smaller than the eval batch must still yield a
+    # batch (the torch reference's loaders default drop_last=False); with
+    # drop_last=True it silently produced zero eval batches -> nan metrics
+    # -> no best checkpoint ever written
+    ds = SyntheticCDDataset(length=10, size=16)
+    dl = DataLoader(ds, batch_size=4, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 3 == len(dl)
+    assert batches[-1]["A"].shape[0] == 2
+
+    tiny = DataLoader(SyntheticCDDataset(length=3, size=16), batch_size=8,
+                      prefetch=0)
+    assert [b["A"].shape[0] for b in tiny] == [3]
+
+
 def test_adjustments_match_torchvision_formulas(np_rng):
     """Expected values computed inline with the torchvision definitions
     (blend against mean-gray / per-pixel gray; hue shift in HSV)."""
