@@ -38,11 +38,16 @@ def register_encoder(name: str, cls, kwargs: dict, out_channels: Tuple[int, ...]
     _REGISTRY[name] = EncoderSpec(cls, dict(kwargs), tuple(out_channels))
 
 
-for _name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152"):
+for _name in ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+              "resnext50_32x4d", "resnext101_32x4d", "resnext101_32x8d",
+              "resnext101_32x16d", "resnext101_32x32d", "resnext101_32x48d"):
     register_encoder(_name, ResNetEncoder, {"arch": _name}, resnet_out_channels(_name))
 
-register_encoder("vgg16", VGGEncoder, {"batch_norm": False}, vgg_out_channels("vgg16"))
-register_encoder("vgg16_bn", VGGEncoder, {"batch_norm": True}, vgg_out_channels("vgg16_bn"))
+for _name in ("vgg11", "vgg13", "vgg16", "vgg19"):
+    register_encoder(_name, VGGEncoder, {"arch": _name, "batch_norm": False},
+                     vgg_out_channels(_name))
+    register_encoder(_name + "_bn", VGGEncoder,
+                     {"arch": _name, "batch_norm": True}, vgg_out_channels(_name))
 
 from stcd_tpu.encoders.mix_transformer import (  # noqa: E402
     MixTransformerEncoder,
@@ -52,6 +57,85 @@ from stcd_tpu.encoders.mix_transformer import (  # noqa: E402
 for _name in ("mit_b0", "mit_b1", "mit_b2", "mit_b3", "mit_b4", "mit_b5"):
     register_encoder(_name, MixTransformerEncoder, {"variant": _name},
                      mit_out_channels(_name))
+
+from stcd_tpu.encoders.densenet import (  # noqa: E402
+    _DENSENET_CFGS, DenseNetEncoder, densenet_out_channels)
+from stcd_tpu.encoders.efficientnet import (  # noqa: E402
+    EfficientNetEncoder, efficientnet_out_channels)
+from stcd_tpu.encoders.mobilenet import (  # noqa: E402
+    MobileNetV2Encoder, MobileNetV3Encoder, mobilenetv3_out_channels)
+from stcd_tpu.encoders.senet import (  # noqa: E402
+    _SENET_CFGS, SENetEncoder, senet_out_channels)
+from stcd_tpu.encoders.xception import XceptionEncoder, xception_out_channels  # noqa: E402
+from stcd_tpu.encoders.inception import (  # noqa: E402
+    InceptionV4Encoder, InceptionResNetV2Encoder,
+    inceptionv4_out_channels, inceptionresnetv2_out_channels)
+from stcd_tpu.encoders.dpn import _DPN_CFGS, DPNEncoder, dpn_out_channels  # noqa: E402
+from stcd_tpu.encoders.regnet import (  # noqa: E402
+    _REGNET_CFGS, RegNetEncoder, regnet_out_channels)
+from stcd_tpu.encoders.timm_resnet import (  # noqa: E402
+    _TIMM_RESNET_CFGS, TimmResNetEncoder, timm_resnet_out_channels)
+from stcd_tpu.encoders.gernet import (  # noqa: E402
+    _GERNET_CFGS, GERNetEncoder, gernet_out_channels)
+from stcd_tpu.encoders.mobileone import (  # noqa: E402
+    _MOBILEONE_CFGS, MobileOneEncoder, mobileone_out_channels)
+
+for _name in _DENSENET_CFGS:
+    register_encoder(_name, DenseNetEncoder, {"arch": _name},
+                     densenet_out_channels(_name))
+
+# efficientnet_pytorch-style names (ref encoders/efficientnet.py)
+for _v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7"):
+    register_encoder(f"efficientnet-{_v}", EfficientNetEncoder,
+                     {"variant": _v}, efficientnet_out_channels(_v))
+# timm-style names (ref encoders/timm_efficientnet.py); same architecture
+for _v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8", "l2"):
+    register_encoder(f"timm-efficientnet-{_v}", EfficientNetEncoder,
+                     {"variant": _v}, efficientnet_out_channels(_v))
+for _v in ("lite0", "lite1", "lite2", "lite3", "lite4"):
+    register_encoder(f"timm-tf_efficientnet_{_v}", EfficientNetEncoder,
+                     {"variant": _v, "lite": True},
+                     efficientnet_out_channels(_v, lite=True))
+
+register_encoder("mobilenet_v2", MobileNetV2Encoder, {},
+                 (3, 16, 24, 32, 96, 1280))
+for _mode in ("large", "small"):
+    for _wm, _tag in ((0.75, "075"), (1.0, "100")):
+        register_encoder(f"timm-mobilenetv3_{_mode}_{_tag}", MobileNetV3Encoder,
+                         {"mode": _mode, "width_mult": _wm},
+                         mobilenetv3_out_channels(_mode, _wm))
+    register_encoder(f"timm-mobilenetv3_{_mode}_minimal_100", MobileNetV3Encoder,
+                     {"mode": _mode, "width_mult": 1.0, "minimal": True},
+                     mobilenetv3_out_channels(_mode, 1.0))
+
+for _name in _SENET_CFGS:
+    register_encoder(_name, SENetEncoder, {"arch": _name},
+                     senet_out_channels(_name))
+
+register_encoder("xception", XceptionEncoder, {}, xception_out_channels())
+register_encoder("inceptionv4", InceptionV4Encoder, {},
+                 inceptionv4_out_channels())
+register_encoder("inceptionresnetv2", InceptionResNetV2Encoder, {},
+                 inceptionresnetv2_out_channels())
+
+for _name in _DPN_CFGS:
+    register_encoder(_name, DPNEncoder, {"arch": _name}, dpn_out_channels(_name))
+
+for _name in _REGNET_CFGS:
+    register_encoder(f"timm-{_name}", RegNetEncoder, {"arch": _name},
+                     regnet_out_channels(_name))
+
+for _name in _TIMM_RESNET_CFGS:
+    register_encoder(f"timm-{_name}", TimmResNetEncoder, {"arch": _name},
+                     timm_resnet_out_channels(_name))
+
+for _name in _GERNET_CFGS:
+    register_encoder(f"timm-{_name}", GERNetEncoder, {"arch": _name},
+                     gernet_out_channels(_name))
+
+for _name in _MOBILEONE_CFGS:
+    register_encoder(_name, MobileOneEncoder, {"arch": _name},
+                     mobileone_out_channels(_name))
 
 
 def encoder_names():
@@ -71,6 +155,19 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
     Pretrained-weight loading is a separate step: see
     ``stcd_tpu.convert.load_pretrained`` which patches the param pytree.
     """
+    if name.startswith("tu-"):
+        # timm_universal passthrough (ref encoders/__init__.py:56-66): the
+        # reference delegates to timm's features_only. timm is an optional
+        # dependency we don't vendor; resolve against the local registry
+        # (with and without the timm- prefix) instead.
+        for cand in (name[3:], f"timm-{name[3:]}"):
+            if cand in _REGISTRY:
+                name = cand
+                break
+        else:
+            raise KeyError(
+                f"`{name}`: timm universal encoders need the optional timm "
+                f"dependency; locally available encoders: {encoder_names()}")
     if name not in _REGISTRY:
         raise KeyError(
             f"Wrong encoder name `{name}`, supported encoders: {encoder_names()}"

@@ -1,0 +1,185 @@
+"""EfficientNet encoders (ref encoders/efficientnet.py and
+encoders/timm_efficientnet.py).
+
+One implementation covers both reference families:
+- ``efficientnet-b0..b7`` (efficientnet_pytorch semantics; stage splits by
+  flat block index, ref efficientnet.py:46-76 + the per-variant
+  ``stage_idxs`` table at :104-176).
+- ``timm-efficientnet-b0..b8, l2`` and ``timm-tf_efficientnet_lite0..4``
+  (timm semantics; stage splits by block *group*, ref
+  timm_efficientnet.py:79-113; lite variants use relu6 and no SE).
+
+MBConv = expand 1x1 -> depthwise kxk -> SE (squeeze to in_c/4 of the
+*unexpanded* width) -> project 1x1, swish activations, stochastic depth on
+the residual (drop_connect, train only).
+
+Width/depth scaling follows the published compound-scaling rule:
+``round_filters`` (divisor 8) / ``round_repeats`` (ceil).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+from stcd_tpu.layers.modules import avg_pool_global
+
+Dtype = Any
+
+# base (kernel, repeats, stride, expand, in_c, out_c, se_ratio)
+_BASE_BLOCKS = [
+    (3, 1, 1, 1, 32, 16, 0.25),
+    (3, 2, 2, 6, 16, 24, 0.25),
+    (5, 2, 2, 6, 24, 40, 0.25),
+    (3, 3, 2, 6, 40, 80, 0.25),
+    (5, 3, 1, 6, 80, 112, 0.25),
+    (5, 4, 2, 6, 112, 192, 0.25),
+    (3, 1, 1, 6, 192, 320, 0.25),
+]
+
+# name: (width_coefficient, depth_coefficient, drop_connect_rate)
+_EFFNET_CFGS = {
+    "b0": (1.0, 1.0, 0.2), "b1": (1.0, 1.1, 0.2), "b2": (1.1, 1.2, 0.3),
+    "b3": (1.2, 1.4, 0.3), "b4": (1.4, 1.8, 0.4), "b5": (1.6, 2.2, 0.4),
+    "b6": (1.8, 2.6, 0.5), "b7": (2.0, 3.1, 0.5), "b8": (2.2, 3.6, 0.5),
+    "l2": (4.3, 5.3, 0.5),
+    "lite0": (1.0, 1.0, 0.2), "lite1": (1.0, 1.1, 0.2),
+    "lite2": (1.1, 1.2, 0.3), "lite3": (1.2, 1.4, 0.3),
+    "lite4": (1.4, 1.8, 0.4),
+}
+
+# group index (0..6) at which each smp stage ends; identical for all
+# variants (timm stage_idxs (2, 3, 5), ref timm_efficientnet.py:90-96):
+# stage2 = groups[0:2], stage3 = groups[2:3], stage4 = groups[3:5],
+# stage5 = groups[5:7]. The flat-index table in efficientnet.py encodes
+# exactly the same grouping after round_repeats.
+_STAGE_END_GROUP = (1, 2, 4, 6)
+
+
+def round_filters(filters: int, width: float, divisor: int = 8) -> int:
+    filters *= width
+    new_f = max(divisor, int(filters + divisor / 2) // divisor * divisor)
+    if new_f < 0.9 * filters:
+        new_f += divisor
+    return int(new_f)
+
+
+def round_repeats(repeats: int, depth: float) -> int:
+    return int(math.ceil(depth * repeats))
+
+
+def efficientnet_out_channels(variant: str, lite: bool = False) -> Tuple[int, ...]:
+    width = _EFFNET_CFGS[variant][0]
+    chans = [3, 32 if lite else round_filters(32, width)]  # lite fixes the stem
+    group_out = [round_filters(b[5], width) for b in _BASE_BLOCKS]
+    for end in _STAGE_END_GROUP:
+        chans.append(group_out[end])
+    return tuple(chans)
+
+
+def swish(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(x)
+
+
+def _bn(train: bool, name: str):
+    return MPBatchNorm(use_running_average=not train, momentum=0.99,
+                       epsilon=1e-3, dtype=jnp.float32, name=name)
+
+
+class MBConv(nn.Module):
+    kernel: int
+    out_channels: int
+    expand_ratio: int
+    stride: int = 1
+    se_ratio: float = 0.25
+    drop_rate: float = 0.0
+    lite: bool = False
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        act = jax.nn.relu6 if self.lite else swish
+        in_c = x.shape[-1]
+        exp_c = in_c * self.expand_ratio
+        h = x
+        if self.expand_ratio != 1:
+            h = nn.Conv(exp_c, (1, 1), use_bias=False, dtype=self.dtype,
+                        name="expand_conv")(h)
+            h = act(_bn(train, "expand_bn")(h))
+        k, p = self.kernel, self.kernel // 2
+        h = nn.Conv(exp_c, (k, k), strides=self.stride, padding=p,
+                    feature_group_count=exp_c, use_bias=False,
+                    dtype=self.dtype, name="dw_conv")(h)
+        h = act(_bn(train, "dw_bn")(h))
+        if self.se_ratio > 0 and not self.lite:
+            rd = max(1, int(in_c * self.se_ratio))
+            s = avg_pool_global(h)
+            s = act(nn.Conv(rd, (1, 1), dtype=self.dtype, name="se_reduce")(s))
+            s = jax.nn.sigmoid(nn.Conv(exp_c, (1, 1), dtype=self.dtype,
+                                       name="se_expand")(s))
+            h = h * s
+        h = nn.Conv(self.out_channels, (1, 1), use_bias=False,
+                    dtype=self.dtype, name="project_conv")(h)
+        h = _bn(train, "project_bn")(h)
+        if self.stride == 1 and in_c == self.out_channels:
+            if train and self.drop_rate > 0:
+                # stochastic depth (drop_connect): per-sample residual drop
+                keep = 1.0 - self.drop_rate
+                rng = self.make_rng("dropout")
+                mask = jax.random.bernoulli(rng, keep, (h.shape[0], 1, 1, 1))
+                h = h * mask.astype(h.dtype) / keep
+            h = h + x
+        return h
+
+
+class EfficientNetEncoder(nn.Module):
+    """smp-contract EfficientNet encoder.
+
+    [x, stem (/2), g0-g1 (/4), g2 (/8), g3-g4 (/16), g5-g6 (/32)]
+    where gN are the seven scaled MBConv groups.
+    """
+
+    variant: str = "b0"
+    lite: bool = False
+    depth: int = 5
+    drop_connect_rate: float = 0.2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        width, depth_c, _ = _EFFNET_CFGS[self.variant]
+        features = [x]
+        stem_c = 32 if self.lite else round_filters(32, width)
+        h = nn.Conv(stem_c, (3, 3), strides=2, padding=1, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        act = jax.nn.relu6 if self.lite else swish
+        h = act(_bn(train, "stem_bn")(h))
+        if self.depth >= 1:
+            features.append(h)
+        # expand groups with round_repeats (lite: first/last group repeats fixed)
+        total_blocks = sum(
+            r if self.lite and gi in (0, len(_BASE_BLOCKS) - 1)
+            else round_repeats(r, depth_c)
+            for gi, (_, r, *_rest) in enumerate(_BASE_BLOCKS))
+        bidx, stage = 0, 2
+        for gi, (k, r, s, e, _ic, oc, se) in enumerate(_BASE_BLOCKS):
+            if stage > self.depth:
+                return features
+            reps = r if self.lite and gi in (0, len(_BASE_BLOCKS) - 1) \
+                else round_repeats(r, depth_c)
+            oc = round_filters(oc, width)
+            for i in range(reps):
+                h = MBConv(k, oc, e, stride=s if i == 0 else 1, se_ratio=se,
+                           drop_rate=self.drop_connect_rate * bidx / total_blocks,
+                           lite=self.lite, dtype=self.dtype,
+                           name=f"block{bidx}")(h, train)
+                bidx += 1
+            if gi in _STAGE_END_GROUP and stage <= self.depth:
+                features.append(h)
+                stage += 1
+        return features

@@ -114,17 +114,32 @@ class Bottleneck(nn.Module):
 
 
 _RESNET_CFGS = {
-    # name: (block, layers, width_per_stage_base)
+    # name: (block, layers[, groups, width_per_group])
     "resnet18": (BasicBlock, (2, 2, 2, 2)),
     "resnet34": (BasicBlock, (3, 4, 6, 3)),
     "resnet50": (Bottleneck, (3, 4, 6, 3)),
     "resnet101": (Bottleneck, (3, 4, 23, 3)),
     "resnet152": (Bottleneck, (3, 8, 36, 3)),
+    # ResNeXt (ref encoders/resnet.py:142-232 variant table); grouped 3x3
+    # bottleneck convs, width = planes * (width_per_group/64) * groups
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), 32, 4),
+    "resnext101_32x4d": (Bottleneck, (3, 4, 23, 3), 32, 4),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), 32, 8),
+    "resnext101_32x16d": (Bottleneck, (3, 4, 23, 3), 32, 16),
+    "resnext101_32x32d": (Bottleneck, (3, 4, 23, 3), 32, 32),
+    "resnext101_32x48d": (Bottleneck, (3, 4, 23, 3), 32, 48),
 }
 
 
+def _resnet_cfg(name: str):
+    cfg = _RESNET_CFGS[name]
+    block, layers = cfg[0], cfg[1]
+    groups, base_width = (cfg[2], cfg[3]) if len(cfg) > 2 else (1, 64)
+    return block, layers, groups, base_width
+
+
 def resnet_out_channels(name: str) -> Tuple[int, ...]:
-    block, _ = _RESNET_CFGS[name]
+    block, _, _, _ = _resnet_cfg(name)
     e = block.expansion
     return (3, 64, 64 * e, 128 * e, 256 * e, 512 * e)
 
@@ -138,12 +153,18 @@ class ResNetLayer(nn.Module):
     stride: int = 1
     dilation: int = 1
     prev_dilation: int = 1
+    groups: int = 1
+    base_width: int = 64
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_c = x.shape[-1]
         out_c = self.features * self.block.expansion
+        extra = (
+            {"groups": self.groups, "base_width": self.base_width}
+            if self.block is Bottleneck else {}
+        )
         x = self.block(
             self.features,
             stride=self.stride,
@@ -151,11 +172,12 @@ class ResNetLayer(nn.Module):
             downsample=(self.stride != 1 or in_c != out_c),
             dtype=self.dtype,
             name="block0",
+            **extra,
         )(x, train)
         for i in range(1, self.blocks):
             x = self.block(
                 self.features, dilation=self.dilation, dtype=self.dtype,
-                name=f"block{i}",
+                name=f"block{i}", **extra,
             )(x, train)
         return x
 
@@ -178,7 +200,7 @@ class ResNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
-        block, layers = _RESNET_CFGS[self.arch]
+        block, layers, groups, base_width = _resnet_cfg(self.arch)
         features = [x]
         if self.depth >= 1:
             h = nn.Conv(
@@ -190,7 +212,9 @@ class ResNetEncoder(nn.Module):
             features.append(h)
         if self.depth >= 2:
             h = max_pool(h, window=3, stride=2, padding=1)
-            h = ResNetLayer(block, 64, layers[0], dtype=self.dtype, name="layer1")(h, train)
+            h = ResNetLayer(block, 64, layers[0], groups=groups,
+                            base_width=base_width, dtype=self.dtype,
+                            name="layer1")(h, train)
             features.append(h)
         dilation = 1
         strides_dil = []
@@ -208,6 +232,7 @@ class ResNetEncoder(nn.Module):
                 h = ResNetLayer(
                     block, stage_feats[i], layers[1 + i], stride=stride,
                     dilation=dil, prev_dilation=max(prev_dil, 1),
+                    groups=groups, base_width=base_width,
                     dtype=self.dtype, name=f"layer{2 + i}",
                 )(h, train)
                 features.append(h)

@@ -55,10 +55,20 @@ class VGG16Features(nn.Module):
         return taps
 
 
+# convs per stage for the torchvision configs A/B/D/E
+_VGG_STAGE_CONVS = {
+    "vgg11": (1, 1, 2, 2, 2),
+    "vgg13": (2, 2, 2, 2, 2),
+    "vgg16": (2, 2, 3, 3, 3),
+    "vgg19": (2, 2, 4, 4, 4),
+}
+
+
 class VGGEncoder(nn.Module):
-    """smp-contract VGG16(-BN) encoder: 6-level pyramid, stages end before
+    """smp-contract VGG(-BN) encoder: 6-level pyramid, stages end before
     each MaxPool (ref encoders/vgg.py make_layers + get_stages)."""
 
+    arch: str = "vgg16"
     batch_norm: bool = False
     depth: int = 5
     dtype: Optional[Any] = None
@@ -67,7 +77,7 @@ class VGGEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         features = []
         conv_idx = 0
-        stage_convs = [2, 2, 3, 3, 3]
+        stage_convs = _VGG_STAGE_CONVS[self.arch]
         stage_feats = [64, 128, 256, 512, 512]
         h = x
         for s in range(min(self.depth, 5)):
