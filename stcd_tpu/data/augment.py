@@ -176,3 +176,266 @@ def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.
 
 def eval_preprocess(img: jax.Array) -> jax.Array:
     return normalize(img)
+
+
+# ---------------------------------------------------------------------------
+# cutout (ref data/dataset.py:24-57; defined there but call sites commented
+# out — provided for API completeness). Jittable, static-shape formulation:
+# instead of rejection-sampling a box that fits, the box origin is sampled
+# uniformly over the valid range (same marginal distribution over boxes),
+# and the erase region is a coordinate-grid mask so shapes stay static.
+# ---------------------------------------------------------------------------
+
+def cutout(key: jax.Array, img_a: jax.Array, img_b: jax.Array,
+           mask: jax.Array, p: float = 0.5, size_min: float = 0.02,
+           size_max: float = 0.4, ratio_1: float = 0.3,
+           ratio_2: float = 1 / 0.3, value_min: float = 0.0,
+           value_max: float = 1.0, mask_value: float = 1.0):
+    """Erase one random rectangle from BOTH temporal images (pixel-level
+    random fill) and stamp the label there. Ref fills the uint8 label with
+    255 (pre-binarization); here images are [0,1] floats and the label is
+    stamped with `mask_value`. Works on HWC or NHWC (one box per call)."""
+    h, w = img_a.shape[-3], img_a.shape[-2]
+    k_apply, k_size, k_ratio, k_x, k_y, k_fill = jax.random.split(key, 6)
+    size = jax.random.uniform(k_size, (), minval=size_min, maxval=size_max) * h * w
+    ratio = jax.random.uniform(k_ratio, (), minval=ratio_1, maxval=ratio_2)
+    erase_w = jnp.clip(jnp.sqrt(size / ratio), 1.0, w)
+    erase_h = jnp.clip(jnp.sqrt(size * ratio), 1.0, h)
+    x0 = jax.random.uniform(k_x, ()) * (w - erase_w)
+    y0 = jax.random.uniform(k_y, ()) * (h - erase_h)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    inside = ((ys >= y0) & (ys < y0 + erase_h)
+              & (xs >= x0) & (xs < x0 + erase_w))
+    inside &= jax.random.uniform(k_apply) < p
+    box = inside[..., None]
+    fill = jax.random.uniform(k_fill, img_a.shape,
+                              minval=value_min, maxval=value_max)
+    img_a = jnp.where(box, fill, img_a)
+    img_b = jnp.where(box, fill, img_b)
+    mask = jnp.where(box if mask.ndim == img_a.ndim else inside,
+                     jnp.asarray(mask_value, mask.dtype), mask)
+    return img_a, img_b, mask
+
+
+# ---------------------------------------------------------------------------
+# Geometric/photometric training pipeline (ref data/dataset.py:78-117
+# get_training_augmentation — an albumentations Compose that is defined but
+# OFF the live path). Rebuilt as jittable on-device ops with the same
+# structure and probabilities: HFlip(0.5) -> ShiftScale(p=1) ->
+# GaussNoise(0.2) -> Perspective(0.5) -> OneOf{equalize-stretch,
+# brightness-contrast, gamma}(0.9) -> OneOf{sharpen, blur, motion-blur}(0.9)
+# -> OneOf{brightness-contrast, hue-saturation}(0.9).
+# CLAHE has no static-shape TPU analogue; a global percentile contrast
+# stretch stands in for it (documented substitution).
+# ---------------------------------------------------------------------------
+
+def _warp(img: jax.Array, matrix: jax.Array, order: int = 1) -> jax.Array:
+    """Backward-warp HWC image by a 3x3 homography mapping output pixel
+    coords -> source coords; bilinear (order=1) or nearest (order=0),
+    zero border (albumentations border_mode=0)."""
+    h, w = img.shape[0], img.shape[1]
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    ones = jnp.ones_like(xs)
+    coords = jnp.stack([xs.ravel(), ys.ravel(), ones.ravel()], axis=0)
+    src = matrix @ coords
+    sx = (src[0] / src[2]).reshape(h, w)
+    sy = (src[1] / src[2]).reshape(h, w)
+    chans = [jax.scipy.ndimage.map_coordinates(
+        img[..., c], [sy, sx], order=order, mode="constant", cval=0.0)
+        for c in range(img.shape[-1])]
+    return jnp.stack(chans, axis=-1)
+
+
+def _affine_about_center(h, w, scale, tx, ty):
+    """Output->source affine: scale about the image center + translate."""
+    cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+    inv_s = 1.0 / scale
+    return jnp.array([
+        [inv_s, 0.0, cx - inv_s * (cx + tx)],
+        [0.0, inv_s, cy - inv_s * (cy + ty)],
+        [0.0, 0.0, 1.0],
+    ])
+
+
+def shift_scale(key: jax.Array, img: jax.Array, mask: jax.Array,
+                shift_limit: float = 0.1, scale_limit: float = 0.5):
+    """ShiftScaleRotate(scale_limit=0.5, rotate_limit=0, shift_limit=0.1)."""
+    h, w = img.shape[0], img.shape[1]
+    ks, kx, ky = jax.random.split(key, 3)
+    scale = 1.0 + jax.random.uniform(ks, (), minval=-scale_limit,
+                                     maxval=scale_limit)
+    tx = jax.random.uniform(kx, (), minval=-shift_limit, maxval=shift_limit) * w
+    ty = jax.random.uniform(ky, (), minval=-shift_limit, maxval=shift_limit) * h
+    m = _affine_about_center(h, w, scale, tx, ty)
+    return _warp(img, m, order=1), _warp(mask, m, order=0)
+
+
+def _solve_homography(dst_pts: jax.Array, src_pts: jax.Array) -> jax.Array:
+    """3x3 H with H @ [dst,1] ~ [src,1] from 4 point pairs (8x8 solve)."""
+    rows = []
+    for i in range(4):
+        xd, yd = dst_pts[i, 0], dst_pts[i, 1]
+        xs_, ys_ = src_pts[i, 0], src_pts[i, 1]
+        rows.append(jnp.stack([xd, yd, 1.0, 0.0 * xd, 0.0 * xd, 0.0 * xd,
+                               -xs_ * xd, -xs_ * yd]))
+        rows.append(jnp.stack([0.0 * xd, 0.0 * xd, 0.0 * xd, xd, yd, 1.0,
+                               -ys_ * xd, -ys_ * yd]))
+    a = jnp.stack(rows)
+    b = jnp.stack([src_pts[i // 2, i % 2] for i in range(8)])
+    hvec = jnp.linalg.solve(a, b)
+    return jnp.concatenate([hvec, jnp.ones((1,))]).reshape(3, 3)
+
+
+def perspective(key: jax.Array, img: jax.Array, mask: jax.Array,
+                scale: float = 0.05):
+    """albumentations Perspective: jitter the 4 corners by U[0, scale]*side."""
+    h, w = img.shape[0], img.shape[1]
+    corners = jnp.array([[0.0, 0.0], [w - 1.0, 0.0],
+                         [w - 1.0, h - 1.0], [0.0, h - 1.0]])
+    jitter = jax.random.uniform(key, (4, 2), minval=-scale, maxval=scale)
+    src = corners + jitter * jnp.array([w, h])
+    m = _solve_homography(corners, src)
+    return _warp(img, m, order=1), _warp(mask, m, order=0)
+
+
+def gauss_noise(key: jax.Array, img: jax.Array,
+                var_limit=(10.0 / 255**2, 50.0 / 255**2)) -> jax.Array:
+    kv, kn = jax.random.split(key)
+    var = jax.random.uniform(kv, (), minval=var_limit[0], maxval=var_limit[1])
+    return jnp.clip(img + jnp.sqrt(var) * jax.random.normal(kn, img.shape),
+                    0.0, 1.0)
+
+
+def contrast_stretch(img: jax.Array, lo_pct: float = 2.0,
+                     hi_pct: float = 98.0) -> jax.Array:
+    """Global percentile contrast stretch — TPU stand-in for CLAHE."""
+    lo = jnp.percentile(img, lo_pct)
+    hi = jnp.percentile(img, hi_pct)
+    return jnp.clip((img - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+
+
+def random_brightness_contrast(key: jax.Array, img: jax.Array,
+                               brightness_limit: float = 0.2,
+                               contrast_limit: float = 0.2) -> jax.Array:
+    kb, kc = jax.random.split(key)
+    alpha = 1.0 + jax.random.uniform(kc, (), minval=-contrast_limit,
+                                     maxval=contrast_limit)
+    beta = jax.random.uniform(kb, (), minval=-brightness_limit,
+                              maxval=brightness_limit)
+    mean = jnp.mean(img)
+    return jnp.clip((img - mean) * alpha + mean + beta, 0.0, 1.0)
+
+
+def random_gamma(key: jax.Array, img: jax.Array,
+                 gamma_limit=(80.0, 120.0)) -> jax.Array:
+    gamma = jax.random.uniform(key, (), minval=gamma_limit[0],
+                               maxval=gamma_limit[1]) / 100.0
+    return jnp.clip(jnp.maximum(img, 1e-8) ** gamma, 0.0, 1.0)
+
+
+def _conv3x3(img: jax.Array, kern: jax.Array) -> jax.Array:
+    c = img.shape[-1]
+    x = img[None]
+    k = jnp.tile(kern.reshape(3, 3, 1, 1), (1, 1, 1, c)).astype(jnp.float32)
+    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 3, 1, 1),
+                                        ("NHWC", "HWIO", "NHWC"))
+    out = jax.lax.conv_general_dilated(x, k, (1, 1), "SAME",
+                                       dimension_numbers=dn,
+                                       feature_group_count=c)
+    return out[0]
+
+
+def sharpen(key: jax.Array, img: jax.Array, alpha=(0.2, 0.5)) -> jax.Array:
+    a = jax.random.uniform(key, (), minval=alpha[0], maxval=alpha[1])
+    lap = jnp.array([[-1.0, -1, -1], [-1, 9, -1], [-1, -1, -1]]) / 1.0
+    sharp = _conv3x3(img, lap)
+    return jnp.clip((1 - a) * img + a * sharp, 0.0, 1.0)
+
+
+def box_blur(img: jax.Array) -> jax.Array:
+    return _conv3x3(img, jnp.full((3, 3), 1.0 / 9.0))
+
+
+def motion_blur(key: jax.Array, img: jax.Array) -> jax.Array:
+    """3x3 motion blur: random direction among horizontal/vertical/2 diagonals."""
+    kerns = jnp.stack([
+        jnp.array([[0.0, 0, 0], [1, 1, 1], [0, 0, 0]]) / 3.0,
+        jnp.array([[0.0, 1, 0], [0, 1, 0], [0, 1, 0]]) / 3.0,
+        jnp.eye(3) / 3.0,
+        jnp.fliplr(jnp.eye(3)) / 3.0,
+    ])
+    idx = jax.random.randint(key, (), 0, 4)
+    return _conv3x3(img, kerns[idx])
+
+
+def hue_saturation_value(key: jax.Array, img: jax.Array,
+                         hue_shift: float = 20.0, sat_shift: float = 30.0,
+                         val_shift: float = 20.0) -> jax.Array:
+    kh, ks, kv = jax.random.split(key, 3)
+    hsv = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    h = (hsv[..., 0] + jax.random.uniform(
+        kh, (), minval=-hue_shift, maxval=hue_shift) / 360.0) % 1.0
+    s = jnp.clip(hsv[..., 1] + jax.random.uniform(
+        ks, (), minval=-sat_shift, maxval=sat_shift) / 255.0, 0.0, 1.0)
+    v = jnp.clip(hsv[..., 2] + jax.random.uniform(
+        kv, (), minval=-val_shift, maxval=val_shift) / 255.0, 0.0, 1.0)
+    return _hsv_to_rgb(jnp.stack([h, s, v], axis=-1))
+
+
+def _one_of(key: jax.Array, branches, x, p: float):
+    k_apply, k_pick = jax.random.split(key)
+    picked = jax.lax.switch(jax.random.randint(k_pick, (), 0, len(branches)),
+                            branches, x)
+    return jnp.where(jax.random.uniform(k_apply) < p, picked, x)
+
+
+def get_training_augmentation(shift_limit: float = 0.1,
+                              scale_limit: float = 0.5,
+                              noise_p: float = 0.2,
+                              perspective_p: float = 0.5,
+                              one_of_p: float = 0.9):
+    """Jittable equivalent of the reference's albumentations pipeline
+    (data/dataset.py:78-117). Returns fn(key, img_hwc, mask_hwc) ->
+    (img, mask); same op structure and probabilities, on-device."""
+
+    def apply(key: jax.Array, img: jax.Array, mask: jax.Array):
+        keys = jax.random.split(key, 10)
+        # HorizontalFlip p=0.5
+        flip = jax.random.uniform(keys[0]) < 0.5
+        img = jnp.where(flip, img[:, ::-1], img)
+        mask = jnp.where(flip, mask[:, ::-1], mask)
+        # ShiftScaleRotate(rotate_limit=0) p=1
+        img, mask = shift_scale(keys[1], img, mask, shift_limit, scale_limit)
+        # GaussNoise p=0.2
+        noised = gauss_noise(keys[2], img)
+        img = jnp.where(jax.random.uniform(keys[3]) < noise_p, noised, img)
+        # Perspective p=0.5
+        pimg, pmask = perspective(keys[4], img, mask)
+        persp = jax.random.uniform(keys[5]) < perspective_p
+        img = jnp.where(persp, pimg, img)
+        mask = jnp.where(persp, pmask, mask)
+        # OneOf {contrast-stretch (CLAHE stand-in), brightness-contrast, gamma}
+        k6a, k6b = jax.random.split(keys[6])
+        img = _one_of(k6a, [
+            lambda x: contrast_stretch(x),
+            lambda x: random_brightness_contrast(k6b, x),
+            lambda x: random_gamma(k6b, x),
+        ], img, one_of_p)
+        # OneOf {sharpen, blur, motion-blur}
+        k7a, k7b = jax.random.split(keys[7])
+        img = _one_of(k7a, [
+            lambda x: sharpen(k7b, x),
+            lambda x: box_blur(x),
+            lambda x: motion_blur(k7b, x),
+        ], img, one_of_p)
+        # OneOf {brightness-contrast, hue-saturation}
+        k8a, k8b = jax.random.split(keys[8])
+        img = _one_of(k8a, [
+            lambda x: random_brightness_contrast(k8b, x),
+            lambda x: hue_saturation_value(k8b, x),
+        ], img, one_of_p)
+        return img, mask
+
+    return apply
