@@ -65,7 +65,9 @@ class IoU:
 
     eps: float = 1e-7
     threshold: float = 0.5
-    __name__: str = "iou_score"
+
+    def __post_init__(self):
+        self.__name__ = "iou_score"
 
     def __call__(self, pr, gt):
         pr = _threshold(jax.nn.sigmoid(pr) if pr.dtype != jnp.bool_ else pr,
@@ -80,7 +82,9 @@ class Fscore:
     eps: float = 1e-7
     beta: float = 1.0
     threshold: float = 0.5
-    __name__: str = "fscore"
+
+    def __post_init__(self):
+        self.__name__ = "fscore"
 
     def __call__(self, pr, gt):
         pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
@@ -94,11 +98,83 @@ class Fscore:
 @dataclasses.dataclass
 class Accuracy:
     threshold: float = 0.5
-    __name__: str = "accuracy"
+
+    def __post_init__(self):
+        self.__name__ = "accuracy"
 
     def __call__(self, pr, gt):
         pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
         return jnp.mean((pr == gt).astype(jnp.float32))
+
+
+@dataclasses.dataclass
+class Precision:
+    """ref utils/metrics.py Precision: tp / (tp + fp)."""
+
+    eps: float = 1e-7
+    threshold: float = 0.5
+
+    def __post_init__(self):
+        self.__name__ = "precision"
+
+    def __call__(self, pr, gt):
+        pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
+        tp = jnp.sum(gt * pr)
+        fp = jnp.sum(pr) - tp
+        return (tp + self.eps) / (tp + fp + self.eps)
+
+
+@dataclasses.dataclass
+class Recall:
+    """ref utils/metrics.py Recall: tp / (tp + fn)."""
+
+    eps: float = 1e-7
+    threshold: float = 0.5
+
+    def __post_init__(self):
+        self.__name__ = "recall"
+
+    def __call__(self, pr, gt):
+        pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
+        tp = jnp.sum(gt * pr)
+        fn = jnp.sum(gt) - tp
+        return (tp + self.eps) / (tp + fn + self.eps)
+
+
+@dataclasses.dataclass
+class JaccardLoss:
+    """ref utils/losses.py JaccardLoss: 1 - soft jaccard, eps=1."""
+
+    eps: float = 1.0
+
+    def __post_init__(self):
+        self.__name__ = "jaccard_loss"
+
+    def __call__(self, pr, gt):
+        pr = jax.nn.sigmoid(pr)
+        inter = jnp.sum(gt * pr)
+        union = jnp.sum(gt) + jnp.sum(pr) - inter + self.eps
+        return 1.0 - (inter + self.eps) / union
+
+
+@dataclasses.dataclass
+class DiceLoss:
+    """ref utils/losses.py DiceLoss: 1 - soft f-score, eps=1."""
+
+    eps: float = 1.0
+    beta: float = 1.0
+
+    def __post_init__(self):
+        self.__name__ = "dice_loss"
+
+    def __call__(self, pr, gt):
+        pr = jax.nn.sigmoid(pr)
+        tp = jnp.sum(gt * pr)
+        fp = jnp.sum(pr) - tp
+        fn = jnp.sum(gt) - tp
+        b2 = self.beta ** 2
+        return 1.0 - ((1 + b2) * tp + self.eps) / (
+            (1 + b2) * tp + b2 * fn + fp + self.eps)
 
 
 class Epoch:

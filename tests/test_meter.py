@@ -1,0 +1,79 @@
+"""smp utils parity tests (ref segmentation_models_pytorch/utils/):
+meter math, metric objects, loss objects, and the Epoch fit-loop runners."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stcd_tpu.utils.meter import (
+    Accuracy, AverageValueMeter, DiceLoss, Fscore, IoU, JaccardLoss,
+    Precision, Recall, TrainEpoch, ValidEpoch,
+)
+
+
+def test_average_value_meter_running_stats():
+    m = AverageValueMeter()
+    vals = [1.0, 2.0, 3.0, 4.0]
+    for v in vals:
+        m.add(v)
+    mean, std = m.value()
+    assert np.isclose(mean, np.mean(vals))
+    assert np.isclose(std, np.std(vals, ddof=1))
+    m.reset()
+    assert m.n == 0 and np.isnan(m.mean)
+
+
+def _golden_counts(pr_logits, gt, thr=0.5):
+    pr = (1 / (1 + np.exp(-np.asarray(pr_logits))) > thr).astype(np.float64)
+    gt = np.asarray(gt, np.float64)
+    tp = (pr * gt).sum()
+    fp = pr.sum() - tp
+    fn = gt.sum() - tp
+    return tp, fp, fn, pr.size - tp - fp - fn
+
+
+def test_metric_objects_match_hand_counts():
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 8, 8, 1)).astype(np.float32))
+    gt = jnp.asarray((rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32))
+    tp, fp, fn, tn = _golden_counts(logits, gt)
+    eps = 1e-7
+    assert np.isclose(float(IoU()(logits, gt)), (tp + eps) / (tp + fp + fn + eps), atol=1e-5)
+    assert np.isclose(float(Fscore()(logits, gt)),
+                      (2 * tp + eps) / (2 * tp + fn + fp + eps), atol=1e-5)
+    assert np.isclose(float(Precision()(logits, gt)), (tp + eps) / (tp + fp + eps), atol=1e-5)
+    assert np.isclose(float(Recall()(logits, gt)), (tp + eps) / (tp + fn + eps), atol=1e-5)
+    assert np.isclose(float(Accuracy()(logits, gt)), (tp + tn) / gt.size, atol=1e-5)
+
+
+def test_loss_objects_soft_formulation():
+    logits = jnp.full((1, 4, 4, 1), 10.0)  # sigmoid ~ 1
+    gt = jnp.ones((1, 4, 4, 1))
+    assert float(JaccardLoss()(logits, gt)) < 1e-3
+    assert float(DiceLoss()(logits, gt)) < 1e-3
+    gt0 = jnp.zeros((1, 4, 4, 1))
+    # all-wrong prediction: loss near 1 - eps/(pred_sum + eps)
+    assert float(DiceLoss()(logits, gt0)) > 0.9
+
+
+def test_epoch_runners_fit_loop():
+    import optax
+    import stcd_tpu
+    from stcd_tpu.train.state import create_train_state
+
+    model = stcd_tpu.UnetSeg(encoder_name="resnet18", classes=1,
+                             decoder_channels=(16, 12, 10, 8, 8))
+    x = jnp.zeros((2, 32, 32, 3))
+    state = create_train_state(model, jax.random.PRNGKey(0), (x,),
+                               optax.adam(1e-3))
+    loss = DiceLoss()
+    data = [{"image": np.random.default_rng(i).random((2, 32, 32, 3), np.float32),
+             "label": (np.random.default_rng(i).random((2, 32, 32, 1)) > 0.5
+                       ).astype(np.float32)} for i in range(2)]
+    train = TrainEpoch(model.apply, loss, [IoU(), Fscore()])
+    state, logs = train.run(state, data)
+    assert set(logs) == {"loss", "iou_score", "fscore"}
+    assert np.isfinite(logs["loss"])
+    valid = ValidEpoch(model.apply, loss, [Precision(), Recall()])
+    state, vlogs = valid.run(state, data)
+    assert np.isfinite(vlogs["precision"]) and np.isfinite(vlogs["recall"])
