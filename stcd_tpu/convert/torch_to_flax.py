@@ -194,3 +194,77 @@ def convert_unetseg(sd: Dict[str, Any], layers_per_stage,
     params = {"encoder": enc_p, "decoder": dec_p, "segmentation_head": head}
     stats = {"encoder": enc_s, "decoder": dec_s}
     return params, stats
+
+
+def _convT_2x(w) -> np.ndarray:
+    """torch ConvTranspose2d weight (I, O, kH, kW) -> flax
+    nn.ConvTranspose(transpose_kernel=True) kernel (kH, kW, O, I)."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _convT_s1_as_conv(w) -> np.ndarray:
+    """Stride-1 ConvTranspose2d(k=3, p=1) == Conv2d with the spatially
+    flipped, IO-swapped kernel (see stcd_tpu.models.siam_unet docstring).
+    torch (I, O, kH, kW) -> flax nn.Conv HWIO (kH, kW, I, O) after flip."""
+    w = np.flip(np.asarray(w), (2, 3))
+    return np.transpose(w, (2, 3, 0, 1))
+
+
+_SIAM_STAGE_CONVS = (2, 2, 3, 3)
+_SIAM_DEC_NAMES = {3: ("conv43d", "conv42d", "conv41d"),
+                   2: ("conv33d", "conv32d", "conv31d"),
+                   1: ("conv22d", "conv21d")}
+
+
+def convert_siam_unet(sd: Dict[str, Any], fusion: str = "diff"
+                      ) -> Tuple[dict, dict]:
+    """FC-EF / FC-Siam state_dict (ref models/{Unet,SiamUnet_*}.py) ->
+    stcd_tpu.models.siam_unet.SiamUnet params/batch_stats.
+
+    Encoder convs are Conv2d; ALL decoder convs in the reference are
+    ConvTranspose2d — stride-2 upconvs map onto our ConvTranspose2x
+    (transpose_kernel=True) and stride-1 `conv*d` layers onto nn.Conv via
+    the flip+swap equivalence.
+    """
+    def cbdr(name):
+        p = {"conv": {"kernel": _conv(sd[f"{name}.weight"]),
+                      "bias": np.asarray(sd[f"{name}.bias"])}}
+        bn_p, bn_s = _bn(sd, "bn" + name[len("conv"):])
+        p["bn"] = bn_p
+        return p, {"bn": bn_s}
+
+    def cbdr_transposed(name):
+        p = {"conv": {"kernel": _convT_s1_as_conv(sd[f"{name}.weight"]),
+                      "bias": np.asarray(sd[f"{name}.bias"])}}
+        bn_p, bn_s = _bn(sd, "bn" + name[len("conv"):])
+        p["bn"] = bn_p
+        return p, {"bn": bn_s}
+
+    params, stats = {"encoder": {}}, {"encoder": {}}
+    for s, n in enumerate(_SIAM_STAGE_CONVS):
+        for i in range(n):
+            name = f"conv{s + 1}{i + 1}"
+            params["encoder"][name], stats["encoder"][name] = cbdr(name)
+
+    for stage, names in _SIAM_DEC_NAMES.items():
+        up = f"upconv{stage + 1}"
+        params[up] = {"ConvTranspose_0": {
+            "kernel": _convT_2x(sd[f"{up}.weight"]),
+            "bias": np.asarray(sd[f"{up}.bias"])}}
+        for name in names:
+            params[name], stats[name] = cbdr_transposed(name)
+
+    params["upconv1"] = {"ConvTranspose_0": {
+        "kernel": _convT_2x(sd["upconv1.weight"]),
+        "bias": np.asarray(sd["upconv1.bias"])}}
+    params["conv12d"], stats["conv12d"] = cbdr_transposed("conv12d")
+    params["conv11d"] = {"kernel": _convT_s1_as_conv(sd["conv11d.weight"]),
+                         "bias": np.asarray(sd["conv11d.bias"])}
+
+    if fusion == "crossconc":
+        for s in range(4):
+            # ref cross_conc blocks: diff = Sequential(grouped Conv, BN),
+            # conv_res = Sequential(Conv, BN) — names resolved by caller
+            raise NotImplementedError(
+                "crossconc golden conversion not wired; see tests")
+    return params, stats
