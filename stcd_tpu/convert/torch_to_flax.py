@@ -268,3 +268,119 @@ def convert_siam_unet(sd: Dict[str, Any], fusion: str = "diff"
             raise NotImplementedError(
                 "crossconc golden conversion not wired; see tests")
     return params, stats
+
+
+def convert_snunet(sd: Dict[str, Any], ecam: bool = True) -> Tuple[dict, dict]:
+    """Reference SNUNet state_dict (models/SNUNet.py SNUNet_ECAM /
+    Siam_NestedUNet_Conc) -> stcd_tpu.models.snunet params/batch_stats."""
+    body_p, body_s = {}, {}
+    nodes = (["conv0_0", "conv1_0", "conv2_0", "conv3_0", "conv4_0"]
+             + [f"conv{i}_{j}" for j in (1, 2, 3, 4) for i in range(4 - j + 1)])
+    for name in nodes:
+        p, s = {}, {}
+        for c in ("conv1", "conv2"):
+            p[c] = {"kernel": _conv(sd[f"{name}.{c}.weight"]),
+                    "bias": np.asarray(sd[f"{name}.{c}.bias"])}
+        for b in ("bn1", "bn2"):
+            p[b], s[b] = _bn(sd, f"{name}.{b}")
+        body_p[name], body_s[name] = p, s
+    ups = [f"Up{i}_{j}" for j in (0, 1, 2, 3) for i in (1, 2, 3, 4)]
+    for name in ups:
+        k = f"{name}.up.weight"
+        if k in sd:
+            body_p[name] = {"ConvTranspose_0": {
+                "kernel": _convT_2x(sd[k]),
+                "bias": np.asarray(sd[f"{name}.up.bias"])}}
+    params = {"body": body_p}
+    stats = {"body": body_s}
+    if ecam:
+        for att in ("ca", "ca1"):
+            params[att] = {
+                "fc1": {"kernel": _conv(sd[f"{att}.fc1.weight"])},
+                "fc2": {"kernel": _conv(sd[f"{att}.fc2.weight"])}}
+    else:
+        for i in (1, 2, 3, 4):
+            params[f"final{i}"] = {
+                "kernel": _conv(sd[f"final{i}.weight"]),
+                "bias": np.asarray(sd[f"final{i}.bias"])}
+    params["conv_final"] = {"kernel": _conv(sd["conv_final.weight"]),
+                            "bias": np.asarray(sd["conv_final.bias"])}
+    return params, stats
+
+
+def _dense(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (1, 0))  # torch (O, I) -> flax (I, O)
+
+
+def _two_layer_conv(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """help_funcs TwoLayerConv2d Sequential(conv bias=False, BN, ReLU, conv)."""
+    p = {"conv1": {"kernel": _conv(sd[f"{prefix}.0.weight"])},
+         "conv2": {"kernel": _conv(sd[f"{prefix}.3.weight"]),
+                   "bias": np.asarray(sd[f"{prefix}.3.bias"])}}
+    p["bn"], s = _bn(sd, f"{prefix}.1")
+    return p, {"bn": s}
+
+
+def _bit_transformer(sd: Dict[str, Any], prefix: str, depth: int,
+                     cross: bool) -> dict:
+    """help_funcs Transformer / TransformerDecoder state_dict -> our
+    models.bit.Transformer/TransformerDecoder params. Layer i keys:
+    {prefix}.layers.{i}.0 = Residual(PreNorm(Attention/Cross_Attention)),
+    {prefix}.layers.{i}.1 = Residual(PreNorm(FeedForward))."""
+    out = {}
+    for i in range(depth):
+        a = f"{prefix}.layers.{i}.0.fn"
+        f = f"{prefix}.layers.{i}.1.fn"
+        out[f"norm_attn{i}"] = {"scale": np.asarray(sd[f"{a}.norm.weight"]),
+                                "bias": np.asarray(sd[f"{a}.norm.bias"])}
+        if cross:
+            attn = {k: {"kernel": _dense(sd[f"{a}.fn.{k}.weight"])}
+                    for k in ("to_q", "to_k", "to_v")}
+        else:
+            attn = {"to_qkv": {"kernel": _dense(sd[f"{a}.fn.to_qkv.weight"])}}
+        attn["to_out"] = {"kernel": _dense(sd[f"{a}.fn.to_out.0.weight"]),
+                          "bias": np.asarray(sd[f"{a}.fn.to_out.0.bias"])}
+        out[f"attn{i}"] = attn
+        out[f"norm_ff{i}"] = {"scale": np.asarray(sd[f"{f}.norm.weight"]),
+                              "bias": np.asarray(sd[f"{f}.norm.bias"])}
+        out[f"ff{i}"] = {
+            "Dense_0": {"kernel": _dense(sd[f"{f}.fn.net.0.weight"]),
+                        "bias": np.asarray(sd[f"{f}.fn.net.0.bias"])},
+            "Dense_1": {"kernel": _dense(sd[f"{f}.fn.net.3.weight"]),
+                        "bias": np.asarray(sd[f"{f}.fn.net.3.bias"])}}
+    return out
+
+
+def convert_bit(sd: Dict[str, Any], layers_per_stage=(2, 2, 2, 2),
+                enc_depth: int = 1, dec_depth: int = 1,
+                resnet_stages_num: int = 5) -> Tuple[dict, dict]:
+    """Reference BIT (networks.py BASE_Transformer / ResNet) state_dict ->
+    stcd_tpu.models.bit.BASETransformer / ResNetCD params/batch_stats.
+
+    resnet_stages_num < 5 drops the torchvision layers the dilated
+    backbone never runs (forward_single stops at layer{stages-1},
+    ref networks.py:291-296)."""
+    resnet_sd = {k[len("resnet."):]: v for k, v in sd.items()
+                 if k.startswith("resnet.")}
+    enc_p, enc_s = convert_resnet(resnet_sd,
+                                  layers_per_stage[:resnet_stages_num - 1])
+    params = {"backbone": {
+        "ResNetEncoder_0": enc_p,
+        "conv_pred": {"kernel": _conv(sd["conv_pred.weight"]),
+                      "bias": np.asarray(sd["conv_pred.bias"])}}}
+    stats = {"backbone": {"ResNetEncoder_0": enc_s}}
+    params["classifier"], stats["classifier"] = _two_layer_conv(sd, "classifier")
+    if "conv_a.weight" in sd:
+        params["conv_a"] = {"kernel": _conv(sd["conv_a.weight"])}
+    if "pos_embedding" in sd:
+        params["pos_embedding"] = np.asarray(sd["pos_embedding"])
+    if "pos_embedding_decoder" in sd:  # (1, C, H, W) -> (1, H, W, C)
+        params["pos_embedding_decoder"] = np.transpose(
+            np.asarray(sd["pos_embedding_decoder"]), (0, 2, 3, 1))
+    if any(k.startswith("transformer.") for k in sd):
+        params["transformer"] = _bit_transformer(
+            sd, "transformer", enc_depth, cross=False)
+    if any(k.startswith("transformer_decoder.") for k in sd):
+        params["transformer_decoder"] = _bit_transformer(
+            sd, "transformer_decoder", dec_depth, cross=True)
+    return params, stats

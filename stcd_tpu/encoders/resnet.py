@@ -46,7 +46,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         identity = x
-        d = self.dilation
+        # BasicBlock does NOT support dilation: torchvision raises, the
+        # reference's local copy silently clamps to 1 (models/resnet.py:45-47).
+        # replace_stride_with_dilation on resnet18/34 therefore only turns
+        # strides into 1 — golden-matched in tests/test_golden_bit.py.
+        d = 1
         out = nn.Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=[(d, d)] * 2, kernel_dilation=(d, d), use_bias=False,

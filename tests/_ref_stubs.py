@@ -1,0 +1,132 @@
+"""Stub modules that let individual REFERENCE model files load standalone
+for golden-parity testing (the reference's own deps — timm, torchvision,
+gcn_lib — are absent on this host, and its models/__init__ cannot run).
+
+Only import-time symbols are stubbed; anything numerically relevant to an
+eval-mode forward (DropPath at eval = identity, trunc_normal_ init) is
+faithful. Instantiating ViG models through these stubs is NOT valid —
+gcn_lib.Grapher here is an identity placeholder for import only.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+REF = "/root/reference/models"
+
+
+def install_ref_stubs():
+    import torch
+    import torch.nn as nn
+
+    if "timm" in sys.modules and not hasattr(sys.modules["timm"], "_stcd_stub"):
+        return  # a real timm exists; nothing to do
+
+    timm = types.ModuleType("timm")
+    timm._stcd_stub = True
+    timm.__path__ = []
+    data = types.ModuleType("timm.data")
+    data.IMAGENET_DEFAULT_MEAN = (0.485, 0.456, 0.406)
+    data.IMAGENET_DEFAULT_STD = (0.229, 0.224, 0.225)
+    models_m = types.ModuleType("timm.models")
+    models_m.__path__ = []
+    layers = types.ModuleType("timm.models.layers")
+
+    def to_2tuple(x):
+        return tuple(x) if isinstance(x, (tuple, list)) else (x, x)
+
+    class DropPath(nn.Module):
+        """timm stochastic depth; identity in eval mode (the golden path)."""
+
+        def __init__(self, drop_prob=None):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):
+            if not self.training or not self.drop_prob:
+                return x
+            keep = 1.0 - self.drop_prob
+            mask = (torch.rand(x.shape[0], *([1] * (x.ndim - 1)),
+                               device=x.device) < keep).to(x.dtype)
+            return x * mask / keep
+
+    layers.DropPath = DropPath
+    layers.to_2tuple = to_2tuple
+    layers.trunc_normal_ = torch.nn.init.trunc_normal_
+    helpers = types.ModuleType("timm.models.helpers")
+    helpers.load_pretrained = lambda *a, **k: None
+    resnet_m = types.ModuleType("timm.models.resnet")
+    resnet_m.resnet26d = resnet_m.resnet50d = lambda *a, **k: nn.Identity()
+    registry = types.ModuleType("timm.models.registry")
+    registry.register_model = lambda fn: fn
+    timm.data = data
+    timm.models = models_m
+    models_m.layers = layers
+    models_m.helpers = helpers
+    models_m.resnet = resnet_m
+    models_m.registry = registry
+    sys.modules.update({
+        "timm": timm, "timm.data": data, "timm.models": models_m,
+        "timm.models.layers": layers, "timm.models.helpers": helpers,
+        "timm.models.resnet": resnet_m, "timm.models.registry": registry,
+    })
+
+    tv = types.ModuleType("torchvision")
+    tvm = types.ModuleType("torchvision.models")
+
+    class _StubResNet(nn.Module):
+        pass
+
+    def _no_vgg(*a, **k):
+        raise RuntimeError("torchvision.vgg16 stub: not instantiable here")
+
+    tvm.ResNet = _StubResNet
+    tvm.vgg16 = _no_vgg
+    tv.models = tvm
+    sys.modules.setdefault("torchvision", tv)
+    sys.modules.setdefault("torchvision.models", tvm)
+
+    gcn = types.ModuleType("gcn_lib")
+
+    class _StubGrapher(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    gcn.Grapher = _StubGrapher
+    gcn.act_layer = lambda *a, **k: nn.ReLU()
+    sys.modules.setdefault("gcn_lib", gcn)
+
+
+def load_ref_model_module(name: str):
+    """Spec-load /root/reference/models/{name}.py as models.{name} without
+    executing the models package __init__. Installs stubs first and patches
+    the stub package with pretrained=False resnet constructors (BIT calls
+    models.resnet18(pretrained=True); there is no weight egress here)."""
+    install_ref_stubs()
+    if ("models" not in sys.modules
+            or not getattr(sys.modules["models"], "_stcd_stub", False)):
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [REF]
+        pkg._stcd_stub = True
+        sys.modules["models"] = pkg
+    pkg = sys.modules["models"]
+    if name != "resnet" and not hasattr(pkg, "resnet18"):
+        res = load_ref_model_module("resnet")
+        for n in ("resnet18", "resnet34", "resnet50"):
+            real = getattr(res, n)
+            setattr(pkg, n,
+                    (lambda real: lambda pretrained=True, **kw:
+                     real(pretrained=False, **kw))(real))
+    mod_name = f"models.{name}"
+    if mod_name in sys.modules:
+        return sys.modules[mod_name]
+    spec = importlib.util.spec_from_file_location(
+        mod_name, os.path.join(REF, f"{name}.py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod

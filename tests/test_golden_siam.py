@@ -101,3 +101,45 @@ def test_siam_family_forward_parity(fname, cls, fusion):
         ja, jb)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("cls,ecam", [("SNUNet_ECAM", True),
+                                      ("Siam_NestedUNet_Conc", False)])
+def test_snunet_forward_parity(cls, ecam):
+    from stcd_tpu.convert.torch_to_flax import convert_snunet
+    from stcd_tpu.models.snunet import SiamNestedUNetConc, SNUNetECAM
+
+    torch.manual_seed(7)
+    mod = _load_ref("SNUNet.py")
+    ref = getattr(mod, cls)(in_ch=3, out_ch=1)
+
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    b = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    _populate_bn_stats(ref, ta, tb)
+    with torch.no_grad():
+        want = ref(ta, tb)
+        if isinstance(want, (list, tuple)):
+            want = want[0]
+        want = want.numpy()
+
+    params, stats = convert_snunet(
+        {k: v.numpy() for k, v in ref.state_dict().items()}, ecam=ecam)
+    model = (SNUNetECAM if ecam else SiamNestedUNetConc)(out_ch=1)
+    ja = jnp.asarray(a.transpose(0, 2, 3, 1))
+    jb = jnp.asarray(b.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), ja, jb)
+    t_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(template["params"])[0]}
+    c_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert t_paths == c_paths, (
+        f"missing={sorted(t_paths - c_paths)[:4]} "
+        f"extra={sorted(c_paths - t_paths)[:4]}")
+    got = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        ja, jb)
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
