@@ -384,3 +384,81 @@ def convert_bit(sd: Dict[str, Any], layers_per_stage=(2, 2, 2, 2),
         params["transformer_decoder"] = _bit_transformer(
             sd, "transformer_decoder", dec_depth, cross=True)
     return params, stats
+
+
+def _ln(sd: Dict[str, Any], prefix: str) -> dict:
+    return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+
+def _linear(sd: Dict[str, Any], prefix: str) -> dict:
+    p = {"kernel": _dense(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _conv_b(sd: Dict[str, Any], prefix: str) -> dict:
+    p = {"kernel": _conv(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def convert_changeformer_v6(sd: Dict[str, Any],
+                            depths=(3, 3, 4, 3)) -> Tuple[dict, dict]:
+    """Reference ChangeFormerV6 state_dict (ChangeFormer.py:1669-1701:
+    EncoderTransformer_v3 'Tenc_x2' + DecoderTransformer_v3 'TDec_x2') ->
+    stcd_tpu.models.changeformer.ChangeFormerV6 params/batch_stats."""
+    enc_p: dict = {}
+    for s in range(1, 5):
+        pe = f"Tenc_x2.patch_embed{s}"
+        enc_p[f"patch_embed{s}"] = {"proj": _conv_b(sd, f"{pe}.proj"),
+                                    "norm": _ln(sd, f"{pe}.norm")}
+        for i in range(depths[s - 1]):
+            base = f"Tenc_x2.block{s}.{i}"
+            attn = {"q": _linear(sd, f"{base}.attn.q"),
+                    "kv": _linear(sd, f"{base}.attn.kv"),
+                    "proj": _linear(sd, f"{base}.attn.proj")}
+            if f"{base}.attn.sr.weight" in sd:
+                attn["sr"] = _conv_b(sd, f"{base}.attn.sr")
+                attn["norm"] = _ln(sd, f"{base}.attn.norm")
+            enc_p[f"block{s}_{i}"] = {
+                "norm1": _ln(sd, f"{base}.norm1"),
+                "norm2": _ln(sd, f"{base}.norm2"),
+                "attn": attn,
+                "mlp": {"fc1": _linear(sd, f"{base}.mlp.fc1"),
+                        "fc2": _linear(sd, f"{base}.mlp.fc2"),
+                        "dw": {"dwconv": _conv_b(sd, f"{base}.mlp.dwconv.dwconv")}},
+            }
+        enc_p[f"norm{s}"] = _ln(sd, f"Tenc_x2.norm{s}")
+
+    dec_p: dict = {}
+    dec_s: dict = {}
+    for k in (1, 2, 3, 4):
+        dec_p[f"linear_c{k}"] = _linear(sd, f"TDec_x2.linear_c{k}.proj")
+        dc, ds = {}, {}
+        for j, off in ((0, 0), (1, 4)):
+            base = f"TDec_x2.diff_c{k}"
+            dc[f"conv{j}"] = _conv_b(sd, f"{base}.{off}")
+            dc[f"prelu{j}"] = np.asarray(sd[f"{base}.{off + 1}.weight"])
+            dc[f"bn{j}"], ds[f"bn{j}"] = _bn(sd, f"{base}.{off + 2}")
+        dec_p[f"diff_c{k}"], dec_s[f"diff_c{k}"] = dc, ds
+        mp = {"conv1": _conv_b(sd, f"TDec_x2.make_pred_c{k}.0"),
+              "conv2": _conv_b(sd, f"TDec_x2.make_pred_c{k}.3")}
+        mp["bn"], bn_s = _bn(sd, f"TDec_x2.make_pred_c{k}.2")
+        dec_p[f"make_pred_c{k}"] = mp
+        dec_s[f"make_pred_c{k}"] = {"bn": bn_s}
+    dec_p["linear_fuse_conv"] = _conv_b(sd, "TDec_x2.linear_fuse.0")
+    dec_p["linear_fuse_bn"], dec_s["linear_fuse_bn"] = _bn(
+        sd, "TDec_x2.linear_fuse.1")
+    for name in ("convd2x", "convd1x"):
+        dec_p[name] = {"ConvTranspose_0": {
+            "kernel": _convT_2x(sd[f"TDec_x2.{name}.conv2d.weight"]),
+            "bias": np.asarray(sd[f"TDec_x2.{name}.conv2d.bias"])}}
+    for name in ("dense_2x", "dense_1x"):
+        dec_p[name] = {
+            "conv1": _conv_b(sd, f"TDec_x2.{name}.0.conv1.conv2d"),
+            "conv2": _conv_b(sd, f"TDec_x2.{name}.0.conv2.conv2d")}
+    dec_p["change_probability"] = _conv_b(sd, "TDec_x2.change_probability.conv2d")
+    return ({"Tenc_x2": enc_p, "TDec_x2": dec_p}, {"TDec_x2": dec_s})

@@ -228,8 +228,10 @@ class MakePrediction(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        c = x.shape[-1]
-        x = nn.Conv(c, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype, name="conv1")(x)
+        # ref reduces to out_channels at conv1 already (Conv(in, out) ->
+        # ReLU -> BN(out) -> Conv(out, out), ChangeFormer.py:1151-1157)
+        x = nn.Conv(self.out_channels, (3, 3), padding=[(1, 1)] * 2,
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         x = MPBatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=jnp.float32, name="bn")(x)
@@ -515,10 +517,12 @@ class ChangeFormerV5(_SiamBase):
 
     @nn.compact
     def __call__(self, x1, x2, train=False):
+        # ref passes patch_size=4 to EncoderTransformer_v3 (:1646) — stage-1
+        # embed stays the hardcoded patch-7/stride-4, stages 2-4 use patch 4
         enc = SegFormerEncoder(
             embed_dims=(64, 128, 320, 512), depths=(3, 6, 16, 3),
-            num_heads=(1, 2, 5, 8), sr_ratios=(8, 4, 2, 1), first_patch=4,
-            first_stride=4, qkv_bias=True, drop_path_rate=0.1,
+            num_heads=(1, 2, 5, 8), sr_ratios=(8, 4, 2, 1), first_patch=7,
+            first_stride=4, patch_size=4, qkv_bias=True, drop_path_rate=0.1,
             dtype=self.dtype, name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerV3(self.embed_dim, self.output_nc,
@@ -533,11 +537,13 @@ class ChangeFormerV6(_SiamBase):
 
     @nn.compact
     def __call__(self, x1, x2, train=False):
+        # ref passes patch_size=7 (:1682) — ALL four patch embeds are 7x7
         enc = SegFormerEncoder(
             embed_dims=(64, 128, 320, 512), depths=(3, 3, 4, 3),
             num_heads=(1, 2, 4, 8), sr_ratios=(8, 4, 2, 1), first_patch=7,
-            first_stride=4, qkv_bias=True, drop_rate=0.1, attn_drop_rate=0.1,
-            drop_path_rate=0.1, dtype=self.dtype, name="Tenc_x2")
+            first_stride=4, patch_size=7, qkv_bias=True, drop_rate=0.1,
+            attn_drop_rate=0.1, drop_path_rate=0.1, dtype=self.dtype,
+            name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerV3(self.embed_dim, self.output_nc,
                                     self.decoder_softmax, dtype=self.dtype,

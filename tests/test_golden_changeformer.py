@@ -1,0 +1,68 @@
+"""Golden forward parity for ChangeFormerV6 (ref models/ChangeFormer.py:
+1669-1701, EncoderTransformer_v3 + DecoderTransformer_v3) vs our
+models/changeformer.py — the reference file is loaded standalone through
+tests/_ref_stubs.py (timm stubbed; DropPath is identity at eval, which is
+the golden path). Validates the SRA attention math, overlap patch embeds,
+DWConv-MLP, conv_diff/make_prediction/PReLU blocks, the multi-scale
+cascade + fuse, and transposed-conv upsampling.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference/models"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+torch = pytest.importorskip("torch")
+
+
+def test_changeformer_v6_forward_parity():
+    from _ref_stubs import load_ref_model_module
+    from stcd_tpu.convert.torch_to_flax import convert_changeformer_v6
+    from stcd_tpu.models.changeformer import ChangeFormerV6
+
+    mod = load_ref_model_module("ChangeFormer")
+    torch.manual_seed(5)
+    ref = mod.ChangeFormerV6(input_nc=3, output_nc=2, decoder_softmax=False,
+                             embed_dim=256)
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    b = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(ta + torch.randn_like(ta) * 0.1, tb)
+    ref.eval()
+    with torch.no_grad():
+        wants = [o.numpy() for o in ref(ta, tb)]
+
+    params, stats = convert_changeformer_v6(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    model = ChangeFormerV6(output_nc=2, decoder_softmax=False, embed_dim=256)
+    ja = jnp.asarray(a.transpose(0, 2, 3, 1))
+    jb = jnp.asarray(b.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), ja, jb)
+    t_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(template["params"])[0]}
+    c_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert t_paths == c_paths, (
+        f"missing={sorted(t_paths - c_paths)[:6]} "
+        f"extra={sorted(c_paths - t_paths)[:6]}")
+    gots = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        ja, jb)
+    assert len(gots) == len(wants) == 5  # 4 side preds + final
+    for i, (got, want) in enumerate(zip(gots, wants)):
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(
+            got, want, atol=5e-4, rtol=1e-3,
+            err_msg=f"multi-scale output {i} diverges")
