@@ -462,3 +462,95 @@ def convert_changeformer_v6(sd: Dict[str, Any],
             "conv2": _conv_b(sd, f"TDec_x2.{name}.0.conv2.conv2d")}
     dec_p["change_probability"] = _conv_b(sd, "TDec_x2.change_probability.conv2d")
     return ({"Tenc_x2": enc_p, "TDec_x2": dec_p}, {"TDec_x2": dec_s})
+
+
+def convert_dtcdscn(sd: Dict[str, Any], layers=(3, 4, 6, 3)) -> Tuple[dict, dict]:
+    """Reference DTCDSCN CDNet_model/CDNet34 state_dict -> stcd_tpu
+    models.dtcdscn.CDNetModel params/batch_stats. Only the live CD path is
+    mapped (the dual-task decoders are commented out in the reference
+    forward, DTCDSCN.py:257-294)."""
+    params: dict = {"firstconv": {"kernel": _conv(sd["firstconv.weight"])}}
+    stats: dict = {}
+    params["firstbn"], stats["firstbn"] = _bn(sd, "firstbn")
+
+    for k, n_blocks in enumerate(layers, start=1):
+        lp, ls = {}, {}
+        for i in range(n_blocks):
+            base = f"encoder{k}.{i}"
+            bp = {"conv1": {"kernel": _conv(sd[f"{base}.conv1.weight"])},
+                  "conv2": {"kernel": _conv(sd[f"{base}.conv2.weight"])},
+                  "se": {"fc1": {"kernel": _dense(sd[f"{base}.se.fc.0.weight"])},
+                         "fc2": {"kernel": _dense(sd[f"{base}.se.fc.2.weight"])}}}
+            bs = {}
+            bp["bn1"], bs["bn1"] = _bn(sd, f"{base}.bn1")
+            bp["bn2"], bs["bn2"] = _bn(sd, f"{base}.bn2")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["down_conv"] = {
+                    "kernel": _conv(sd[f"{base}.downsample.0.weight"])}
+                bp["down_bn"], bs["down_bn"] = _bn(sd, f"{base}.downsample.1")
+            lp[f"block{i}"], ls[f"block{i}"] = bp, bs
+        params[f"encoder{k}"], stats[f"encoder{k}"] = lp, ls
+
+    params["dblock_master"] = {
+        f"dilate{i}": _conv_b(sd, f"dblock_master.dilate{i}")
+        for i in (1, 2, 3, 4)}
+
+    for k in (1, 2, 3, 4):
+        base = f"decoder{k}_master"
+        dp = {"conv1": _conv_b(sd, f"{base}.conv1"),
+              "conv3": _conv_b(sd, f"{base}.conv3"),
+              "scse": {"ce1": {"kernel": _conv(sd[f"{base}.scse.channel_excitation.0.weight"])},
+                       "ce2": {"kernel": _conv(sd[f"{base}.scse.channel_excitation.2.weight"])},
+                       "se": {"kernel": _conv(sd[f"{base}.scse.spatial_se.0.weight"])}},
+              "deconv2": {"kernel": _convT_2x(sd[f"{base}.deconv2.weight"]),
+                          "bias": np.asarray(sd[f"{base}.deconv2.bias"])}}
+        ds = {}
+        for nm in ("norm1", "norm2", "norm3"):
+            dp[nm], ds[nm] = _bn(sd, f"{base}.{nm}")
+        params[base], stats[base] = dp, ds
+
+    params["finaldeconv1_master"] = {
+        "kernel": _convT_2x(sd["finaldeconv1_master.weight"]),
+        "bias": np.asarray(sd["finaldeconv1_master.bias"])}
+    params["finalconv2_master"] = _conv_b(sd, "finalconv2_master")
+    params["finalconv3_master"] = _conv_b(sd, "finalconv3_master")
+    return params, stats
+
+
+def convert_dsifn(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """Reference DSIFN state_dict (models/DSIFN.py:64-188, shared
+    vgg16_base instance as t1_base/t2_base) -> stcd_tpu.models.dsifn.DSIFN
+    params/batch_stats. The defined-but-unused ca1/bn_ca1/bn_ca2 layers
+    (the reference forward skips them, DSIFN.py:131-133) are not mapped."""
+    params: dict = {"base": {}}
+    stats: dict = {}
+    for our_idx, tv_idx in enumerate(_VGG16_CONV_IDX):
+        params["base"][f"conv{our_idx}"] = _conv_b(
+            sd, f"t1_base.features.{tv_idx}")
+
+    branch_convs = {1: ("o1_conv1", "o1_conv2"),
+                    2: ("o2_conv1", "o2_conv2", "o2_conv3"),
+                    3: ("o3_conv1", "o3_conv2", "o3_conv3"),
+                    4: ("o4_conv1", "o4_conv2", "o4_conv3"),
+                    5: ("o5_conv1", "o5_conv2", "o5_conv3")}
+    heads = {1: "o1_conv3", 2: "o2_conv4", 3: "o3_conv4",
+             4: "o4_conv4", 5: "o5_conv4"}
+    for k in (1, 2, 3, 4, 5):
+        for name in branch_convs[k]:
+            p = {"conv": _conv_b(sd, f"{name}.0"),
+                 "prelu": np.asarray(sd[f"{name}.1.weight"])}
+            p["bn"], bn_s = _bn(sd, f"{name}.2")
+            params[name] = p
+            stats[name] = {"bn": bn_s}
+        params[heads[k]] = _conv_b(sd, heads[k])
+        params[f"sa{k}"] = {"conv1": {
+            "kernel": _conv(sd[f"sa{k}.conv1.weight"])}}
+        params[f"bn_sa{k}"], stats[f"bn_sa{k}"] = _bn(sd, f"bn_sa{k}")
+        if k > 1:
+            params[f"ca{k}"] = {
+                "fc1": {"kernel": _conv(sd[f"ca{k}.fc1.weight"])},
+                "fc2": {"kernel": _conv(sd[f"ca{k}.fc2.weight"])}}
+            params[f"trans_conv{k - 1}"] = {"ConvTranspose_0": {
+                "kernel": _convT_2x(sd[f"trans_conv{k - 1}.weight"]),
+                "bias": np.asarray(sd[f"trans_conv{k - 1}.bias"])}}
+    return params, stats

@@ -517,12 +517,15 @@ class ChangeFormerV5(_SiamBase):
 
     @nn.compact
     def __call__(self, x1, x2, train=False):
-        # ref passes patch_size=4 to EncoderTransformer_v3 (:1646) — stage-1
-        # embed stays the hardcoded patch-7/stride-4, stages 2-4 use patch 4
+        # The reference passes patch_size=4 (:1646), which makes stages 2-4
+        # come out (H/2+1)-sized and its own decoder crash on the shape
+        # mismatch at ChangeFormer.py:1582 — reference V5 cannot execute on
+        # ANY input size (verified; dead code like gcn_lib). We keep V5's
+        # depths/heads but use the standard patch-3 embeds so it runs.
         enc = SegFormerEncoder(
             embed_dims=(64, 128, 320, 512), depths=(3, 6, 16, 3),
             num_heads=(1, 2, 5, 8), sr_ratios=(8, 4, 2, 1), first_patch=7,
-            first_stride=4, patch_size=4, qkv_bias=True, drop_path_rate=0.1,
+            first_stride=4, patch_size=3, qkv_bias=True, drop_path_rate=0.1,
             dtype=self.dtype, name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerV3(self.embed_dim, self.output_nc,

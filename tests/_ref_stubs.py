@@ -78,11 +78,26 @@ def install_ref_stubs():
     class _StubResNet(nn.Module):
         pass
 
-    def _no_vgg(*a, **k):
-        raise RuntimeError("torchvision.vgg16 stub: not instantiable here")
+    def _vgg16(pretrained=False, **kw):
+        """Structure-faithful torchvision vgg16 (cfg D) with random init —
+        DSIFN only reads `.features`; golden tests convert whatever weights
+        the instance carries, so pretrained values are irrelevant."""
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
+        layers, cin = [], 3
+        for v in cfg:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers.append(nn.Conv2d(cin, v, 3, padding=1))
+                layers.append(nn.ReLU(inplace=True))
+                cin = v
+        out = nn.Module()
+        out.features = nn.Sequential(*layers)
+        return out
 
     tvm.ResNet = _StubResNet
-    tvm.vgg16 = _no_vgg
+    tvm.vgg16 = _vgg16
     tv.models = tvm
     sys.modules.setdefault("torchvision", tv)
     sys.modules.setdefault("torchvision.models", tvm)

@@ -21,15 +21,8 @@ pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
 torch = pytest.importorskip("torch")
 
 
-def test_changeformer_v6_forward_parity():
-    from _ref_stubs import load_ref_model_module
+def _compare_v3_family(ref, model, depths):
     from stcd_tpu.convert.torch_to_flax import convert_changeformer_v6
-    from stcd_tpu.models.changeformer import ChangeFormerV6
-
-    mod = load_ref_model_module("ChangeFormer")
-    torch.manual_seed(5)
-    ref = mod.ChangeFormerV6(input_nc=3, output_nc=2, decoder_softmax=False,
-                             embed_dim=256)
 
     rng = np.random.default_rng(3)
     a = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
@@ -44,8 +37,7 @@ def test_changeformer_v6_forward_parity():
         wants = [o.numpy() for o in ref(ta, tb)]
 
     params, stats = convert_changeformer_v6(
-        {k: v.numpy() for k, v in ref.state_dict().items()})
-    model = ChangeFormerV6(output_nc=2, decoder_softmax=False, embed_dim=256)
+        {k: v.numpy() for k, v in ref.state_dict().items()}, depths=depths)
     ja = jnp.asarray(a.transpose(0, 2, 3, 1))
     jb = jnp.asarray(b.transpose(0, 2, 3, 1))
     template = model.init(jax.random.PRNGKey(0), ja, jb)
@@ -66,3 +58,37 @@ def test_changeformer_v6_forward_parity():
         np.testing.assert_allclose(
             got, want, atol=5e-4, rtol=1e-3,
             err_msg=f"multi-scale output {i} diverges")
+
+
+def test_changeformer_v6_forward_parity():
+    from _ref_stubs import load_ref_model_module
+    from stcd_tpu.models.changeformer import ChangeFormerV6
+
+    mod = load_ref_model_module("ChangeFormer")
+    torch.manual_seed(5)
+    ref = mod.ChangeFormerV6(input_nc=3, output_nc=2, decoder_softmax=False,
+                             embed_dim=256)
+    _compare_v3_family(ref, ChangeFormerV6(output_nc=2, decoder_softmax=False,
+                                           embed_dim=256), (3, 3, 4, 3))
+
+
+def test_reference_changeformer_v5_is_broken_but_ours_runs():
+    """The reference V5 (patch_size=4 embeds) crashes on every input size:
+    stages 2-4 come out (H/2+1)-sized and the decoder's scale_factor=2
+    interpolate mismatches at ChangeFormer.py:1582. Document the quirk and
+    verify OUR V5 (patch-3 embeds, same depths/heads) actually runs."""
+    from _ref_stubs import load_ref_model_module
+    from stcd_tpu.models.changeformer import ChangeFormerV5
+
+    mod = load_ref_model_module("ChangeFormer")
+    torch.manual_seed(8)
+    ref = mod.ChangeFormerV5(input_nc=3, output_nc=2)
+    with pytest.raises(RuntimeError):
+        with torch.no_grad():
+            ref(torch.zeros(1, 3, 64, 64), torch.zeros(1, 3, 64, 64))
+
+    model = ChangeFormerV5(output_nc=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, x)
+    outs = model.apply(variables, x, x)
+    assert outs[-1].shape == (1, 64, 64, 2)
