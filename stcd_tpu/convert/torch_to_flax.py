@@ -262,11 +262,19 @@ def convert_siam_unet(sd: Dict[str, Any], fusion: str = "diff"
                          "bias": np.asarray(sd["conv11d.bias"])}
 
     if fusion == "crossconc":
-        for s in range(4):
-            # ref cross_conc blocks: diff = Sequential(grouped Conv, BN),
-            # conv_res = Sequential(Conv, BN) — names resolved by caller
-            raise NotImplementedError(
-                "crossconc golden conversion not wired; see tests")
+        for s in range(1, 5):
+            # ref cross_conc{s} (SiamUnet_crossconc.py:11-33,119-122):
+            # diff = Sequential(grouped Conv 2C->C, BN, ReLU),
+            # conv_res = Sequential(Conv C->C, BN), final ReLU
+            base = f"cross_conc{s}"
+            p = {"diff_conv": {"kernel": _conv(sd[f"{base}.diff.0.weight"]),
+                               "bias": np.asarray(sd[f"{base}.diff.0.bias"])},
+                 "res_conv": {"kernel": _conv(sd[f"{base}.conv_res.0.weight"]),
+                              "bias": np.asarray(sd[f"{base}.conv_res.0.bias"])}}
+            s_ = {}
+            p["diff_bn"], s_["diff_bn"] = _bn(sd, f"{base}.diff.1")
+            p["res_bn"], s_["res_bn"] = _bn(sd, f"{base}.conv_res.1")
+            params[base], stats[base] = p, s_
     return params, stats
 
 

@@ -54,6 +54,7 @@ CASES = [
     ("SiamUnet_diff.py", "SiamUnet_diff", "diff"),
     ("SiamUnet_conc.py", "SiamUnet_conc", "conc"),
     ("SiamUnet_sub.py", "SiamUnet_sub", "sub"),
+    ("SiamUnet_crossconc.py", "SiamUnet_cross_conc", "crossconc"),
     ("Unet.py", "Unet", "ef"),
 ]
 
