@@ -418,28 +418,7 @@ def convert_changeformer_v6(sd: Dict[str, Any],
     """Reference ChangeFormerV6 state_dict (ChangeFormer.py:1669-1701:
     EncoderTransformer_v3 'Tenc_x2' + DecoderTransformer_v3 'TDec_x2') ->
     stcd_tpu.models.changeformer.ChangeFormerV6 params/batch_stats."""
-    enc_p: dict = {}
-    for s in range(1, 5):
-        pe = f"Tenc_x2.patch_embed{s}"
-        enc_p[f"patch_embed{s}"] = {"proj": _conv_b(sd, f"{pe}.proj"),
-                                    "norm": _ln(sd, f"{pe}.norm")}
-        for i in range(depths[s - 1]):
-            base = f"Tenc_x2.block{s}.{i}"
-            attn = {"q": _linear(sd, f"{base}.attn.q"),
-                    "kv": _linear(sd, f"{base}.attn.kv"),
-                    "proj": _linear(sd, f"{base}.attn.proj")}
-            if f"{base}.attn.sr.weight" in sd:
-                attn["sr"] = _conv_b(sd, f"{base}.attn.sr")
-                attn["norm"] = _ln(sd, f"{base}.attn.norm")
-            enc_p[f"block{s}_{i}"] = {
-                "norm1": _ln(sd, f"{base}.norm1"),
-                "norm2": _ln(sd, f"{base}.norm2"),
-                "attn": attn,
-                "mlp": {"fc1": _linear(sd, f"{base}.mlp.fc1"),
-                        "fc2": _linear(sd, f"{base}.mlp.fc2"),
-                        "dw": {"dwconv": _conv_b(sd, f"{base}.mlp.dwconv.dwconv")}},
-            }
-        enc_p[f"norm{s}"] = _ln(sd, f"Tenc_x2.norm{s}")
+    enc_p = _convert_mit_encoder(sd, "Tenc_x2", depths)
 
     dec_p: dict = {}
     dec_s: dict = {}
@@ -562,3 +541,119 @@ def convert_dsifn(sd: Dict[str, Any]) -> Tuple[dict, dict]:
                 "kernel": _convT_2x(sd[f"trans_conv{k - 1}.weight"]),
                 "bias": np.asarray(sd[f"trans_conv{k - 1}.bias"])}}
     return params, stats
+
+
+def _convert_mit_encoder(sd: Dict[str, Any], prefix: str, depths) -> dict:
+    """MiT/SegFormer-style encoder state_dict subtree ({prefix}.patch_embed*/
+    block*/norm*) -> our SegFormerEncoder params. Unused reference modules
+    (patch_block*/pnorm*, ChangeFormer.py:52-90 — dead in forward) are
+    skipped."""
+    enc_p: dict = {}
+    n_stages = len(depths)
+    for s in range(1, n_stages + 1):
+        pe = f"{prefix}.patch_embed{s}"
+        enc_p[f"patch_embed{s}"] = {"proj": _conv_b(sd, f"{pe}.proj"),
+                                    "norm": _ln(sd, f"{pe}.norm")}
+        for i in range(depths[s - 1]):
+            base = f"{prefix}.block{s}.{i}"
+            attn = {"q": _linear(sd, f"{base}.attn.q"),
+                    "kv": _linear(sd, f"{base}.attn.kv"),
+                    "proj": _linear(sd, f"{base}.attn.proj")}
+            if f"{base}.attn.sr.weight" in sd:
+                attn["sr"] = _conv_b(sd, f"{base}.attn.sr")
+                attn["norm"] = _ln(sd, f"{base}.attn.norm")
+            enc_p[f"block{s}_{i}"] = {
+                "norm1": _ln(sd, f"{base}.norm1"),
+                "norm2": _ln(sd, f"{base}.norm2"),
+                "attn": attn,
+                "mlp": {"fc1": _linear(sd, f"{base}.mlp.fc1"),
+                        "fc2": _linear(sd, f"{base}.mlp.fc2"),
+                        "dw": {"dwconv": _conv_b(sd, f"{base}.mlp.dwconv.dwconv")}},
+            }
+        enc_p[f"norm{s}"] = _ln(sd, f"{prefix}.norm{s}")
+    return enc_p
+
+
+def _residual_block(sd: Dict[str, Any], prefix: str) -> dict:
+    """ChangeFormerBaseNetworks ResidualBlock inside nn.Sequential:
+    {prefix}.0.conv{1,2}.conv2d."""
+    return {"conv1": _conv_b(sd, f"{prefix}.0.conv1.conv2d"),
+            "conv2": _conv_b(sd, f"{prefix}.0.conv2.conv2d")}
+
+
+def _upsample_conv(sd: Dict[str, Any], prefix: str) -> dict:
+    return {"ConvTranspose_0": {
+        "kernel": _convT_2x(sd[f"{prefix}.conv2d.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.conv2d.bias"])}}
+
+
+def convert_changeformer_v1(sd: Dict[str, Any],
+                            depths=(3, 4, 6, 3)) -> Tuple[dict, dict]:
+    """ChangeFormerV1 (ref :644-674): Tenc + convprojection_base +
+    ConvLayer head -> our models.changeformer.ChangeFormerV1."""
+    cp = {}
+    for name in ("convd16x", "convd8x", "convd4x", "convd2x", "convd1x"):
+        cp[name] = _upsample_conv(sd, f"convproj.{name}")
+    for name in ("dense_4", "dense_3", "dense_2", "dense_1"):
+        cp[name] = _residual_block(sd, f"convproj.{name}")
+    params = {"Tenc": _convert_mit_encoder(sd, "Tenc", depths),
+              "convproj": cp,
+              "change_probability": _conv_b(sd, "change_probability.conv2d")}
+    return params, {}
+
+
+def _tdec_common(sd: Dict[str, Any], prefix: str) -> dict:
+    return {f"linear_c{k}": _linear(sd, f"{prefix}.linear_c{k}.proj")
+            for k in (1, 2, 3, 4)}
+
+
+def convert_changeformer_v2(sd: Dict[str, Any],
+                            depths=(3, 4, 6, 3)) -> Tuple[dict, dict]:
+    """ChangeFormerV2 (ref :918-948): Tenc + TDec fuse head."""
+    td = _tdec_common(sd, "TDec")
+    td["linear_fuse"] = _conv_b(sd, "TDec.linear_fuse")
+    td["convd2x"] = _upsample_conv(sd, "TDec.convd2x")
+    td["convd1x"] = _upsample_conv(sd, "TDec.convd1x")
+    td["dense_2x"] = _residual_block(sd, "TDec.dense_2x")
+    td["dense_1x"] = _residual_block(sd, "TDec.dense_1x")
+    td["change_probability"] = _conv_b(sd, "TDec.change_probability.conv2d")
+    return {"Tenc": _convert_mit_encoder(sd, "Tenc", depths), "TDec": td}, {}
+
+
+def convert_changeformer_v3(sd: Dict[str, Any],
+                            depths=(3, 4, 6, 3)) -> Tuple[dict, dict]:
+    """ChangeFormerV3 (ref :951-973): Tenc + TDecV2 (pixel-shuffle head)."""
+    td = _tdec_common(sd, "TDec")
+    td["linear_fuse"] = _conv_b(sd, "TDec.linear_fuse")
+    td["pix_shuffle_conv"] = _conv_b(sd, "TDec.pix_shuffle_conv")
+    return {"Tenc": _convert_mit_encoder(sd, "Tenc", depths), "TDec": td}, {}
+
+
+def convert_changeformer_v4(sd: Dict[str, Any],
+                            depths=(3, 3, 4, 12, 3)) -> Tuple[dict, dict]:
+    """ChangeFormerV4 (ref :1309-1338): 5-stage EncoderTransformer_x2 +
+    DecoderTransformer_x2 -> our ChangeFormerV4. The decoder's
+    convd1x/dense_1x are defined but unused in the reference forward
+    (:1294-1297) and are skipped."""
+    dec_p: dict = {}
+    dec_s: dict = {}
+    for k in (1, 2, 3, 4, 5):
+        dec_p[f"linear_c{k}"] = _linear(sd, f"TDec_x2.linear_c{k}.proj")
+        dc, ds = {}, {}
+        for j, off in ((0, 0), (1, 4)):
+            base = f"TDec_x2.diff_c{k}"
+            dc[f"conv{j}"] = _conv_b(sd, f"{base}.{off}")
+            dc[f"prelu{j}"] = np.asarray(sd[f"{base}.{off + 1}.weight"])
+            dc[f"bn{j}"], ds[f"bn{j}"] = _bn(sd, f"{base}.{off + 2}")
+        dec_p[f"diff_c{k}"], dec_s[f"diff_c{k}"] = dc, ds
+        mp = {"conv1": _conv_b(sd, f"TDec_x2.make_pred_c{k}.0"),
+              "conv2": _conv_b(sd, f"TDec_x2.make_pred_c{k}.3")}
+        mp["bn"], bn_s = _bn(sd, f"TDec_x2.make_pred_c{k}.2")
+        dec_p[f"make_pred_c{k}"] = mp
+        dec_s[f"make_pred_c{k}"] = {"bn": bn_s}
+    dec_p["linear_fuse"] = _conv_b(sd, "TDec_x2.linear_fuse")
+    dec_p["convd2x"] = _upsample_conv(sd, "TDec_x2.convd2x")
+    dec_p["dense_2x"] = _residual_block(sd, "TDec_x2.dense_2x")
+    dec_p["change_probability"] = _conv_b(sd, "TDec_x2.change_probability.conv2d")
+    return ({"Tenc_x2": _convert_mit_encoder(sd, "Tenc_x2", depths),
+             "TDec_x2": dec_p}, {"TDec_x2": dec_s})

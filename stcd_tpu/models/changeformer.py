@@ -410,10 +410,12 @@ class TDecV2(nn.Module):
             jnp.concatenate(diffs, axis=-1))
         x = nn.relu(nn.Conv(16 * self.output_nc, (3, 3), padding=[(1, 1)] * 2,
                             dtype=dt, name="pix_shuffle_conv")(_c))
-        # PixelShuffle(4), NHWC: (b,h,w,16*o) -> (b,4h,4w,o)
+        # PixelShuffle(4), NHWC. torch semantics: output channel c at
+        # sub-position (dy, dx) reads input channel c*16 + dy*4 + dx, so the
+        # channel dim factors as (o, dy, dx) with o slowest.
         b, h, w, _ = x.shape
-        x = x.reshape(b, h, w, 4, 4, self.output_nc)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 4, w * 4, self.output_nc)
+        x = x.reshape(b, h, w, self.output_nc, 4, 4)
+        x = x.transpose(0, 1, 4, 2, 5, 3).reshape(b, h * 4, w * 4, self.output_nc)
         if self.decoder_softmax:
             x = jax.nn.softmax(x, axis=-1)
         return x

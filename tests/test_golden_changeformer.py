@@ -92,3 +92,92 @@ def test_reference_changeformer_v5_is_broken_but_ours_runs():
     variables = model.init(jax.random.PRNGKey(0), x, x)
     outs = model.apply(variables, x, x)
     assert outs[-1].shape == (1, 64, 64, 2)
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3])
+def test_changeformer_v1_v2_v3_forward_parity(variant):
+    from _ref_stubs import load_ref_model_module
+    from stcd_tpu.convert import torch_to_flax as conv
+    from stcd_tpu.models import changeformer as cf
+
+    mod = load_ref_model_module("ChangeFormer")
+    torch.manual_seed(20 + variant)
+    ref = getattr(mod, f"ChangeFormerV{variant}")(
+        input_nc=3, output_nc=2, decoder_softmax=False).eval()
+
+    rng = np.random.default_rng(20 + variant)
+    a = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    b = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(a), torch.from_numpy(b))
+        if isinstance(want, (list, tuple)):
+            want = want[-1]
+        want = want.numpy()
+
+    converter = getattr(conv, f"convert_changeformer_v{variant}")
+    params, stats = converter({k: v.numpy() for k, v in ref.state_dict().items()})
+    model = getattr(cf, f"ChangeFormerV{variant}")(output_nc=2,
+                                                   decoder_softmax=False)
+    ja = jnp.asarray(a.transpose(0, 2, 3, 1))
+    jb = jnp.asarray(b.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), ja, jb)
+    t_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(template["params"])[0]}
+    c_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert t_paths == c_paths, (
+        f"missing={sorted(t_paths - c_paths)[:6]} "
+        f"extra={sorted(c_paths - t_paths)[:6]}")
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    if "batch_stats" in template:
+        variables["batch_stats"] = template["batch_stats"]
+    got = model.apply(variables, ja, jb)
+    if isinstance(got, (list, tuple)):
+        got = got[-1]
+    got = np.asarray(got).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3)
+
+
+def test_changeformer_v4_forward_parity():
+    from _ref_stubs import load_ref_model_module
+    from stcd_tpu.convert.torch_to_flax import convert_changeformer_v4
+    from stcd_tpu.models.changeformer import ChangeFormerV4
+
+    mod = load_ref_model_module("ChangeFormer")
+    torch.manual_seed(30)
+    ref = mod.ChangeFormerV4(input_nc=3, output_nc=2, decoder_softmax=False)
+
+    rng = np.random.default_rng(30)
+    a = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    b = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    ta, tb = torch.from_numpy(a), torch.from_numpy(b)
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(ta + torch.randn_like(ta) * 0.1, tb)
+    ref.eval()
+    with torch.no_grad():
+        wants = [o.numpy() for o in ref(ta, tb)]
+
+    params, stats = convert_changeformer_v4(
+        {k: v.numpy() for k, v in ref.state_dict().items()})
+    model = ChangeFormerV4(output_nc=2, decoder_softmax=False)
+    ja = jnp.asarray(a.transpose(0, 2, 3, 1))
+    jb = jnp.asarray(b.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), ja, jb)
+    t_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(template["params"])[0]}
+    c_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+    assert t_paths == c_paths, (
+        f"missing={sorted(t_paths - c_paths)[:6]} "
+        f"extra={sorted(c_paths - t_paths)[:6]}")
+    gots = model.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        ja, jb)
+    assert len(gots) == len(wants) == 6  # 5 side preds + final
+    for i, (got, want) in enumerate(zip(gots, wants)):
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=5e-4, rtol=1e-3,
+                                   err_msg=f"x2 multi-scale output {i}")
