@@ -61,11 +61,23 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
     global_step = 0
     for epoch in range(1, n_epochs + 1):
         train_metric = SegmentationMetric(2)
+        # Accumulate confusion counts ON DEVICE and flush to the host
+        # float64 matrix only periodically: np.asarray(out["cm"]) every step
+        # would block until the step finishes and kill the async-dispatch
+        # pipeline (the reference pays this via .cpu() per iteration,
+        # train_pse_cd.py:230-236). int32 counts stay exact for ~2^31
+        # pixels; flushing every 128 steps keeps far under that.
+        cm_dev = None
+        steps_since_flush = 0
         for batch in train_loader:
             rng, step_rng = jax.random.split(rng)
             names = batch.pop("name", None)
             state, out = train_step(state, batch, step_rng)
-            train_metric.confusionMatrix += np.asarray(out["cm"], np.float64)
+            cm_dev = out["cm"] if cm_dev is None else cm_dev + out["cm"]
+            steps_since_flush += 1
+            if steps_since_flush >= 128:
+                train_metric.confusionMatrix += np.asarray(cm_dev, np.float64)
+                cm_dev, steps_since_flush = None, 0
             bs = next(iter(batch.values())).shape[0]
             meter.update(bs)
             if global_step % log_every == 0:
@@ -74,6 +86,8 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
                     if k in out:
                         logger.add_scalar(f"train/{k}", float(out[k]), global_step)
             global_step += 1
+        if cm_dev is not None:
+            train_metric.confusionMatrix += np.asarray(cm_dev, np.float64)
         tm = _epoch_metrics(train_metric)
         logger.add_scalar("train/F1", tm["F1"], epoch)
         logger.add_scalar("train/IoU", tm["IoU"], epoch)
@@ -95,11 +109,15 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
 
 def evaluate(eval_step, state, eval_loader) -> Dict[str, float]:
     metric = SegmentationMetric(2)
+    cm_dev = None
     for batch in eval_loader:
         batch = dict(batch)
         batch.pop("name", None)
         out = eval_step(state, batch)
-        metric.confusionMatrix += np.asarray(out["cm"], np.float64)
+        # device-side accumulation; single host transfer at the end
+        cm_dev = out["cm"] if cm_dev is None else cm_dev + out["cm"]
+    if cm_dev is not None:
+        metric.confusionMatrix += np.asarray(cm_dev, np.float64)
     return _epoch_metrics(metric)
 
 
