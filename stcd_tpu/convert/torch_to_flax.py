@@ -657,3 +657,169 @@ def convert_changeformer_v4(sd: Dict[str, Any],
     dec_p["change_probability"] = _conv_b(sd, "TDec_x2.change_probability.conv2d")
     return ({"Tenc_x2": _convert_mit_encoder(sd, "Tenc_x2", depths),
              "TDec_x2": dec_p}, {"TDec_x2": dec_s})
+
+
+def convert_fpn_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """smp FPNDecoder state_dict -> our decoders.fpn.FPNDecoder params.
+    Keys: p5, p{4,3,2}.skip_conv, seg_blocks.{i}.block.{j}.block.{0=conv
+    bias-free, 1=GroupNorm} (ref decoders/fpn/decoder.py)."""
+    params = {"p5": _conv_b(sd, "p5")}
+    for name in ("p4", "p3", "p2"):
+        params[f"{name}_skip"] = _conv_b(sd, f"{name}.skip_conv")
+    for i, n_up in enumerate((3, 2, 1, 0)):
+        for j in range(max(n_up, 1)):
+            base = f"seg_blocks.{i}.block.{j}.block"
+            params[f"seg{i}_{j}"] = {
+                "conv": {"kernel": _conv(sd[f"{base}.0.weight"])},
+                "gn": {"scale": np.asarray(sd[f"{base}.1.weight"]),
+                       "bias": np.asarray(sd[f"{base}.1.bias"])}}
+    return params, {}
+
+
+def convert_psp_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """smp PSPDecoder -> our decoders.pspnet.PSPDecoder.
+    psp.blocks.{i}.pool.1 = Conv2dReLU (BN disabled for pool_size=1)."""
+    params, stats = {}, {}
+    for i in range(4):
+        p, s = _conv_block(sd, f"psp.blocks.{i}.pool.1")
+        params[f"psp{i}"] = p
+        if s:
+            stats[f"psp{i}"] = s
+    params["conv"], conv_s = _conv_block(sd, "conv")
+    if conv_s:
+        stats["conv"] = conv_s
+    return params, stats
+
+
+def convert_linknet_decoder(sd: Dict[str, Any],
+                            n_blocks: int = 5) -> Tuple[dict, dict]:
+    """smp LinknetDecoder -> our decoders.linknet.LinknetDecoder.
+    blocks.{i}.block.{0=Conv2dReLU, 1=TransposeX2(convT, bn, relu),
+    2=Conv2dReLU}."""
+    params, stats = {}, {}
+    for i in range(n_blocks):
+        base = f"blocks.{i}.block"
+        bp, bs = {}, {}
+        bp["conv1"], bs["conv1"] = _conv_block(sd, f"{base}.0")
+        bp["transpose"] = {
+            "kernel": _convT_2x(sd[f"{base}.1.0.weight"]),
+            "bias": np.asarray(sd[f"{base}.1.0.bias"])}
+        if f"{base}.1.1.running_mean" in sd:
+            bp["transpose_bn"], bs["transpose_bn"] = _bn(sd, f"{base}.1.1")
+        bp["conv2"], bs["conv2"] = _conv_block(sd, f"{base}.2")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = {k: v for k, v in bs.items() if v}
+    return params, stats
+
+
+def convert_unetplusplus_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """smp UnetPlusPlusDecoder -> our decoders.unetplusplus
+    (nested nodes share the x_{depth}_{layer} naming on both sides)."""
+    params, stats = {}, {}
+    nodes = sorted({k.split(".")[1] for k in sd if k.startswith("blocks.")})
+    for node in nodes:
+        bp, bs = {}, {}
+        for cname in ("conv1", "conv2"):
+            bp[cname], bs[cname] = _conv_block(sd, f"blocks.{node}.{cname}")
+        params[node] = bp
+        stats[node] = {k: v for k, v in bs.items() if v}
+    return params, stats
+
+
+def convert_manet_decoder(sd: Dict[str, Any],
+                          n_blocks: int = 5) -> Tuple[dict, dict]:
+    """smp MAnetDecoder -> our decoders.manet.MAnetDecoder.
+    center = PAB; blocks.{i} = MFAB (with skip) or DecoderBlock (last)."""
+    params = {"center": {
+        "top": _conv_b(sd, "center.top_conv"),
+        "center": _conv_b(sd, "center.center_conv"),
+        "bottom": _conv_b(sd, "center.bottom_conv"),
+        "out_conv": _conv_b(sd, "center.out_conv")}}
+    stats: dict = {}
+    for i in range(n_blocks):
+        base = f"blocks.{i}"
+        bp, bs = {}, {}
+        if f"{base}.hl_conv.0.0.weight" in sd:  # MFAB
+            bp["hl1"], bs["hl1"] = _conv_block(sd, f"{base}.hl_conv.0")
+            bp["hl2"], bs["hl2"] = _conv_block(sd, f"{base}.hl_conv.1")
+            for ours, ref in (("se_hl", "SE_hl"), ("se_ll", "SE_ll")):
+                bp[ours] = {"fc1": _conv_b(sd, f"{base}.{ref}.1"),
+                            "fc2": _conv_b(sd, f"{base}.{ref}.3")}
+        bp["conv1"], bs["conv1"] = _conv_block(sd, f"{base}.conv1")
+        bp["conv2"], bs["conv2"] = _conv_block(sd, f"{base}.conv2")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = {k: v for k, v in bs.items() if v}
+    return params, stats
+
+
+def _aspp(sd: Dict[str, Any], prefix: str, separable: bool) -> Tuple[dict, dict]:
+    """smp ASPP -> our decoders.deeplabv3.ASPP params/batch_stats."""
+    p, s = {}, {}
+    p["b0_conv"] = {"kernel": _conv(sd[f"{prefix}.convs.0.0.weight"])}
+    p["b0_bn"], s["b0_bn"] = _bn(sd, f"{prefix}.convs.0.1")
+    for i in (1, 2, 3):
+        if separable:
+            bp, bs = {}, {}
+            bp["dw"] = {"kernel": _conv(sd[f"{prefix}.convs.{i}.0.0.weight"])}
+            bp["pw"] = {"kernel": _conv(sd[f"{prefix}.convs.{i}.0.1.weight"])}
+            bp["bn"], bs["bn"] = _bn(sd, f"{prefix}.convs.{i}.1")
+            p[f"b{i}"], s[f"b{i}"] = bp, bs
+        else:
+            p[f"b{i}_conv"] = {"kernel": _conv(sd[f"{prefix}.convs.{i}.0.weight"])}
+            p[f"b{i}_bn"], s[f"b{i}_bn"] = _bn(sd, f"{prefix}.convs.{i}.1")
+    p["pool_conv"] = {"kernel": _conv(sd[f"{prefix}.convs.4.1.weight"])}
+    p["pool_bn"], s["pool_bn"] = _bn(sd, f"{prefix}.convs.4.2")
+    p["project_conv"] = {"kernel": _conv(sd[f"{prefix}.project.0.weight"])}
+    p["project_bn"], s["project_bn"] = _bn(sd, f"{prefix}.project.1")
+    return p, s
+
+
+def convert_deeplabv3_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """smp DeepLabV3Decoder (Sequential: ASPP, Conv, BN, ReLU)."""
+    params, stats = {}, {}
+    params["aspp"], stats["aspp"] = _aspp(sd, "0", separable=False)
+    params["conv"] = {"kernel": _conv(sd["1.weight"])}
+    params["bn"], stats["bn"] = _bn(sd, "2")
+    return params, stats
+
+
+def convert_deeplabv3plus_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """smp DeepLabV3PlusDecoder."""
+    params, stats = {}, {}
+    params["aspp"], stats["aspp"] = _aspp(sd, "aspp.0", separable=True)
+    sep_p, sep_s = {}, {}
+    sep_p["dw"] = {"kernel": _conv(sd["aspp.1.0.weight"])}
+    sep_p["pw"] = {"kernel": _conv(sd["aspp.1.1.weight"])}
+    sep_p["bn"], sep_s["bn"] = _bn(sd, "aspp.2")
+    params["aspp_sep"], stats["aspp_sep"] = sep_p, sep_s
+    params["block1_conv"] = {"kernel": _conv(sd["block1.0.weight"])}
+    params["block1_bn"], stats["block1_bn"] = _bn(sd, "block1.1")
+    b2_p, b2_s = {}, {}
+    b2_p["dw"] = {"kernel": _conv(sd["block2.0.0.weight"])}
+    b2_p["pw"] = {"kernel": _conv(sd["block2.0.1.weight"])}
+    b2_p["bn"], b2_s["bn"] = _bn(sd, "block2.1")
+    params["block2"], stats["block2"] = b2_p, b2_s
+    return params, stats
+
+
+def convert_pan_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """smp PANDecoder -> our decoders.pan.PANDecoder (FPA + 3 GAU)."""
+    def cbr(prefix):
+        p = {"conv": _conv_b(sd, f"{prefix}.conv")}
+        p["bn"], s = _bn(sd, f"{prefix}.bn")
+        return p, {"bn": s}
+
+    params, stats = {}, {}
+    fpa_p, fpa_s = {}, {}
+    for ours, ref in (("branch1", "branch1.1"), ("mid", "mid.0"),
+                      ("down1", "down1.1"), ("down2", "down2.1"),
+                      ("down3a", "down3.1"), ("down3b", "down3.2"),
+                      ("conv1", "conv1"), ("conv2", "conv2")):
+        fpa_p[ours], fpa_s[ours] = cbr(f"fpa.{ref}")
+    params["fpa"], stats["fpa"] = fpa_p, fpa_s
+    for k in (1, 2, 3):
+        gp, gs = {}, {}
+        gp["conv1"], gs["conv1"] = cbr(f"gau{k}.conv1.1")
+        gp["conv2"], gs["conv2"] = cbr(f"gau{k}.conv2")
+        params[f"gau{k}"], stats[f"gau{k}"] = gp, gs
+    return params, stats

@@ -31,7 +31,11 @@ class PAB(nn.Module):
         sp = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
         # NOTE ref softmaxes over the FLATTENED (h*w)^2 map (decoder.py:31)
         sp = jax.nn.softmax(sp.reshape(b, -1), axis=-1).reshape(b, h * w, h * w)
-        out = jnp.einsum("bnm,bmc->bnc", sp.astype(v.dtype), v).reshape(b, h, w, c)
+        out = jnp.einsum("bnm,bmc->bnc", sp.astype(v.dtype), v)
+        # ref then row-major-reshapes the (hw, C) result straight to
+        # (C, h, w) WITHOUT transposing (decoder.py:35) — a stock-smp quirk
+        # that permutes (position, channel); reproduced for golden parity.
+        out = out.reshape(b, c, h, w).transpose(0, 2, 3, 1)
         x = x + out
         return nn.Conv(c, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                        name="out_conv")(x)

@@ -145,3 +145,52 @@ def load_ref_model_module(name: str):
     sys.modules[mod_name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def load_ref_smp_module(dotted: str):
+    """Import a submodule of the reference's vendored
+    segmentation_models_pytorch WITHOUT executing the top-level __init__
+    (which needs timm/pretrainedmodels). Sub-packages like `base` are
+    torch-only and import normally once the parent package is stubbed."""
+    import importlib
+    install_ref_stubs()
+    root = "/root/reference/segmentation_models_pytorch"
+    if ("segmentation_models_pytorch" not in sys.modules
+            or not getattr(sys.modules["segmentation_models_pytorch"],
+                           "_stcd_stub", False)):
+        pkg = types.ModuleType("segmentation_models_pytorch")
+        pkg.__path__ = [root]
+        pkg._stcd_stub = True
+        sys.modules["segmentation_models_pytorch"] = pkg
+    return importlib.import_module(f"segmentation_models_pytorch.{dotted}")
+
+
+def load_ref_smp_file(dotted: str):
+    """Spec-load one FILE of the vendored smp (e.g.
+    'decoders.fpn.decoder') without executing ANY package __init__ along
+    the way (decoder __init__s import the encoder zoo, which needs
+    torchvision/pretrainedmodels). Parent packages become path-stubs; the
+    file's own `from segmentation_models_pytorch.base import ...` then
+    resolves through load_ref_smp_module (base is torch-only)."""
+    load_ref_smp_module("base")  # make the real base subpackage importable
+    root = "/root/reference/segmentation_models_pytorch"
+    parts = dotted.split(".")
+    parent = "segmentation_models_pytorch"
+    path = root
+    for p in parts[:-1]:
+        parent = f"{parent}.{p}"
+        path = os.path.join(path, p)
+        if parent not in sys.modules:
+            pkg = types.ModuleType(parent)
+            pkg.__path__ = [path]
+            pkg._stcd_stub = True
+            sys.modules[parent] = pkg
+    mod_name = f"segmentation_models_pytorch.{dotted}"
+    if mod_name in sys.modules:
+        return sys.modules[mod_name]
+    spec = importlib.util.spec_from_file_location(
+        mod_name, os.path.join(path, parts[-1] + ".py"))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[mod_name] = mod
+    spec.loader.exec_module(mod)
+    return mod
