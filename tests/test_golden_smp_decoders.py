@@ -228,3 +228,37 @@ def test_pan_decoder_parity():
     _check(model, {"params": jax.tree_util.tree_map(jnp.asarray, params),
                    "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
            feats, want)
+
+
+def test_mit_b0_encoder_parity():
+    """Vendored smp mix_transformer (mit_b0) vs our MixTransformerEncoder:
+    all four transformer stages + the smp [x, dummy] contract."""
+    from _ref_stubs import load_ref_smp_file
+    from stcd_tpu.convert.torch_to_flax import _convert_mit_encoder
+    from stcd_tpu.encoders.mix_transformer import MixTransformerEncoder
+
+    mod = load_ref_smp_file("encoders.mix_transformer")
+    torch.manual_seed(11)
+    cfg = dict(mod.mix_transformer_encoders["mit_b0"]["params"])
+    ref = mod.MixVisionTransformerEncoder(depth=5, **cfg).eval()
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        wants = [f.numpy() for f in ref(torch.from_numpy(x))]
+
+    sd = {f"E.{k}": v.numpy() for k, v in ref.state_dict().items()}
+    params = {"mit": _convert_mit_encoder(sd, "E", (2, 2, 2, 2))}
+    model = MixTransformerEncoder(variant="mit_b0")
+    jx = jnp.asarray(x.transpose(0, 2, 3, 1))
+    template = model.init(jax.random.PRNGKey(0), jx)
+    _structure_match(template, params)
+    gots = model.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                       jx)
+    assert len(gots) == len(wants) == 6
+    for i, (got, want) in enumerate(zip(gots, wants)):
+        if want.shape[1] == 0:
+            continue  # dummy level
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want, atol=3e-4, rtol=1e-3,
+                                   err_msg=f"mit stage {i}")
