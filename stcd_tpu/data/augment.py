@@ -161,11 +161,22 @@ def normalize(img: jax.Array, mean=IMAGENET_MEAN, std=IMAGENET_STD) -> jax.Array
     return (img - mean) / std
 
 
+def to_float01(img: jax.Array) -> jax.Array:
+    """uint8 [0,255] -> float32 [0,1]; float inputs pass through. Lets the
+    host pipeline ship uint8 (4x less H2D traffic) with the scale fused
+    into the jitted step."""
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        return img.astype(jnp.float32) / 255.0
+    return img
+
+
 @functools.partial(jax.jit, static_argnames=("jitter_p",))
 def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.Array:
     """The reference's train-time pipeline for ONE temporal image
     (ref data/dataset.py:404-411): ColorJitter p=0.5 -> RandomGrayscale
-    p=0.2 -> blur p=0.5 -> ImageNet-normalize. Input [0,1] float NHWC or HWC."""
+    p=0.2 -> blur p=0.5 -> ImageNet-normalize. Input [0,1] float (or uint8)
+    NHWC or HWC."""
+    img = to_float01(img)
     k1, k1p, k2, k3 = jax.random.split(key, 4)
     jittered = color_jitter(k1, img)
     img = jnp.where(jax.random.uniform(k1p) < jitter_p, jittered, img)
@@ -175,7 +186,7 @@ def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.
 
 
 def eval_preprocess(img: jax.Array) -> jax.Array:
-    return normalize(img)
+    return normalize(to_float01(img))
 
 
 # ---------------------------------------------------------------------------

@@ -7,22 +7,39 @@ import numpy as np
 from PIL import Image
 
 
+_UINT8_TRANSFER = False
+
+
+def set_uint8_transfer(enabled: bool) -> None:
+    """Keep decoded images/labels in uint8 on the host so host->device
+    copies move 4x less data; the jitted train/eval steps convert to
+    float and scale 1/255 on-device (stcd_tpu.data.augment.to_float01).
+    Equivalent to the float path (n/255 either way) up to XLA
+    fusion-level fp32 rounding (~1e-5 relative)."""
+    global _UINT8_TRANSFER
+    _UINT8_TRANSFER = bool(enabled)
+
+
 def read_image(path: str) -> np.ndarray:
-    """RGB image as float32 [0,1], HWC (torchvision ToTensor parity)."""
+    """RGB image HWC: float32 [0,1] (torchvision ToTensor parity), or
+    uint8 [0,255] under set_uint8_transfer(True)."""
     with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
-    return arr
+        arr = np.asarray(im.convert("RGB"), np.uint8)
+    if _UINT8_TRANSFER:
+        return arr
+    return arr.astype(np.float32) / 255.0
 
 
 def read_label(path: str) -> np.ndarray:
     """Binary label from the R channel of an RGB-read PNG, binarized via
     label[label>=1]=1 (ref data/dataset.py:160-164 pattern). Returns (H,W,1)
-    float32 in {0,1}."""
+    in {0,1}: float32, or uint8 under set_uint8_transfer(True)."""
     with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"), np.float32)
-    lab = arr[..., 0:1].copy()
-    lab[lab >= 1] = 1.0
-    return lab
+        arr = np.asarray(im.convert("RGB"), np.uint8)
+    lab = (arr[..., 0:1] >= 1)
+    if _UINT8_TRANSFER:
+        return lab.astype(np.uint8)
+    return lab.astype(np.float32)
 
 
 def save_mask_png(mask: np.ndarray, path: str) -> None:

@@ -149,3 +149,41 @@ def test_tiled_inference_roundtrip(np_rng):
     assert out.shape == (70, 90, 1)
     expected = ((img + imgb) / 2).mean(-1, keepdims=True)
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_uint8_transfer_path_matches_float(tmp_path):
+    """set_uint8_transfer ships uint8 to the device; the jitted step's
+    to_float01 must make it numerically identical to the float32 path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stcd_tpu.data import io as dio
+    from stcd_tpu.data.augment import eval_preprocess, train_augment
+
+    rng = np.random.default_rng(0)
+    img_u8 = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    img_f = img_u8.astype(np.float32) / 255.0
+    np.testing.assert_allclose(
+        np.asarray(eval_preprocess(jnp.asarray(img_u8))),
+        np.asarray(eval_preprocess(jnp.asarray(img_f))), atol=1e-6)
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(
+        np.asarray(train_augment(key, jnp.asarray(img_u8))),
+        np.asarray(train_augment(key, jnp.asarray(img_f))), atol=1e-5)
+
+    # file readers honor the switch and the binarization stays identical
+    from PIL import Image
+    p = tmp_path / "x.png"
+    Image.fromarray(img_u8).save(p)
+    lp = tmp_path / "l.png"
+    Image.fromarray((rng.integers(0, 2, (16, 16), np.uint8) * 255)).save(lp)
+    try:
+        dio.set_uint8_transfer(True)
+        assert dio.read_image(str(p)).dtype == np.uint8
+        lab_u8 = dio.read_label(str(lp))
+        assert lab_u8.dtype == np.uint8 and set(np.unique(lab_u8)) <= {0, 1}
+    finally:
+        dio.set_uint8_transfer(False)
+    assert dio.read_image(str(p)).dtype == np.float32
+    np.testing.assert_array_equal(dio.read_label(str(lp)),
+                                  lab_u8.astype(np.float32))
