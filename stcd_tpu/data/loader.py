@@ -37,7 +37,13 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int = 4, shuffle: bool = False,
                  num_workers: int = 4, drop_last: bool = False,
-                 seed: int = 1337, sharding=None, prefetch: int = 2):
+                 seed: int = 1337, sharding=None, prefetch: int = 2,
+                 process_index: int = None, process_count: int = None):
+        """``process_index``/``process_count`` partition the dataset
+        across hosts for multi-host SPMD (each process loads a strided
+        subset and feeds its addressable shard of the global batch);
+        default to jax.process_index()/process_count() when multi-host,
+        1-process otherwise. ``batch_size`` stays the PER-PROCESS size."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -46,10 +52,22 @@ class DataLoader:
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
+        if process_count is None:
+            import jax as _jax
+            process_count = _jax.process_count()
+            process_index = _jax.process_index()
+        self.process_index = process_index or 0
+        self.process_count = max(1, process_count)
         self._epoch = 0
 
-    def __len__(self):
+    def _local_count(self):
         n = len(self.dataset)
+        if self.process_count == 1:
+            return n
+        return len(range(self.process_index, n, self.process_count))
+
+    def __len__(self):
+        n = self._local_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -65,8 +83,12 @@ class DataLoader:
         n = len(self.dataset)
         idx = np.arange(n)
         if self.shuffle:
+            # same permutation on every process (seed is epoch-keyed, not
+            # process-keyed), then a disjoint strided slice per process
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        if self.process_count > 1:
+            idx = idx[self.process_index::self.process_count]
         self._epoch += 1
         return idx
 

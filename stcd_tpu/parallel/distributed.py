@@ -1,0 +1,61 @@
+"""Multi-host SPMD setup.
+
+The reference has no distributed capability at all (single-process
+nn.DataParallel, SURVEY.md §2.5); the TPU-native scale-out is:
+
+1. ``initialize()`` once per process (no-op single-host) — JAX's
+   coordination service wires all hosts into one SPMD program.
+2. ``create_mesh()`` (parallel/mesh.py) over ``jax.devices()`` — which
+   after initialize() spans ALL hosts' chips; data-parallel batches ride
+   ICI within a slice and DCN across slices, with XLA inserting the
+   collectives.
+3. ``DataLoader(..., process_index/process_count)`` (data/loader.py)
+   partitions the dataset per host; each host device_puts its
+   addressable shard and jit assembles the global array.
+
+Single-host multi-chip needs none of this — create_mesh() alone.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize for multi-host runs; silently a no-op
+    when single-process (TPU pods auto-discover via the TPU runtime, so
+    all-None arguments are valid there)."""
+    if num_processes == 1:
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError) as e:  # already initialized / 1-proc
+        if "already" not in str(e).lower() and num_processes not in (None, 1):
+            raise
+
+
+def global_batch_sharding(mesh):
+    """Sharding for a global batch assembled from per-process shards:
+    batch dim over 'data' (same as single-host; jax.make_array_from_
+    process_local_data handles the host boundary)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P("data"))
+
+
+def assemble_global_batch(mesh, local_batch: dict) -> dict:
+    """Build global jax.Arrays from each process's local numpy batch
+    (multi-host path; on one host this is just device_put+shard)."""
+    sharding = global_batch_sharding(mesh)
+    out = {}
+    for k, v in local_batch.items():
+        if hasattr(v, "shape"):
+            out[k] = jax.make_array_from_process_local_data(sharding, v)
+        else:
+            out[k] = v
+    return out

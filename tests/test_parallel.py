@@ -87,3 +87,45 @@ def test_tensor_parallel_param_sharding(setup):
     batch_sharded = jax.device_put(batch, batch_sharding(mesh))
     _, out = train_step(state2, batch_sharded, jax.random.PRNGKey(3))
     assert np.isfinite(float(out["loss"]))
+
+
+def test_loader_process_partitioning():
+    """Multi-host dataset sharding: disjoint strided subsets that cover
+    the dataset, same shuffle permutation on every process."""
+    import numpy as np
+    from stcd_tpu.data.loader import DataLoader
+
+    class Idx:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2, 1), i, np.float32)}
+
+    seen = []
+    for p in range(3):
+        dl = DataLoader(Idx(), batch_size=2, shuffle=True, prefetch=0,
+                        process_index=p, process_count=3, seed=7)
+        vals = []
+        for batch in dl:
+            vals.extend(int(v) for v in np.asarray(batch["x"])[:, 0, 0, 0])
+        seen.append(vals)
+    flat = sorted(v for vals in seen for v in vals)
+    assert flat == list(range(10)), "processes must cover the dataset"
+    assert not (set(seen[0]) & set(seen[1])), "shards must be disjoint"
+    assert len(seen[0]) == 4 and len(seen[1]) == 3  # strided split of 10
+
+
+def test_assemble_global_batch_single_host():
+    import numpy as np
+    import jax.numpy as jnp
+    from stcd_tpu.parallel.distributed import assemble_global_batch, initialize
+    from stcd_tpu.parallel.mesh import create_mesh
+
+    initialize(num_processes=1)  # no-op
+    mesh = create_mesh(model=1)
+    batch = {"A": np.ones((8, 4, 4, 3), np.float32), "name": ["a"] * 8}
+    out = assemble_global_batch(mesh, batch)
+    assert out["A"].shape == (8, 4, 4, 3)
+    assert float(jnp.sum(out["A"])) == 8 * 4 * 4 * 3
+    assert out["name"] == ["a"] * 8
