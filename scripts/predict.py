@@ -1,0 +1,91 @@
+"""Whole-scene change-map inference from two raster images of ANY size.
+
+The reference's answer to large rasters is offline tiling to disk
+(split.py:43-46) followed by per-tile inference inside gated train-script
+blocks (train_stcd.py:137-204). This CLI replaces both: in-memory
+tile/stitch sharded over the device mesh (stcd_tpu/data/tiled_inference).
+
+Usage:
+  python scripts/predict.py --image_a t1.png --image_b t2.png \
+      --load_path runs/STCD --out change.png [--tile 256 --stride 128] \
+      [--threshold 0.5] [--prob_out probs.npy]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import scripts.common  # noqa: F401  (STCD_FORCE_CPU + compile cache)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stcd_tpu.data.io import read_image, save_mask_png
+from stcd_tpu.data.tiled_inference import predict_scene
+from stcd_tpu.models import SegCD
+from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
+from stcd_tpu.train.checkpoint import CheckpointManager
+from stcd_tpu.train.state import create_train_state
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image_a", required=True)
+    p.add_argument("--image_b", required=True)
+    p.add_argument("--load_path", required=True,
+                   help="checkpoint dir (best/last) or explicit checkpoint")
+    p.add_argument("--out", required=True, help="output change-mask PNG")
+    p.add_argument("--prob_out", default=None, help="optional .npy of probs")
+    p.add_argument("--encoder", default="resnet50")
+    p.add_argument("--decoder_channels", default="256,128,64,32,16")
+    p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--stride", type=int, default=256)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args()
+
+    a = read_image(args.image_a)
+    b = read_image(args.image_b)
+    assert a.shape == b.shape, f"scene shapes differ: {a.shape} vs {b.shape}"
+
+    dec = tuple(int(c) for c in args.decoder_channels.split(","))
+    model = SegCD(encoder_name=args.encoder, classes=1, decoder_channels=dec,
+                  dtype=jnp.bfloat16 if args.bf16 else None)
+    example = jnp.zeros((1, args.tile, args.tile, 3))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (example, example), optax.sgd(0.0))
+    mgr = CheckpointManager(args.load_path)
+    ckpt = mgr.best_path() or os.path.join(args.load_path)
+    state = mgr.load_weights(state, ckpt)
+    print(f"loaded {ckpt}")
+
+    mesh = create_mesh(model=1)
+    sharding = batch_sharding(mesh) if len(jax.devices()) > 1 else None
+
+    @jax.jit
+    def predict_fn(ta, tb):
+        _, _, diff = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            ta, tb)
+        return jax.nn.sigmoid(diff.astype(jnp.float32))
+
+    from stcd_tpu.data.augment import eval_preprocess
+    probs = predict_scene(
+        lambda ta, tb: predict_fn(eval_preprocess(ta), eval_preprocess(tb)),
+        a, b, tile=args.tile, stride=args.stride, sharding=sharding)
+    mask = (probs[..., 0] > args.threshold).astype(np.uint8)
+    save_mask_png(mask, args.out)
+    if args.prob_out:
+        np.save(args.prob_out, probs)
+    changed = float(mask.mean())
+    print(f"wrote {args.out} ({mask.shape[1]}x{mask.shape[0]}, "
+          f"{changed:.2%} changed)")
+
+
+if __name__ == "__main__":
+    main()

@@ -46,3 +46,41 @@ def test_train_pse_cd_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     assert "best cd IoU" in out.stdout
     assert (tmp_path / "run" / "last_ckpt").exists()
+
+
+@pytest.mark.slow
+def test_predict_cli(tmp_path):
+    """Whole-scene inference CLI: checkpoint -> change PNG on an odd-sized
+    scene with overlapping tiles."""
+    import numpy as np
+    from PIL import Image
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import stcd_tpu
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.state import create_train_state
+
+    model = stcd_tpu.SegCD(encoder_name="resnet18", classes=1,
+                           decoder_channels=(32, 24, 16, 12, 8))
+    x = jnp.zeros((1, 32, 32, 3))
+    state = create_train_state(model, jax.random.PRNGKey(0), (x, x),
+                               optax.sgd(0.0))
+    CheckpointManager(str(tmp_path / "ck")).save_best(state, 0.5)
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 256, (70, 80, 3), np.uint8)).save(
+        tmp_path / "a.png")
+    Image.fromarray(rng.integers(0, 256, (70, 80, 3), np.uint8)).save(
+        tmp_path / "b.png")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STCD_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "predict.py"),
+         "--image_a", str(tmp_path / "a.png"),
+         "--image_b", str(tmp_path / "b.png"),
+         "--load_path", str(tmp_path / "ck"),
+         "--out", str(tmp_path / "change.png"),
+         "--encoder", "resnet18", "--decoder_channels", "32,24,16,12,8",
+         "--tile", "32", "--stride", "16"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert Image.open(tmp_path / "change.png").size == (80, 70)
