@@ -109,7 +109,11 @@ def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         scale = d ** -0.5
     if use_pallas is None:
         platform = jax.devices()[0].platform
-        use_pallas = platform in ("tpu", "axon") and n >= 1024
+        # worth fusing when Q is large AND KV has enough rows to amortize
+        # the 128-row VMEM padding; tiny-token KV (BIT decode, M=4) is
+        # faster on the plain einsum path (benchmarks/bench_attention.py:
+        # SRA shapes 1.35-1.44x, M=4 0.59x)
+        use_pallas = platform in ("tpu", "axon") and n >= 1024 and m >= 64
     if not use_pallas:
         s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
                        preferred_element_type=jnp.float32) * scale
