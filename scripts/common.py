@@ -55,6 +55,9 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches per HBM)")
+    p.add_argument("--accum_steps", type=int, default=1,
+                   help="gradient-accumulation microbatches per step "
+                        "(batch_size must divide)")
     p.add_argument("--data_axis", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     return p

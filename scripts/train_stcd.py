@@ -54,7 +54,8 @@ def main():
 
     tx = optax.adam(poly_schedule(args.lr, args.n_epochs, max(len(train_loader), 1)))
     state = create_train_state(model, rng, (example, example), tx)
-    train_step, eval_step = make_semi_cd_steps(model, augment=True, remat=args.remat)
+    train_step, eval_step = make_semi_cd_steps(model, augment=True, remat=args.remat,
+                                        accum_steps=args.accum_steps)
 
     if args.load_model:
         mgr = CheckpointManager(args.load_path)

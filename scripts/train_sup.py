@@ -61,7 +61,8 @@ def main():
         else:
             print("Will start from scratch")
 
-    train_step, eval_step = make_seg_steps(model, augment=True, remat=args.remat)
+    train_step, eval_step = make_seg_steps(model, augment=True, remat=args.remat,
+                                        accum_steps=args.accum_steps)
     state, best, history = run_training(
         train_step, eval_step, state, train_loader, val_loader,
         n_epochs=args.n_epochs, save_dir=args.save_name, rng=rng)

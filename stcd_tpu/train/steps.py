@@ -46,7 +46,44 @@ def _maybe_remat(apply_fn, remat: bool):
     return jax.checkpoint(apply_fn)
 
 
-def make_seg_steps(model, augment: bool = True, remat: bool = False):
+def _split_micro(accum: int, *arrays):
+    """Reshape leading batch dim N -> (accum, N // accum) for lax.scan."""
+    n = arrays[0].shape[0]
+    assert n % accum == 0, f"batch {n} not divisible by accum_steps {accum}"
+    return tuple(a.reshape(accum, n // accum, *a.shape[1:]) for a in arrays)
+
+
+def _accum_update(state, grad_fn, micro_xs, rng, accum: int, n_extras: int):
+    """Gradient accumulation over microbatches via lax.scan.
+
+    grad_fn(params, batch_stats, key, *micro) ->
+        ((loss, (new_batch_stats, cm, extras_tuple)), grads)
+    Gradients are averaged over microbatches (equivalent to one large
+    batch for the mean-reduced losses); BatchNorm running stats update
+    sequentially per microbatch (= training on that many smaller batches,
+    documented deviation from a monolithic large batch). Peak activation
+    memory is one microbatch."""
+    zeros_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    init = (state.batch_stats, zeros_g, jnp.zeros((), jnp.float32),
+            jnp.zeros((2, 2), jnp.int32),
+            tuple(jnp.zeros((), jnp.float32) for _ in range(n_extras)), rng)
+
+    def body(carry, xs):
+        bs, gacc, lacc, cmacc, eacc, key = carry
+        key, sub = jax.random.split(key)
+        (loss, (bs2, cm, extras)), grads = grad_fn(state.params, bs, sub, *xs)
+        gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+        eacc = tuple(e + x for e, x in zip(eacc, extras))
+        return (bs2, gacc, lacc + loss, cmacc + cm, eacc, key), None
+
+    (bs, gacc, loss, cm, extras, _), _ = jax.lax.scan(body, init, micro_xs)
+    grads = jax.tree_util.tree_map(lambda g: g / accum, gacc)
+    state = state.apply_gradients(grads=grads, batch_stats=bs)
+    return state, loss / accum, cm, tuple(e / accum for e in extras)
+
+
+def make_seg_steps(model, augment: bool = True, remat: bool = False,
+                   accum_steps: int = 1):
     """Supervised segmentation (stage 1). Returns (train_step, eval_step).
 
     train_step(state, batch{image,label}, rng) -> (state, metrics)
@@ -59,6 +96,24 @@ def make_seg_steps(model, augment: bool = True, remat: bool = False):
         aug_key, drop_key = jax.random.split(rng)
         (image,) = _augment_pair(aug_key, batch["image"], enabled=augment)
         label = batch["label"].astype(jnp.float32)
+
+        if accum_steps > 1:
+            def micro_loss(params, bs, key, mi, ml):
+                def fwd(p):
+                    return state.apply_fn(
+                        {"params": p, "batch_stats": bs}, mi, True,
+                        mutable=["batch_stats"], rngs={"dropout": key})
+                pred, mutated = _maybe_remat(fwd, remat)(params)
+                probs = jax.nn.sigmoid(pred.astype(jnp.float32))
+                cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                                      ml.astype(jnp.int32), 2)
+                return bce_dice(probs, ml), (mutated["batch_stats"], cm, ())
+
+            grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+            micro = _split_micro(accum_steps, image, label)
+            state, loss, cm, _ = _accum_update(state, grad_fn, micro, drop_key,
+                                               accum_steps, 0)
+            return state, {"loss": loss, "cm": cm}
 
         def fwd(params, image, drop_key):
             return state.apply_fn(
@@ -94,10 +149,14 @@ def make_seg_steps(model, augment: bool = True, remat: bool = False):
     return train_step, eval_step
 
 
-def make_cd_steps(model, augment: bool = True, remat: bool = False):
+def make_cd_steps(model, augment: bool = True, remat: bool = False,
+                  accum_steps: int = 1):
     """Pseudo-change CD pretrain (stage 2; ref train_pse_cd.py:199-301).
 
     train_step(state, batch{A,B,label}, rng); loss = BCE_DICE(sigmoid(diff)).
+    ``accum_steps > 1`` accumulates gradients over that many microbatches
+    (batch leading dim must divide) for large effective batches in one
+    microbatch's activation memory.
     """
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -105,6 +164,24 @@ def make_cd_steps(model, augment: bool = True, remat: bool = False):
         aug_key, drop_key = jax.random.split(rng)
         a, b = _augment_pair(aug_key, batch["A"], batch["B"], enabled=augment)
         label = batch["label"].astype(jnp.float32)
+
+        if accum_steps > 1:
+            def micro_loss(params, bs, key, ma, mb, ml):
+                def fwd(p):
+                    return state.apply_fn(
+                        {"params": p, "batch_stats": bs}, ma, mb, True,
+                        mutable=["batch_stats"], rngs={"dropout": key})
+                (_, _, diff), mutated = _maybe_remat(fwd, remat)(params)
+                probs = jax.nn.sigmoid(diff.astype(jnp.float32))
+                cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                                      ml.astype(jnp.int32), 2)
+                return bce_dice(probs, ml), (mutated["batch_stats"], cm, ())
+
+            grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+            micro = _split_micro(accum_steps, a, b, label)
+            state, loss, cm, _ = _accum_update(state, grad_fn, micro, drop_key,
+                                               accum_steps, 0)
+            return state, {"loss": loss, "cm": cm}
 
         def fwd(params, a, b, drop_key):
             return state.apply_fn(
@@ -140,7 +217,8 @@ def make_cd_steps(model, augment: bool = True, remat: bool = False):
     return train_step, eval_step
 
 
-def make_semi_cd_steps(model, augment: bool = True, remat: bool = False):
+def make_semi_cd_steps(model, augment: bool = True, remat: bool = False,
+                       accum_steps: int = 1):
     """STCD fine-tune (stage 3; ref train_stcd.py:388-512).
 
     Batch carries both a synthesized pseudo-change pair (A, B with labels
@@ -155,6 +233,42 @@ def make_semi_cd_steps(model, augment: bool = True, remat: bool = False):
         a, b, ca, cb = _augment_pair(aug_key, batch["A"], batch["B"],
                                      batch["CA"], batch["CB"], enabled=augment)
         n = batch["A"].shape[0]
+
+        if accum_steps > 1:
+            def micro_loss(params, bs, key, ma, mb, mca, mcb, msl, mcdl, mcl):
+                m = ma.shape[0]
+                da = jnp.concatenate([ma, mca], axis=0)
+                db = jnp.concatenate([mb, mcb], axis=0)
+                lab = jnp.concatenate([mcdl, mcl], axis=0)
+
+                def fwd(p):
+                    return state.apply_fn(
+                        {"params": p, "batch_stats": bs}, da, db, True,
+                        mutable=["batch_stats"], rngs={"dropout": key})
+                (seg_a, _, diff), mutated = _maybe_remat(fwd, remat)(params)
+                seg_probs = jax.nn.sigmoid(seg_a.astype(jnp.float32))
+                cd_probs = jax.nn.sigmoid(diff.astype(jnp.float32))
+                seg_loss_a = bce_dice(seg_probs[:m], msl)
+                cd_loss_v = bce_dice(cd_probs, lab)
+                ct_loss = contrastive_loss(cd_probs, mcdl, mcl)
+                cm = confusion_matrix((cd_probs[:m] > 0.5).astype(jnp.int32),
+                                      mcdl.astype(jnp.int32), 2)
+                return seg_loss_a + cd_loss_v + ct_loss, (
+                    mutated["batch_stats"], cm,
+                    (seg_loss_a, cd_loss_v, ct_loss))
+
+            grad_fn = jax.value_and_grad(micro_loss, has_aux=True)
+            micro = _split_micro(
+                accum_steps, a, b, ca, cb,
+                batch["s_label_A"].astype(jnp.float32),
+                batch["c_label"].astype(jnp.float32),
+                batch["CL"].astype(jnp.float32))
+            state, loss, cm, extras = _accum_update(
+                state, grad_fn, micro, drop_key, accum_steps, 3)
+            return state, {"loss": loss, "seg_loss": extras[0],
+                           "cd_loss": extras[1], "ct_loss": extras[2],
+                           "cm": cm}
+
         data_a = jnp.concatenate([a, ca], axis=0)
         data_b = jnp.concatenate([b, cb], axis=0)
         s_label_a = batch["s_label_A"].astype(jnp.float32)

@@ -72,3 +72,44 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(state.params)[0]
     b = jax.tree_util.tree_leaves(st2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_grad_accum_matches_full_batch():
+    """accum_steps=2 must produce (nearly) the same update as one full
+    batch when BN is in a fixed regime: compare losses + confusion counts
+    and ensure params update finitely. Exact grad equality holds for the
+    mean-reduced loss up to fp32 reassociation."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    import stcd_tpu
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_cd_steps
+
+    model = stcd_tpu.SegCD(encoder_name="resnet18", classes=1,
+                           decoder_channels=(16, 12, 10, 8, 8))
+    x = jnp.zeros((1, 32, 32, 3))
+    rng = np.random.default_rng(0)
+    batch = {"A": jnp.asarray(rng.random((4, 32, 32, 3), np.float32)),
+             "B": jnp.asarray(rng.random((4, 32, 32, 3), np.float32)),
+             "label": jnp.asarray((rng.random((4, 32, 32, 1)) > 0.5
+                                   ).astype(np.float32))}
+
+    def run(accum):
+        state = create_train_state(model, jax.random.PRNGKey(0), (x, x),
+                                   optax.sgd(0.1))
+        step, _ = make_cd_steps(model, augment=False, accum_steps=accum)
+        state, out = step(state, dict(batch), jax.random.PRNGKey(1))
+        return state, out
+
+    s1, o1 = run(1)
+    s2, o2 = run(2)
+    assert int(o1["cm"].sum()) == int(o2["cm"].sum()) == 4 * 32 * 32
+    # BN normalizes per MICRObatch under accumulation (standard behavior,
+    # = training on smaller batches), so predictions shift slightly
+    np.testing.assert_allclose(np.asarray(o1["cm"]), np.asarray(o2["cm"]),
+                               rtol=0.10)
+    assert abs(float(o1["loss"]) - float(o2["loss"])) < 0.05
+    l1 = jax.tree_util.tree_leaves(s2.params)
+    assert all(bool(jnp.isfinite(x).all()) for x in l1)
