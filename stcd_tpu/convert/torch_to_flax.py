@@ -823,3 +823,232 @@ def convert_pan_decoder(sd: Dict[str, Any]) -> Tuple[dict, dict]:
         gp["conv2"], gs["conv2"] = cbr(f"gau{k}.conv2")
         params[f"gau{k}"], stats[f"gau{k}"] = gp, gs
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# ChangeVIG / pyramid ViG (ref models/ChangeVIG.py, models/pyramid_vig.py;
+# the Grapher contract is stcd_tpu.models.gcn_lib — the reference's gcn_lib
+# dependency is missing from its tree, tests/_ref_gcn_lib.py mirrors ours)
+# ---------------------------------------------------------------------------
+
+def _conv1x1_dense(sd: Dict[str, Any], prefix: str) -> dict:
+    """torch 1x1 Conv2d (O,I,1,1) -> flax nn.Dense kernel (I,O)."""
+    w = np.asarray(sd[f"{prefix}.weight"])[:, :, 0, 0].T
+    p = {"kernel": w}
+    if f"{prefix}.bias" in sd:
+        p["bias"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _seq_conv_bn(sd, prefix, ic, ib, name, p, s, dense=False):
+    """ref Sequential conv@ic + BN@ib -> our {name}_conv / {name}_bn."""
+    p[f"{name}_conv"] = (_conv1x1_dense(sd, f"{prefix}.{ic}") if dense
+                         else _conv_b(sd, f"{prefix}.{ic}"))
+    p[f"{name}_bn"], s[f"{name}_bn"] = _bn(sd, f"{prefix}.{ib}")
+
+
+def _convert_grapher(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    p, s = {}, {}
+    p["fc1_conv"] = _conv1x1_dense(sd, f"{prefix}.fc1.0")
+    p["fc1_bn"], s["fc1_bn"] = _bn(sd, f"{prefix}.fc1.1")
+    gc_p = {"conv": _conv1x1_dense(sd, f"{prefix}.graph_conv.0")}
+    gc_p["bn"], gc_s = _bn(sd, f"{prefix}.graph_conv.1")
+    p["graph_conv"] = {"nn": gc_p}
+    s["graph_conv"] = {"nn": {"bn": gc_s}}
+    p["fc2_conv"] = _conv1x1_dense(sd, f"{prefix}.fc2.0")
+    p["fc2_bn"], s["fc2_bn"] = _bn(sd, f"{prefix}.fc2.1")
+    return p, s
+
+
+def _convert_vig_backbone(sd: Dict[str, Any], prefix: str,
+                          blocks=(2, 2, 6, 2)) -> Tuple[dict, dict]:
+    """ref EncoderV1/V2/EncoderVIG_V20_2/DeepGCN state_dict subtree ->
+    stcd_tpu.models.changevig.VIGBackbone params/batch_stats."""
+    p: dict = {}
+    s: dict = {}
+    stem_p, stem_s = {}, {}
+    for name, ic, ib in (("c1", 0, 1), ("c2", 3, 4), ("c3", 6, 7)):
+        _seq_conv_bn(sd, f"{prefix}.stem.convs", ic, ib, name, stem_p, stem_s)
+    p["stem"], s["stem"] = stem_p, stem_s
+    p["pos_embed"] = np.transpose(
+        np.asarray(sd[f"{prefix}.pos_embed"]), (0, 2, 3, 1))
+    seq = 0
+    idx = 0
+    for i, nb in enumerate(blocks):
+        if i > 0:
+            dp, ds = {}, {}
+            _seq_conv_bn(sd, f"{prefix}.backbone.{seq}.conv", 0, 1, "c", dp, ds)
+            p[f"down{i}"], s[f"down{i}"] = dp, ds
+            seq += 1
+        for _ in range(nb):
+            p[f"grapher{idx}"], s[f"grapher{idx}"] = _convert_grapher(
+                sd, f"{prefix}.backbone.{seq}.0")
+            fp, fs = {}, {}
+            _seq_conv_bn(sd, f"{prefix}.backbone.{seq}.1.fc1", 0, 1, "fc1", fp, fs)
+            _seq_conv_bn(sd, f"{prefix}.backbone.{seq}.1.fc2", 0, 1, "fc2", fp, fs)
+            p[f"ffn{idx}"], s[f"ffn{idx}"] = fp, fs
+            idx += 1
+            seq += 1
+    return p, s
+
+
+def _convert_fuse_block(sd: Dict[str, Any], prefix: str,
+                        has_diff: bool) -> Tuple[dict, dict]:
+    """Cross_ConCat / Sub / Abs / Conc / conv_diff_V20 (ref ChangeVIG.py:
+    315-347, 667-751, 921-953): optional grouped `diff` conv then
+    conv_res + 1x1/3x3/1x1 bottleneck."""
+    p, s = {}, {}
+    if has_diff:
+        _seq_conv_bn(sd, f"{prefix}.diff", 0, 1, "diff", p, s)
+    _seq_conv_bn(sd, f"{prefix}.conv_res", 0, 1, "conv_res", p, s)
+    for name, ic, ib in (("conv1", 0, 1), ("conv2", 3, 4), ("conv3", 6, 7)):
+        _seq_conv_bn(sd, f"{prefix}.conv", ic, ib, name, p, s)
+    return p, s
+
+
+def _convert_global_local(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """ref Global_Local (:350-391). The reference's `bt` BN is defined but
+    never used in forward and is skipped."""
+    p = {"channel_conv": _conv_b(sd, f"{prefix}.channel_conv"),
+         "spatial_conv": _conv_b(sd, f"{prefix}.spatial_conv")}
+    s = {}
+    p["channel_bn"], s["channel_bn"] = _bn(sd, f"{prefix}.channel_bn")
+    for k in (1, 2, 3, 4, 5):
+        p[f"local_conv{k}"] = _conv_b(sd, f"{prefix}.local_conv{k}")
+    p["local_bn"], s["local_bn"] = _bn(sd, f"{prefix}.local_bn")
+    return p, s
+
+
+def _convert_hffm(sd: Dict[str, Any], prefix: str,
+                  mode: str) -> Tuple[dict, dict]:
+    """HFFM (:408-415) / HFFM_Compare (:754-773): fuse + Global_Local.
+    ref attr is `cross_conc` for crossconc mode, `diff` for sub/abs/conc."""
+    ref_fuse = "cross_conc" if mode == "crossconc" else "diff"
+    fp, fs = _convert_fuse_block(sd, f"{prefix}.{ref_fuse}",
+                                 has_diff=mode in ("crossconc", "conc"))
+    gp, gs = _convert_global_local(sd, f"{prefix}.global_local")
+    return {"fuse": fp, "global_local": gp}, {"fuse": fs, "global_local": gs}
+
+
+def _convert_vffm(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """ref VFFM (:418-460)."""
+    p = {"up": {"kernel": _convT_2x(sd[f"{prefix}.up.up.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.up.up.bias"])}}
+    s: dict = {}
+    for branch, i0 in (("global_avg", 1), ("global_max", 1), ("local_att", 0)):
+        _seq_conv_bn(sd, f"{prefix}.{branch}", i0, i0 + 1,
+                     f"{branch}_1", p, s)
+        _seq_conv_bn(sd, f"{prefix}.{branch}", i0 + 3, i0 + 4,
+                     f"{branch}_2", p, s)
+    return p, s
+
+
+def _convert_csam_v20(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """ref csam_V20 (:956-994)."""
+    p = {"conv1_1": _conv_b(sd, f"{prefix}.conv1_1"),
+         "liner1": _linear(sd, f"{prefix}.liner1"),
+         "liner2": _linear(sd, f"{prefix}.liner2"),
+         "conv2_1": _conv_b(sd, f"{prefix}.conv2_1"),
+         "conv2_2": _conv_b(sd, f"{prefix}.conv2_2")}
+    s = {}
+    p["bn1"], s["bn1"] = _bn(sd, f"{prefix}.batch_normal1")
+    p["bt"], s["bt"] = _bn(sd, f"{prefix}.bt")
+    return p, s
+
+
+def _convert_aff(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """ref AFF (:996-1028)."""
+    p, s = {}, {}
+    for ours, ref, i0 in (("local1", "local_att", 0), ("local2", "local_att", 3),
+                          ("global1", "global_att", 1),
+                          ("global2", "global_att", 4)):
+        _seq_conv_bn(sd, f"{prefix}.{ref}", i0, i0 + 1, ours, p, s)
+    return p, s
+
+
+def _convert_final_head(sd: Dict[str, Any], prefix: str) -> dict:
+    """convd2x/dense_2x/convd1x/dense_1x/change_probability -> our
+    _FinalHead ('head' / inline on DecoderVIG)."""
+    return {"convd2x": _upsample_conv(sd, f"{prefix}.convd2x"),
+            "dense_2x": _residual_block(sd, f"{prefix}.dense_2x"),
+            "convd1x": _upsample_conv(sd, f"{prefix}.convd1x"),
+            "dense_1x": _residual_block(sd, f"{prefix}.dense_1x"),
+            "change_probability": _conv_b(sd, f"{prefix}.change_probability.conv2d")}
+
+
+def convert_changevig_decoder_v1(sd: Dict[str, Any],
+                                 prefix: str = "decoder") -> Tuple[dict, dict]:
+    """ref DecoderV1 (ChangeVIG.py:101-281, MLP heads) -> our DecoderV1."""
+    p: dict = {}
+    s: dict = {}
+    for k in (1, 2, 3, 4):
+        p[f"linear_c{k}"] = _linear(sd, f"{prefix}.decoder_heads_c{k}.proj")
+        dc, ds = {}, {}
+        for j, off in ((0, 0), (1, 4)):
+            base = f"{prefix}.diff_c{k}"
+            dc[f"conv{j}"] = _conv_b(sd, f"{base}.{off}")
+            dc[f"prelu{j}"] = np.asarray(sd[f"{base}.{off + 1}.weight"])
+            dc[f"bn{j}"], ds[f"bn{j}"] = _bn(sd, f"{base}.{off + 2}")
+        p[f"diff_c{k}"], s[f"diff_c{k}"] = dc, ds
+        mp = {"conv1": _conv_b(sd, f"{prefix}.make_pred_c{k}.0"),
+              "conv2": _conv_b(sd, f"{prefix}.make_pred_c{k}.3")}
+        mp["bn"], bn_s = _bn(sd, f"{prefix}.make_pred_c{k}.2")
+        p[f"make_pred_c{k}"] = mp
+        s[f"make_pred_c{k}"] = {"bn": bn_s}
+    p["linear_fuse_conv"] = _conv_b(sd, f"{prefix}.linear_fuse.0")
+    p["linear_fuse_bn"], s["linear_fuse_bn"] = _bn(sd, f"{prefix}.linear_fuse.1")
+    p["head"] = _convert_final_head(sd, prefix)
+    return p, s
+
+
+def convert_changevig_decoder_v2(sd: Dict[str, Any], prefix: str = "decoder",
+                                 mode: str = "crossconc") -> Tuple[dict, dict]:
+    """ref DecoderV2 (:537-631) / DecoderV2_Compare (:775-863)."""
+    p: dict = {}
+    s: dict = {}
+    for k in (1, 2, 3, 4):
+        p[f"hffm{k}"], s[f"hffm{k}"] = _convert_hffm(
+            sd, f"{prefix}.hffm{k}", mode)
+    for k in (1, 2, 3):
+        p[f"vffm{k}"], s[f"vffm{k}"] = _convert_vffm(sd, f"{prefix}.vffm{k}")
+    p["head"] = _convert_final_head(sd, prefix)
+    return p, s
+
+
+def convert_changevig_decoder_v20(sd: Dict[str, Any],
+                                  prefix: str = "TDec_x2") -> Tuple[dict, dict]:
+    """ref DecoderVIG_V20_2 (:1105-1239)."""
+    p: dict = {}
+    s: dict = {}
+    for k in (1, 2, 3, 4):
+        p[f"diff_c{k}"], s[f"diff_c{k}"] = _convert_fuse_block(
+            sd, f"{prefix}.diff_c{k}", has_diff=True)
+        p[f"csam{k}"], s[f"csam{k}"] = _convert_csam_v20(sd, f"{prefix}.csam{k}")
+    for k in (1, 2, 3):
+        p[f"aff{k}"], s[f"aff{k}"] = _convert_aff(sd, f"{prefix}.aff{k}")
+    for k in (2, 3, 4):
+        p[f"trans_conv{k}"] = {
+            "kernel": _convT_2x(sd[f"{prefix}.trans_conv{k}.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.trans_conv{k}.bias"])}
+    p["head"] = _convert_final_head(sd, prefix)
+    return p, s
+
+
+def convert_changevig(sd: Dict[str, Any], model: str,
+                      blocks=(2, 2, 6, 2)) -> Tuple[dict, dict]:
+    """Full ref ChangeVIG models -> ours. `model` in {gnn_v1, gnn_v2,
+    gnn_v2_sub, gnn_v2_abs, gnn_v2_conc, vig_v20_2}."""
+    if model == "vig_v20_2":
+        enc_p, enc_s = _convert_vig_backbone(sd, "VIG_x2", blocks)
+        dec_p, dec_s = convert_changevig_decoder_v20(sd, "TDec_x2")
+        return ({"encoder": enc_p, "TDec_x2": dec_p},
+                {"encoder": enc_s, "TDec_x2": dec_s})
+    enc_p, enc_s = _convert_vig_backbone(sd, "encoder", blocks)
+    if model == "gnn_v1":
+        dec_p, dec_s = convert_changevig_decoder_v1(sd, "decoder")
+    else:
+        mode = {"gnn_v2": "crossconc", "gnn_v2_sub": "sub",
+                "gnn_v2_abs": "abs", "gnn_v2_conc": "conc"}[model]
+        dec_p, dec_s = convert_changevig_decoder_v2(sd, "decoder", mode)
+    return ({"encoder": enc_p, "decoder": dec_p},
+            {"encoder": enc_s, "decoder": dec_s})
