@@ -20,6 +20,12 @@ if os.environ.get("STCD_TEST_TPU") != "1":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
 
+# Exact f32 matmuls/convs for golden parity: on AVX512-BF16 hosts,
+# XLA:CPU's default precision runs f32 convs as bf16 passes (~3e-3 abs
+# error vs torch — found by the training-dynamics golden test). The CPU
+# suite exists to check numerics, so pin the highest precision.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 # persistent compilation cache: repeat runs skip XLA compiles
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/root/.cache/stcd_jax_cache"))
