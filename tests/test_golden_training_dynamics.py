@@ -182,3 +182,89 @@ def test_training_dynamics_folded_siamese():
     torch_losses = _torch_train(tv, batches, folded_forward)
     want = _torch_eval(tv, eval_pair)
     _compare(our_losses, torch_losses, got, want)
+
+
+def test_training_dynamics_semi_cd_stage3():
+    """Stage-3 `train_semi_cd` dynamics (ref train_stcd.py:388-462): real and
+    pseudo pairs concatenated along batch, loss = seg_loss_A + cd_loss +
+    ct_loss with the masked-MSE contrastive term (:334-385). Validates the
+    3-term composite gradient incl. the agreement/disagreement masks."""
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import TrainState, adam_poly
+    from stcd_tpu.train.steps import make_semi_cd_steps
+
+    tv, params, stats = _setup()
+    rng = np.random.default_rng(55)
+    n_steps, bs, hw = 4, 2, 32
+    batches = []
+    for _ in range(n_steps):
+        mk = lambda: rng.uniform(size=(bs, 3, hw, hw)).astype(np.float32)
+        lab = lambda: (rng.uniform(size=(bs, 1, hw, hw)) > 0.7).astype(np.float32)
+        batches.append(dict(A=mk(), B=mk(), CA=mk(), CB=mk(),
+                            s_label_A=lab(), c_label=lab(), CL=lab()))
+    eval_pair = (rng.uniform(size=(1, 3, hw, hw)).astype(np.float32),
+                 rng.uniform(size=(1, 3, hw, hw)).astype(np.float32))
+
+    # ---- ours first (JAX before any torch training; see module docstring)
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(64, 32, 24, 16, 8), siamese_batched=False)
+    state = TrainState.create_with_stats(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+        tx=adam_poly(1e-3, num_epochs=2, iters_per_epoch=n_steps // 2))
+    train_step, _ = make_semi_cd_steps(model, augment=False)
+    our = {"loss": [], "seg_loss": [], "cd_loss": [], "ct_loss": []}
+    for t, batch in enumerate(batches):
+        jb = {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in batch.items()}
+        state, metrics = train_step(state, jb, jax.random.PRNGKey(t))
+        for k in our:
+            our[k].append(float(metrics[k]))
+    a, b = eval_pair
+    got = model.apply({"params": state.params,
+                       "batch_stats": state.batch_stats},
+                      jnp.asarray(a.transpose(0, 2, 3, 1)),
+                      jnp.asarray(b.transpose(0, 2, 3, 1)))
+    got = [np.asarray(o) for o in got]
+
+    # ---- torch twin (ref train_stcd.py:421-456)
+    opt = torch.optim.Adam(tv.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    tw = {"loss": [], "seg_loss": [], "cd_loss": [], "ct_loss": []}
+    tv.train()
+    for t, batch in enumerate(batches):
+        for g in opt.param_groups:
+            g["lr"] = _poly_lr(t, total=n_steps)
+        opt.zero_grad()
+        A, B, CA, CB = (torch.from_numpy(batch[k]) for k in ("A", "B", "CA", "CB"))
+        sA = torch.from_numpy(batch["s_label_A"])
+        cdl = torch.from_numpy(batch["c_label"])
+        cl = torch.from_numpy(batch["CL"])
+        data_a = _imagenet_norm(torch.cat([A, CA], 0))
+        data_b = _imagenet_norm(torch.cat([B, CB], 0))
+        seg_a, _, diff = tv(data_a, data_b)
+        seg_probs = torch.sigmoid(seg_a)
+        cd_probs = torch.sigmoid(diff)
+        seg_loss_a = _bce_dice_torch(seg_probs[:bs], sA)
+        cd_loss = _bce_dice_torch(cd_probs, torch.cat([cdl, cl], 0))
+        cd_pred, pse_pred = cd_probs[:bs], cd_probs[bs:]
+        M = (cdl == cl).float()
+        N = 1.0 - M
+        loss_pos = ((pse_pred - cd_pred) ** 2 * M).sum() / (M.sum() + 1e-8)
+        loss_neg = ((pse_pred - (cd_pred - 1).abs()) ** 2 * N).sum() / (N.sum() + 1e-8)
+        ct_loss = loss_pos + loss_neg
+        loss = seg_loss_a + cd_loss + ct_loss
+        loss.backward()
+        opt.step()
+        for k, v in (("loss", loss), ("seg_loss", seg_loss_a),
+                     ("cd_loss", cd_loss), ("ct_loss", ct_loss)):
+            tw[k].append(float(v.detach()))
+    want = _torch_eval(tv, eval_pair)
+
+    for k in ("loss", "seg_loss", "cd_loss", "ct_loss"):
+        np.testing.assert_allclose(our[k][0], tw[k][0], atol=1e-5,
+                                   err_msg=f"step-0 {k}")
+        np.testing.assert_allclose(our[k], tw[k], atol=2e-3,
+                                   err_msg=f"{k}: ours={our[k]} torch={tw[k]}")
+    for i, (o, t) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(o, t.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-2, err_msg=f"eval output {i}")
