@@ -43,6 +43,11 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
     p.add_argument("--load_model", action="store_true", help="resume weights from --load_path")
     p.add_argument("--select_data", action="store_true", help="reliability ranking -> list files")
     p.add_argument("--generate_label", action="store_true", help="write pseudo labels")
+    p.add_argument("--vis_feature", action="store_true",
+                   help="JET-colorized probability maps during --generate_label "
+                        "(ref train_stcd.py:157-164 vis_feature block)")
+    p.add_argument("--vis_dir", type=str, default=None,
+                   help="output dir for --vis_feature (default: <dataset>/train/val_pred_temp)")
     # promoted hardcoded hyperparameters (reference defaults preserved)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=1337)

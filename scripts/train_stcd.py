@@ -81,10 +81,14 @@ def main():
         loader = DataLoader(
             CDDataset(args.root_path, args.dataset_name, "train", reliable="reliable"),
             1, num_workers=args.n_cpu, sharding=None, drop_last=False)
+        vis_dir = None
+        if args.vis_feature:
+            vis_dir = args.vis_dir or os.path.join(
+                args.root_path, args.dataset_name, "train", "val_pred_temp")
         metrics = generate_pseudo_labels(
             eval_step, state, loader,
             os.path.join(args.root_path, args.dataset_name, "train", "pseudo_label"),
-            threshold=0.5)
+            threshold=0.5, vis_dir=vis_dir)
         print("pseudo-label metrics:", metrics)
         return
 

@@ -53,6 +53,27 @@ def save_mask_png(mask: np.ndarray, path: str) -> None:
     img.save(path)
 
 
+def save_jet_png(values: np.ndarray, path: str) -> None:
+    """Min-max-normalize a feature/probability map and save it JET-colorized
+    (the reference's vis_feature blocks: cv2.applyColorMap(COLORMAP_JET)
+    after x255 normalization, ref train_stcd.py:157-164, :343-360). The
+    colormap is the standard jet ramp (blue->cyan->yellow->red), computed in
+    numpy — cv2 is not a dependency here."""
+    arr = np.asarray(values, np.float32)
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    lo, hi = float(arr.min()), float(arr.max())
+    t = (arr - lo) / (hi - lo) if hi > lo else np.zeros_like(arr)
+
+    def ramp(c):
+        return np.clip(1.5 - np.abs(4.0 * t - c), 0.0, 1.0)
+
+    rgb = np.stack([ramp(3.0), ramp(2.0), ramp(1.0)], axis=-1)
+    img = Image.fromarray((rgb * 255).astype(np.uint8))
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    img.save(path)
+
+
 def read_list(path: str) -> list:
     with open(path) as f:
         return [ln.strip() for ln in f if ln.strip()]

@@ -22,7 +22,7 @@ from typing import Dict, Optional
 import jax
 import numpy as np
 
-from stcd_tpu.data.io import save_mask_png, write_list
+from stcd_tpu.data.io import save_jet_png, save_mask_png, write_list
 from stcd_tpu.metrics.confusion import SegmentationMetric
 from stcd_tpu.train.checkpoint import CheckpointManager
 from stcd_tpu.utils.logging import ScalarLogger, Throughput
@@ -122,20 +122,26 @@ def evaluate(eval_step, state, eval_loader) -> Dict[str, float]:
 
 
 def generate_pseudo_labels(eval_step, state, loader, out_dir: str,
-                           threshold: float = 0.7) -> Dict[str, float]:
+                           threshold: float = 0.7,
+                           vis_dir: str = None) -> Dict[str, float]:
     """Thresholded sigmoid(diff) -> PNG x255 (ref train_pse_cd.py:128-179;
     threshold 0.5 variant at train_stcd.py:137-204). Accumulates F1/IoU vs
-    the GT labels for reporting, as the reference does."""
+    the GT labels for reporting, as the reference does. ``vis_dir`` enables
+    the reference's vis_feature block (train_stcd.py:157-164): the raw
+    probability map is min-max-normalized and dumped JET-colorized."""
     metric = SegmentationMetric(2)
     os.makedirs(out_dir, exist_ok=True)
     for batch in loader:
         names = batch.pop("name")
         out = eval_step(state, batch)
-        preds = (np.asarray(out["probs"]) > threshold).astype(np.uint8)
+        probs = np.asarray(out["probs"])
+        preds = (probs > threshold).astype(np.uint8)
         labels = np.asarray(batch["label"]).astype(np.int64)
         metric.addBatch(preds.astype(np.int64), labels)
         for i, name in enumerate(names):
             save_mask_png(preds[i], os.path.join(out_dir, name))
+            if vis_dir:
+                save_jet_png(probs[i], os.path.join(vis_dir, name))
     return _epoch_metrics(metric)
 
 

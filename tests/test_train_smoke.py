@@ -52,10 +52,29 @@ def test_pseudo_label_generation(tmp_path):
     ds = SyntheticCDDataset(length=2, size=32)
     loader = DataLoader(ds, batch_size=2, prefetch=0)
     metrics = generate_pseudo_labels(eval_step, state, loader,
-                                     str(tmp_path / "pseudo_label"), threshold=0.7)
+                                     str(tmp_path / "pseudo_label"), threshold=0.7,
+                                     vis_dir=str(tmp_path / "vis"))
     import glob
     assert len(glob.glob(str(tmp_path / "pseudo_label" / "*.png"))) == 2
     assert 0.0 <= metrics["OA"] <= 1.0
+    # vis_feature path (ref train_stcd.py:157-164): JET-colorized prob maps
+    from PIL import Image
+    vis = sorted(glob.glob(str(tmp_path / "vis" / "*.png")))
+    assert len(vis) == 2
+    arr = np.asarray(Image.open(vis[0]))
+    assert arr.shape == (32, 32, 3)
+
+
+def test_save_jet_png(tmp_path):
+    from stcd_tpu.data.io import save_jet_png
+    from PIL import Image
+    ramp = np.linspace(0, 1, 256).reshape(1, -1)
+    save_jet_png(ramp, str(tmp_path / "jet.png"))
+    arr = np.asarray(Image.open(tmp_path / "jet.png")).astype(np.int32)
+    # jet ramp: low end blue-dominant, high end red-dominant, middle green
+    assert arr[0, 0, 2] > arr[0, 0, 0]
+    assert arr[0, -1, 0] > arr[0, -1, 2]
+    assert arr[0, 128, 1] == 255
 
 
 def test_checkpoint_roundtrip(tmp_path):
