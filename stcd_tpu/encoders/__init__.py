@@ -14,8 +14,11 @@ to random init with a warning — accuracy parity runs require the weights
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
+
+import numpy as np
 from typing import Any, Optional, Tuple
 
 from stcd_tpu.encoders.resnet import ResNetEncoder, resnet_out_channels
@@ -147,11 +150,14 @@ def encoder_out_channels(name: str, depth: int = 5) -> Tuple[int, ...]:
 
 
 def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
-                weights: Optional[str] = None, dtype=None):
+                weights: Optional[str] = None, output_stride: int = 32,
+                dtype=None):
     """Build an encoder module (ref encoders/__init__.py:51-91).
 
     Returns ``(module, out_channels)``. ``in_channels`` != 3 is handled by
     the caller supplying wider inputs (convs infer input width in Flax).
+    ``output_stride`` in {8, 16} dilates the deepest stages instead of
+    striding (ref :88 make_dilated; the DeepLabV3/+ encoder contract).
     Pretrained-weight loading is a separate step: see
     ``stcd_tpu.convert.load_pretrained`` which patches the param pytree.
     """
@@ -173,7 +179,18 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
             f"Wrong encoder name `{name}`, supported encoders: {encoder_names()}"
         )
     spec = _REGISTRY[name]
-    module = spec.cls(depth=depth, dtype=dtype, **spec.kwargs)
+    kwargs = dict(spec.kwargs)
+    if output_stride != 32:
+        if output_stride not in (8, 16):
+            raise ValueError(
+                f"Output stride should be 8, 16 or 32, got {output_stride}")
+        if not hasattr(spec.cls, "replace_stride_with_dilation"):
+            # ref encoders/_base.py make_dilated raises for stage-less encoders
+            raise ValueError(
+                f"{name} encoder does not support dilated mode")
+        kwargs["replace_stride_with_dilation"] = (
+            (False, False, True) if output_stride == 16 else (False, True, True))
+    module = spec.cls(depth=depth, dtype=dtype, **kwargs)
     if weights is not None:
         # Weight application happens on the param pytree after init; record
         # the request on the module metadata for the model factory to use.
@@ -181,8 +198,59 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
     return module, spec.out_channels[: depth + 1]
 
 
+_PREPROCESS_SPECIAL = {
+    # pretrainedmodels-style settings used by the reference's encoder zoo
+    # (ref encoders/{dpn,inceptionv4,inceptionresnetv2,xception}.py import
+    # them from the pretrainedmodels package; values reproduced here).
+    "dpn": dict(mean=[124 / 255, 117 / 255, 104 / 255],
+                std=[1 / (0.0167 * 255)] * 3),
+    "inception": dict(mean=[0.5, 0.5, 0.5], std=[0.5, 0.5, 0.5]),
+    "xception": dict(mean=[0.5, 0.5, 0.5], std=[0.5, 0.5, 0.5]),
+}
+
+
+def get_preprocessing_params(encoder_name: str, pretrained: str = "imagenet"):
+    """ref encoders/__init__.py:98-117: the normalization settings the
+    encoder's pretrained weights expect."""
+    if encoder_name.startswith("tu-"):
+        encoder_name = encoder_name[3:]
+    if encoder_name not in _REGISTRY and f"timm-{encoder_name}" not in _REGISTRY:
+        raise KeyError(f"Wrong encoder name `{encoder_name}`")
+    settings = dict(input_space="RGB", input_range=[0, 1],
+                    mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225])
+    for prefix, special in _PREPROCESS_SPECIAL.items():
+        if encoder_name.startswith(prefix):
+            settings.update(special)
+    if pretrained == "advprop":  # timm-efficientnet advprop variant
+        settings.update(mean=[0.5, 0.5, 0.5], std=[0.5, 0.5, 0.5])
+    return settings
+
+
+def preprocess_input(x, mean=None, std=None, input_space="RGB",
+                     input_range=None, **kwargs):
+    """ref encoders/_preprocessing.py — numpy/jax-array normalization."""
+    if input_space == "BGR":
+        x = x[..., ::-1]
+    if input_range is not None and x.max() > 1 and input_range[1] == 1:
+        x = x / 255.0
+    if mean is not None:
+        x = x - np.array(mean, dtype=np.float32)
+    if std is not None:
+        x = x / np.array(std, dtype=np.float32)
+    return x
+
+
+def get_preprocessing_fn(encoder_name: str, pretrained: str = "imagenet"):
+    """ref encoders/__init__.py:120-126."""
+    params = get_preprocessing_params(encoder_name, pretrained=pretrained)
+    return functools.partial(preprocess_input, **params)
+
+
 __all__ = [
     "get_encoder",
+    "get_preprocessing_params",
+    "get_preprocessing_fn",
+    "preprocess_input",
     "encoder_names",
     "encoder_out_channels",
     "register_encoder",

@@ -120,3 +120,45 @@ def test_real_forward_smallest():
     variables = module.init(jax.random.PRNGKey(0), x, train=False)
     outs = module.apply(variables, x, train=False)
     assert [o.shape[-1] for o in outs] == list(oc)
+
+
+def test_output_stride_dilated_encoder():
+    """get_encoder(output_stride=...) parity (ref encoders/__init__.py:88,
+    _base.py make_dilated): deepest stages dilate instead of stride."""
+    import jax
+    import jax.numpy as jnp
+    from stcd_tpu.encoders import get_encoder
+
+    enc, _ = get_encoder("resnet18", output_stride=16)
+    feats, _ = enc.init_with_output(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape[1] for f in feats] == [64, 32, 16, 8, 4, 4]
+    enc8, _ = get_encoder("resnet18", output_stride=8)
+    feats8, _ = enc8.init_with_output(jax.random.PRNGKey(0),
+                                      jnp.zeros((1, 64, 64, 3)))
+    assert [f.shape[1] for f in feats8] == [64, 32, 16, 8, 8, 8]
+    with pytest.raises(ValueError):
+        get_encoder("mit_b0", output_stride=16)
+    with pytest.raises(ValueError):
+        get_encoder("resnet18", output_stride=4)
+
+
+def test_preprocessing_fn_golden():
+    """get_preprocessing_fn parity vs the reference's own preprocess_input
+    (ref encoders/_preprocessing.py — numpy-only, loaded directly)."""
+    import numpy as np
+    from stcd_tpu.encoders import get_preprocessing_fn, get_preprocessing_params
+    from _ref_stubs import load_ref_smp_file
+
+    ref_mod = load_ref_smp_file("encoders._preprocessing")
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(2, 16, 16, 3)).astype(np.float32)
+    for name, pretrained in (("resnet50", "imagenet"), ("dpn68", "imagenet"),
+                             ("inceptionv4", "imagenet"),
+                             ("xception", "imagenet"),
+                             ("timm-efficientnet-b0", "advprop")):
+        params = get_preprocessing_params(name, pretrained)
+        want = ref_mod.preprocess_input(x.copy(), **params)
+        got = get_preprocessing_fn(name, pretrained)(x)
+        np.testing.assert_allclose(np.asarray(got), want, atol=1e-6,
+                                   err_msg=name)
