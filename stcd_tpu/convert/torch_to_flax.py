@@ -1052,3 +1052,38 @@ def convert_changevig(sd: Dict[str, Any], model: str,
         dec_p, dec_s = convert_changevig_decoder_v2(sd, "decoder", mode)
     return ({"encoder": enc_p, "decoder": dec_p},
             {"encoder": enc_s, "decoder": dec_s})
+
+
+def patch_first_conv(params: dict, new_in_channels: int,
+                     default_in_channels: int = 3) -> dict:
+    """smp encoders/_utils.py patch_first_conv equivalent on a CONVERTED
+    encoder params pytree (HWIO kernels): adapt the stem conv so pretrained
+    RGB weights drive non-RGB inputs.
+
+    - new == 1: sum the input-channel dim (grayscale reuse);
+    - otherwise: cycle source channels (i % default) and rescale by
+      default/new, exactly as the reference does (:27-37).
+    """
+    import jax
+
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    target_idx = None
+    for i, (path, leaf) in enumerate(flat):
+        if (getattr(leaf, "ndim", 0) == 4
+                and leaf.shape[2] == default_in_channels):
+            target_idx = i
+            break
+    if target_idx is None:
+        raise ValueError("no stem conv with "
+                         f"{default_in_channels} input channels found")
+    leaves = [leaf for _, leaf in flat]
+    w = np.asarray(leaves[target_idx])
+    if new_in_channels == default_in_channels:
+        return params
+    if new_in_channels == 1:
+        neww = w.sum(axis=2, keepdims=True)
+    else:
+        idx = [i % default_in_channels for i in range(new_in_channels)]
+        neww = w[:, :, idx, :] * (default_in_channels / new_in_channels)
+    leaves[target_idx] = neww.astype(w.dtype)
+    return jax.tree_util.tree_unflatten(treedef, leaves)

@@ -198,3 +198,22 @@ def test_full_segcd_checkpoint_parity(np_rng):
         np.testing.assert_allclose(np.asarray(o),
                                    t.numpy().transpose(0, 2, 3, 1),
                                    atol=5e-4, err_msg=f"output {i}")
+
+
+def test_patch_first_conv_golden():
+    """patch_first_conv parity vs the reference's own implementation
+    (ref encoders/_utils.py:5-37) for in_channels in {1, 2, 4, 6}."""
+    from _ref_stubs import load_ref_smp_file
+    from stcd_tpu.convert.torch_to_flax import patch_first_conv, _conv
+
+    ref_utils = load_ref_smp_file("encoders._utils")
+    for new_in in (1, 2, 4, 6):
+        torch.manual_seed(new_in)
+        conv = nn.Conv2d(3, 8, 7, stride=2, padding=3, bias=False)
+        params = {"conv1": {"kernel": _conv(conv.weight.detach().numpy())}}
+        model = nn.Sequential(conv)
+        ref_utils.patch_first_conv(model, new_in, pretrained=True)
+        want = _conv(model[0].weight.detach().numpy())
+        got = patch_first_conv(params, new_in)["conv1"]["kernel"]
+        np.testing.assert_allclose(got, want, atol=1e-6,
+                                   err_msg=f"in_channels={new_in}")
