@@ -170,19 +170,32 @@ def to_float01(img: jax.Array) -> jax.Array:
     return img
 
 
-@functools.partial(jax.jit, static_argnames=("jitter_p",))
-def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.Array:
-    """The reference's train-time pipeline for ONE temporal image
-    (ref data/dataset.py:404-411): ColorJitter p=0.5 -> RandomGrayscale
-    p=0.2 -> blur p=0.5 -> ImageNet-normalize. Input [0,1] float (or uint8)
-    NHWC or HWC."""
-    img = to_float01(img)
+def _train_augment_single(key: jax.Array, img: jax.Array,
+                          jitter_p: float) -> jax.Array:
     k1, k1p, k2, k3 = jax.random.split(key, 4)
     jittered = color_jitter(k1, img)
     img = jnp.where(jax.random.uniform(k1p) < jitter_p, jittered, img)
     img = random_grayscale(k2, img)
     img = gaussian_blur(k3, img)
     return normalize(img)
+
+
+@functools.partial(jax.jit, static_argnames=("jitter_p",))
+def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.Array:
+    """The reference's train-time pipeline (ref data/dataset.py:404-411):
+    ColorJitter p=0.5 -> RandomGrayscale p=0.2 -> blur p=0.5 ->
+    ImageNet-normalize. Input [0,1] float (or uint8), HWC or NHWC.
+
+    The reference augments in ``__getitem__`` — every SAMPLE draws its own
+    coins/factors. A batched input is therefore vmapped over per-sample
+    keys (one shared draw per batch would collapse augmentation diversity
+    by the batch size)."""
+    img = to_float01(img)
+    if img.ndim == 4:
+        keys = jax.random.split(key, img.shape[0])
+        return jax.vmap(
+            lambda k, x: _train_augment_single(k, x, jitter_p))(keys, img)
+    return _train_augment_single(key, img, jitter_p)
 
 
 def eval_preprocess(img: jax.Array) -> jax.Array:

@@ -64,7 +64,11 @@ class DataLoader:
         n = len(self.dataset)
         if self.process_count == 1:
             return n
-        return len(range(self.process_index, n, self.process_count))
+        # every process sees EXACTLY ceil(n / P) samples (short strided
+        # slices wrap around): unequal per-process batch counts would make
+        # processes run different numbers of jitted steps and deadlock the
+        # SPMD program at the first collective.
+        return -(-n // self.process_count)
 
     def __len__(self):
         n = self._local_count()
@@ -88,7 +92,13 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
         if self.process_count > 1:
-            idx = idx[self.process_index::self.process_count]
+            per = -(-n // self.process_count)
+            strided = idx[self.process_index::self.process_count]
+            if len(strided) < per:  # wrap so every process has `per` samples
+                extra = idx[:per - len(strided)] if len(strided) == 0 \
+                    else strided[: per - len(strided)]
+                strided = np.concatenate([strided, extra])
+            idx = strided
         self._epoch += 1
         return idx
 
@@ -111,7 +121,15 @@ class DataLoader:
         def place(batch):
             names = batch.pop("name", None)
             arrays = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
-            if self.sharding is not None and all(
+            multihost = jax.process_count() > 1
+            if multihost and self.sharding is not None:
+                # each process holds its LOCAL rows of the global batch;
+                # device_put(local, global_sharding) would mislabel the
+                # local array as the whole global array. Assemble properly:
+                arrays = {
+                    k: jax.make_array_from_process_local_data(self.sharding, v)
+                    for k, v in arrays.items()}
+            elif self.sharding is not None and all(
                     self._shardable(v.shape) for v in arrays.values()):
                 arrays = jax.device_put(arrays, self.sharding)
             else:

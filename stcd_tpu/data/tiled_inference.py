@@ -40,6 +40,8 @@ def extract_tiles(image: np.ndarray, tile: int = 256, stride: int = 256
 def stitch_tiles(tiles: np.ndarray, origins: list, out_hw: Tuple[int, int]
                  ) -> np.ndarray:
     """Average overlapping tile predictions back into (H, W, C)."""
+    assert len(tiles) == len(origins), (
+        f"{len(tiles)} tile predictions for {len(origins)} origins")
     t = tiles.shape[1]
     c = tiles.shape[-1]
     acc = np.zeros((*out_hw, c), np.float64)
@@ -70,9 +72,12 @@ def predict_scene(predict_fn: Callable, image_a: np.ndarray,
         b = tiles_b[i:i + batch] if tiles_b is not None else None
         pad = batch - a.shape[0]
         if pad:
-            a = np.concatenate([a, np.zeros_like(a[:pad])])
+            # Full-size zero padding: `a[:pad]` would be short whenever the
+            # remainder is smaller than pad, silently dropping tiles.
+            zeros = np.zeros((pad,) + a.shape[1:], a.dtype)
+            a = np.concatenate([a, zeros])
             if b is not None:
-                b = np.concatenate([b, np.zeros_like(b[:pad])])
+                b = np.concatenate([b, np.zeros((pad,) + b.shape[1:], b.dtype)])
         a_dev = jax.device_put(jnp.asarray(a), sharding)
         if b is not None:
             b_dev = jax.device_put(jnp.asarray(b), sharding)

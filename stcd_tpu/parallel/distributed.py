@@ -35,9 +35,18 @@ def initialize(coordinator_address: Optional[str] = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError) as e:  # already initialized / 1-proc
-        if "already" not in str(e).lower() and num_processes not in (None, 1):
-            raise
+    except RuntimeError as e:
+        if "already" in str(e).lower():  # initialize() called twice: no-op
+            return
+        raise  # genuine multi-host failure must NOT degrade to single-host
+    except ValueError as e:
+        # auto-discovery with all-None args on a non-pod host raises
+        # "coordinator_address should be defined" — that IS the single-host
+        # case. Anything else (bad explicit args) re-raises.
+        if (coordinator_address is None and num_processes is None
+                and "coordinator_address" in str(e)):
+            return
+        raise
 
 
 def global_batch_sharding(mesh):

@@ -52,6 +52,7 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
     logger = logger or ScalarLogger(os.path.join(save_dir, "logs"))
     if snapshot_epochs is None:
         snapshot_epochs = {n_epochs // 3, n_epochs * 2 // 3, n_epochs}
+    best_epoch = 0
     best = -1.0  # first epoch always saves a best artifact (the reference
     # never writes one when IoU stays at 0.0 — a latent flaw its own
     # load_model path trips over)
@@ -99,10 +100,11 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
         history.append({"epoch": epoch, "train": tm, "val": em})
         if score(em) > best:
             best = score(em)
+            best_epoch = epoch
             ckpt.save_best(state, best)
         if epoch in snapshot_epochs:
             ckpt.save_snapshot(state, epoch)
-        ckpt.save_last(state, epoch, best, epoch)
+        ckpt.save_last(state, epoch, best, best_epoch)
         logger.flush()
     return state, best, history
 
@@ -152,6 +154,12 @@ def select_reliable(eval_steps, states, loader, list_dir: str):
 
     ``states``: list of (eval_step-compatible) states from different epochs.
     """
+    if len(states) < 2:
+        raise ValueError(
+            "reliability ranking needs >= 2 model states (the reference uses "
+            "3 epoch snapshots + the current model, train_stcd.py:98-104); "
+            f"got {len(states)} — are the *_model snapshots missing from "
+            "--load_path?")
     id_to_reliability = []
     for batch in loader:
         names = batch.pop("name")

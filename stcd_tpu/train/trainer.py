@@ -69,21 +69,10 @@ class TrainerConfig:
 
 
 def get_alpha_from_loader(loader) -> np.ndarray:
-    """Class-frequency scan (ref models/losses.py:38-59 get_alpha):
-    occurrence counts per class over the training labels (255 -> class 0)."""
-    counts = None
-    for batch in loader:
-        lab = np.asarray(batch["label"]).astype(np.int64)
-        lab[lab == 255] = 0
-        n_class = int(lab.max()) + 1
-        c = np.bincount(lab.reshape(-1), minlength=n_class)
-        if counts is None:
-            counts = c.astype(np.float64)
-        else:
-            if len(c) > len(counts):
-                counts = np.pad(counts, (0, len(c) - len(counts)))
-            counts[: len(c)] += c
-    return counts
+    """Class-frequency scan (ref models/losses.py:38-59 get_alpha);
+    delegates to the canonical stcd_tpu.losses implementation."""
+    from stcd_tpu.losses.functional import get_alpha
+    return get_alpha(loader)
 
 
 def _make_optimizer(cfg: TrainerConfig, schedule) -> optax.GradientTransformation:
@@ -116,8 +105,9 @@ class CDTrainer:
                                  max_epochs=cfg.max_epochs,
                                  lr_decay_iters=cfg.lr_decay_iters)
         self.tx = _make_optimizer(cfg, schedule)
-        if cfg.loss in ("fl", "miou") and alpha is None:
-            alpha = get_alpha_from_loader(dataloaders["train"])
+        # alpha (class-frequency weights for fl/miou) is computed lazily at
+        # train time: an evaluator-only CDTrainer must not pay a full pass
+        # over the training set for a loss it never evaluates.
         self.alpha = alpha
         self.ckpt = CheckpointManager(cfg.checkpoint_dir)
         self.logger = ScalarLogger(os.path.join(cfg.checkpoint_dir, "logs"))
@@ -173,7 +163,10 @@ class CDTrainer:
     def _pred_to_labels(self, pred):
         if self.cfg.n_class > 1:
             return jnp.argmax(pred, axis=-1)
-        return (pred >= 0.5).astype(jnp.int32)[..., 0]
+        # models emit logits (the sigmoid lives in the loss): threshold the
+        # probability at 0.5, i.e. the logit at 0 — not the logit at 0.5
+        return (jax.nn.sigmoid(pred.astype(jnp.float32))
+                >= 0.5).astype(jnp.int32)[..., 0]
 
     def _build_steps(self):
         model = self.model
@@ -248,9 +241,14 @@ class CDTrainer:
             metric.confusionMatrix += np.asarray(cm, np.float64)
         return state, metric, last_loss, rng
 
+    def _ensure_alpha(self):
+        if self.cfg.loss in ("fl", "miou") and self.alpha is None:
+            self.alpha = get_alpha_from_loader(self.dataloaders["train"])
+
     def train_models(self) -> TrainState:
         """ref trainer.py:316-371 (train/val loop + curves + checkpoints)."""
         cfg = self.cfg
+        self._ensure_alpha()
         state = self._init_state()
         restored = self.ckpt.restore_last(state, "last_ckpt")
         train_curve, val_curve = [], []

@@ -90,3 +90,26 @@ def test_save_to_mat_roundtrip(tmp_path):
     np.testing.assert_array_equal(m["x2"], 2 * np.ones((1, 8, 8, 3)))
     np.testing.assert_array_equal(m["fx1_2"], np.full((1, 4, 4, 2), 2.0))
     np.testing.assert_array_equal(m["final_pred"], np.ones((1, 8, 8, 1)))
+
+
+def test_train_augment_per_sample_independence():
+    """The reference augments in __getitem__, i.e. independently per sample
+    (data/dataset.py:404-411). A batched train_augment must draw per-sample
+    coins/factors, not one shared draw for the whole batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from stcd_tpu.data.augment import normalize, train_augment
+
+    x = jnp.asarray(np.random.default_rng(0)
+                    .uniform(size=(16, 8, 8, 3)).astype(np.float32))
+    y = train_augment(jax.random.PRNGKey(0), x)
+    base = np.asarray(normalize(x))
+    deltas = np.abs(np.asarray(y) - base).mean(axis=(1, 2, 3))
+    # with one shared draw all per-sample deltas are equal (or all zero);
+    # per-sample draws give a mixed population incl. untouched samples
+    assert len(set(np.round(deltas, 5))) > 3
+    # batched result == single-image path with the matching per-sample key
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    y0 = train_augment(keys[3], x[3])
+    np.testing.assert_allclose(np.asarray(y[3]), np.asarray(y0), atol=1e-6)

@@ -150,6 +150,13 @@ def test_tiled_inference_roundtrip(np_rng):
     expected = ((img + imgb) / 2).mean(-1, keepdims=True)
     np.testing.assert_allclose(out, expected, atol=1e-5)
 
+    # regression: remainder smaller than the pad (9 tiles, batch 8) — the
+    # short-batch padding must be full-size or tiles are silently dropped
+    img9 = np_rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    out9 = predict_scene(lambda a: jnp.mean(a, -1, keepdims=True),
+                         img9, tile=32, stride=32, batch=8)
+    np.testing.assert_allclose(out9, img9.mean(-1, keepdims=True), atol=1e-5)
+
 
 def test_uint8_transfer_path_matches_float(tmp_path):
     """set_uint8_transfer ships uint8 to the device; the jitted step's
