@@ -60,7 +60,7 @@ def main():
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (example, example), optax.sgd(0.0))
     mgr = CheckpointManager(args.load_path)
-    ckpt = mgr.best_path() or os.path.join(args.load_path)
+    ckpt = mgr.best_path() or args.load_path
     state = mgr.load_weights(state, ckpt)
     print(f"loaded {ckpt}")
 

@@ -73,21 +73,24 @@ def main():
         # K=3 snapshot ensemble reliability ranking (ref train_pse_cd.py:87-126)
         mgr = CheckpointManager(args.load_path)
         import glob
-        snaps = sorted(glob.glob(os.path.join(args.load_path, "*_model")))[:3]
+        # "*_model" also matches "*_best_model" (a duplicate of the loaded
+        # current weights) — keep only the plain epoch snapshots
+        snaps = sorted(p for p in glob.glob(os.path.join(args.load_path, "*_model"))
+                       if not p.endswith("_best_model"))[:3]
         states = [mgr.load_weights(state, s) for s in snaps] + [state]
-        loader = DataLoader(CDDataset(args.root_path, args.dataset_name, "train"),
+        loader = DataLoader(CDDataset(args.root_path, args.CDdataset_name, "train"),
                             1, num_workers=args.n_cpu, sharding=None)
         select_reliable([eval_step] * len(states), states, loader,
-                        os.path.join(args.root_path, args.dataset_name, "train", "list"))
+                        os.path.join(args.root_path, args.CDdataset_name, "train", "list"))
         return
 
     if args.generate_label:
-        loader = DataLoader(CDDataset(args.root_path, args.dataset_name, "train"),
+        loader = DataLoader(CDDataset(args.root_path, args.CDdataset_name, "train"),
                             1, num_workers=args.n_cpu, sharding=None,
                             drop_last=False)
         metrics = generate_pseudo_labels(
             eval_step, state, loader,
-            os.path.join(args.root_path, args.dataset_name, "train", "ff_label"),
+            os.path.join(args.root_path, args.CDdataset_name, "train", "ff_label"),
             threshold=0.7)
         print("pseudo-label metrics:", metrics)
         return

@@ -69,25 +69,30 @@ def main():
     if args.select_data:
         mgr = CheckpointManager(args.load_path)
         import glob
-        snaps = sorted(glob.glob(os.path.join(args.load_path, "*_model")))[:3]
+        # "*_model" also matches "*_best_model" (a duplicate of the loaded
+        # current weights) — keep only the plain epoch snapshots
+        snaps = sorted(p for p in glob.glob(os.path.join(args.load_path, "*_model"))
+                       if not p.endswith("_best_model"))[:3]
         states = [mgr.load_weights(state, s) for s in snaps] + [state]
-        loader = DataLoader(CDDataset(args.root_path, args.dataset_name, "train"),
+        loader = DataLoader(CDDataset(args.root_path, args.CDdataset_name, "train"),
                             1, num_workers=args.n_cpu, sharding=None)
         select_reliable([eval_step] * len(states), states, loader,
-                        os.path.join(args.root_path, args.dataset_name, "train", "list"))
+                        os.path.join(args.root_path, args.CDdataset_name, "train", "list"))
         return
 
     if args.generate_label:
         loader = DataLoader(
-            CDDataset(args.root_path, args.dataset_name, "train", reliable="reliable"),
+            # ref train_stcd.py:141 passes reliable='lunreliable' — a
+            # disabled toggle that falls through to the full train list
+            CDDataset(args.root_path, args.CDdataset_name, "train"),
             1, num_workers=args.n_cpu, sharding=None, drop_last=False)
         vis_dir = None
         if args.vis_feature:
             vis_dir = args.vis_dir or os.path.join(
-                args.root_path, args.dataset_name, "train", "val_pred_temp")
+                args.root_path, args.CDdataset_name, "train", "val_pred_temp")
         metrics = generate_pseudo_labels(
             eval_step, state, loader,
-            os.path.join(args.root_path, args.dataset_name, "train", "pseudo_label"),
+            os.path.join(args.root_path, args.CDdataset_name, "train", "pseudo_label"),
             threshold=0.5, vis_dir=vis_dir)
         print("pseudo-label metrics:", metrics)
         return

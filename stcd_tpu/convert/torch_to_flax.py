@@ -100,8 +100,6 @@ def apply_encoder_weights(variables: dict, encoder_path: Tuple[str, ...],
     ``encoder_path`` (e.g. ("encoder",)). Returns a new variables dict."""
     import jax
 
-    variables = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
-
     def set_at(tree, path, sub):
         node = tree
         for p in path[:-1]:

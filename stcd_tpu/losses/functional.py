@@ -111,6 +111,12 @@ def focal_loss(logits: jax.Array, target: jax.Array,
     p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1) if apply_nonlin else logits.astype(jnp.float32)
     p = p.reshape(-1, num_class)
     t = target.reshape(-1).astype(jnp.int32)
+    # Out-of-range ids fold to class 0 — the evident intent of the
+    # reference's `idx[idx==225]=0` (:136, a typo for the 255 ignore id its
+    # own get_alpha folds; torch's scatter_ would crash on a true 255).
+    # Without this, one_hot(255) is all-zero -> pt = smooth -> each ignored
+    # pixel silently contributes -log(smooth) ~ 11.5 to the loss.
+    t = jnp.where((t < 0) | (t >= num_class), 0, t)
 
     if alpha is None:
         alpha_v = jnp.ones((num_class,), jnp.float32)

@@ -50,7 +50,7 @@ def _flatten_by_mode(y_pred: jax.Array, y_true: jax.Array, mode: str,
         valid = jnp.ones_like(t) if ignore_index is None else (
             y_true.reshape(1, -1) != ignore_index).astype(jnp.float32)
         t = t * valid
-        return p, t, valid
+        return p * valid, t, valid
     if mode == MULTICLASS_MODE:
         c = y_pred.shape[-1]
         p = jax.nn.softmax(y_pred, axis=-1) if from_logits else y_pred
@@ -149,8 +149,9 @@ class TverskyLoss:
         score = (tp + self.smooth) / jnp.maximum(
             tp + self.alpha * fp + self.beta * fn + self.smooth, self.eps)
         loss = -jnp.log(jnp.maximum(score, self.eps)) if self.log_loss else 1.0 - score
-        loss = loss ** self.gamma
-        return _aggregate_classwise(loss, jnp.sum(t, axis=1), self.classes)
+        # ref tversky.py aggregate_loss: gamma applies to the MEAN, not per class
+        return _aggregate_classwise(loss, jnp.sum(t, axis=1),
+                                    self.classes) ** self.gamma
 
 
 def focal_loss_with_logits(output: jax.Array, target: jax.Array,
@@ -167,7 +168,7 @@ def focal_loss_with_logits(output: jax.Array, target: jax.Array,
     if reduced_threshold is None:
         focal_term = (1.0 - pt) ** gamma
     else:
-        focal_term = ((1.0 - pt) / (1 - reduced_threshold)) ** gamma
+        focal_term = ((1.0 - pt) / reduced_threshold) ** gamma
         focal_term = jnp.where(pt < reduced_threshold, 1.0, focal_term)
     loss = focal_term * logpt
     if alpha is not None:
@@ -282,7 +283,9 @@ class SoftCrossEntropyLoss:
         loss = (1 - sf) * nll + sf * smooth_loss
         loss = loss * valid
         if self.reduction == "mean":
-            return jnp.sum(loss) / jnp.maximum(jnp.sum(valid), 1.0)
+            # ref soft_ce.py zeroes ignored positions but means over ALL
+            # elements (not just the valid count)
+            return jnp.mean(loss)
         if self.reduction == "sum":
             return jnp.sum(loss)
         return loss
@@ -329,14 +332,20 @@ def _lovasz_hinge_flat(logits: jax.Array, labels: jax.Array) -> jax.Array:
 
 
 def _lovasz_softmax_flat(probas: jax.Array, labels: jax.Array) -> jax.Array:
+    """ref lovasz.py:112-134 with the default classes='present': classes
+    absent from the batch contribute nothing and the mean runs over the
+    present classes only."""
     c = probas.shape[-1]
-    losses = []
+    losses, present = [], []
     for cls in range(c):
         fg = (labels == cls).astype(jnp.float32)
         errors = jnp.abs(fg - probas[:, cls])
         order = jnp.argsort(-errors)
         losses.append(jnp.sum(errors[order] * _lovasz_grad(fg[order])))
-    return jnp.mean(jnp.stack(losses))
+        present.append(jnp.sum(fg) > 0)
+    losses = jnp.stack(losses)
+    present = jnp.stack(present).astype(jnp.float32)
+    return jnp.sum(losses * present) / jnp.maximum(jnp.sum(present), 1.0)
 
 
 @dataclasses.dataclass

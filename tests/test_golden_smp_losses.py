@@ -99,3 +99,67 @@ def test_soft_ce_matches(ref_losses, data):
     got = SoftCrossEntropyLoss(smooth_factor=0.1)(
         jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(target))
     _close(got, want)
+
+
+def test_dice_binary_ignore_index(ref_losses, data):
+    """ref dice.py binary branch masks y_pred AND y_true at ignored pixels."""
+    from stcd_tpu.losses.smp import DiceLoss
+    logits, target, _, _ = data
+    t = target.copy()
+    t[:, :, :3, :] = 255.0
+    ref = ref_losses.DiceLoss(mode="binary", ignore_index=255)
+    want = ref(torch.from_numpy(logits), torch.from_numpy(t))
+    got = DiceLoss(mode="binary", ignore_index=255)(
+        _ours_binary(logits), _ours_binary(t))
+    _close(got, want)
+
+
+def test_tversky_gamma_aggregation(ref_losses, data):
+    """ref tversky.py: aggregate_loss = loss.mean() ** gamma (gamma on the
+    mean, not per class)."""
+    from stcd_tpu.losses.smp import TverskyLoss
+    _, _, logits, target = data
+    ref = ref_losses.TverskyLoss(mode="multiclass", alpha=0.3, beta=0.7,
+                                 gamma=2.0)
+    want = ref(torch.from_numpy(logits), torch.from_numpy(target))
+    got = TverskyLoss(mode="multiclass", alpha=0.3, beta=0.7, gamma=2.0)(
+        jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(target))
+    _close(got, want)
+
+
+def test_focal_reduced_threshold(ref_losses, data):
+    """ref _functional.py:78: focal_term = ((1-pt)/reduced_threshold)^gamma."""
+    from stcd_tpu.losses.smp import FocalLoss
+    logits, target, _, _ = data
+    ref = ref_losses.FocalLoss(mode="binary", reduced_threshold=0.25)
+    want = ref(torch.from_numpy(logits), torch.from_numpy(target))
+    got = FocalLoss(mode="binary", reduced_threshold=0.25)(
+        _ours_binary(logits), _ours_binary(target))
+    _close(got, want)
+
+
+def test_soft_ce_ignore_mean_semantics(ref_losses, data):
+    """ref soft_ce.py zeroes ignored positions but means over ALL elements."""
+    from stcd_tpu.losses.smp import SoftCrossEntropyLoss
+    _, _, logits, target = data
+    t = target.copy()
+    t[:, :4, :] = 255
+    ref = ref_losses.SoftCrossEntropyLoss(smooth_factor=0.1, ignore_index=255)
+    want = ref(torch.from_numpy(logits), torch.from_numpy(t))
+    got = SoftCrossEntropyLoss(smooth_factor=0.1, ignore_index=255)(
+        jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    _close(got, want)
+
+
+def test_lovasz_absent_class(ref_losses, data):
+    """ref lovasz.py classes='present': classes absent from the batch are
+    skipped and the mean runs over present classes only."""
+    from stcd_tpu.losses.smp import LovaszLoss
+    _, _, logits, target = data
+    t = target.copy()
+    t[t == 2] = 0  # class 2 absent
+    ref = ref_losses.LovaszLoss(mode="multiclass")
+    want = ref(torch.from_numpy(logits), torch.from_numpy(t))
+    got = LovaszLoss(mode="multiclass")(
+        jnp.asarray(logits.transpose(0, 2, 3, 1)), jnp.asarray(t))
+    _close(got, want)
