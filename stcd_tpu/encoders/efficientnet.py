@@ -111,8 +111,11 @@ class MBConv(nn.Module):
             h = nn.Conv(exp_c, (1, 1), use_bias=False, dtype=self.dtype,
                         name="expand_conv")(h)
             h = act(_bn(train, "expand_bn")(h))
-        k, p = self.kernel, self.kernel // 2
-        h = nn.Conv(exp_c, (k, k), strides=self.stride, padding=p,
+        k = self.kernel
+        # TF SAME padding (efficientnet_pytorch Conv2dStaticSamePadding):
+        # asymmetric (0,1)-style pads at stride 2, == symmetric k//2 at
+        # stride 1 with odd kernels
+        h = nn.Conv(exp_c, (k, k), strides=self.stride, padding="SAME",
                     feature_group_count=exp_c, use_bias=False,
                     dtype=self.dtype, name="dw_conv")(h)
         h = act(_bn(train, "dw_bn")(h))
@@ -155,7 +158,7 @@ class EfficientNetEncoder(nn.Module):
         width, depth_c, _ = _EFFNET_CFGS[self.variant]
         features = [x]
         stem_c = 32 if self.lite else round_filters(32, width)
-        h = nn.Conv(stem_c, (3, 3), strides=2, padding=1, use_bias=False,
+        h = nn.Conv(stem_c, (3, 3), strides=2, padding="SAME", use_bias=False,
                     dtype=self.dtype, name="stem_conv")(x)
         act = jax.nn.relu6 if self.lite else swish
         h = act(_bn(train, "stem_bn")(h))

@@ -45,4 +45,5 @@ class MixTransformerEncoder(nn.Module):
         feats = enc(x, train)
         n, h, w, _ = x.shape
         dummy = jnp.zeros((n, h // 2, w // 2, 0), x.dtype)
-        return [x, dummy] + list(feats)
+        # honor the smp depth contract: depth+1 features
+        return ([x, dummy] + list(feats))[: self.depth + 1]

@@ -140,7 +140,12 @@ class SENetEncoder(nn.Module):
             if self.depth < 2 + i:
                 break
             if i == 0:
-                h = max_pool(h, window=3, stride=2, padding=1)
+                # Cadene: MaxPool2d(3, stride=2, ceil_mode=True, padding=0)
+                # == VALID 3x3/2 over an input padded (0,1) on the high side
+                # (flax pads max-pools with -inf); symmetric padding=1 would
+                # shift every pooling window by one pixel
+                h = nn.max_pool(h, (3, 3), strides=(2, 2),
+                                padding=((0, 1), (0, 1)))
             stride = 1 if i == 0 else 2
             # Cadene: layer1 always uses downsample_kernel_size=1 even for
             # senet154; later layers use the config kernel

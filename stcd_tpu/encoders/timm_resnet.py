@@ -200,22 +200,35 @@ class ResNestBottleneck(nn.Module):
         return nn.relu(h + identity)
 
 
+def _make_divisible(v, divisor=8, min_value=None):
+    """timm.layers.make_divisible."""
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
 class SelectiveKernel(nn.Module):
-    """timm SelectiveKernel (split_input=True, rd_ratio 1/8): two 3x3
-    branches (dilation 1 and 2) over split input channels, fused by
-    softmax attention over branches."""
+    """timm SelectiveKernel: two 3x3 branches (dilation 1 and 2), fused by
+    softmax attention over branches. skresnet18/34 use split_input=True
+    with rd_ratio=1/8 (timm sk_kwargs); skresnext50_32x4d uses
+    split_input=False with rd_ratio=1/16, rd_divisor=32."""
 
     out_channels: int
     stride: int = 1
     groups: int = 1
+    split_input: bool = True
+    rd_ratio: float = 1 / 8
+    rd_divisor: int = 8
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        paths = jnp.split(x, 2, axis=-1)  # split_input=True
+        paths = jnp.split(x, 2, axis=-1) if self.split_input else [x, x]
+        g = min(self.out_channels, self.groups)
         feats = []
         for i, (p, d) in enumerate(zip(paths, (1, 2))):
-            g = math.gcd(self.groups, p.shape[-1]) if self.groups > 1 else 1
             f = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
                         padding=d, kernel_dilation=d,
                         feature_group_count=max(g, 1), use_bias=False,
@@ -223,7 +236,8 @@ class SelectiveKernel(nn.Module):
             f = nn.relu(_bn(train, f"path{i}_bn")(f))
             feats.append(f)
         u = feats[0] + feats[1]
-        rd = max(self.out_channels // 8, 32)
+        rd = _make_divisible(self.out_channels * self.rd_ratio,
+                             self.rd_divisor)
         a = avg_pool_global(u)
         a = nn.relu(_bn(train, "attn_bn")(
             nn.Conv(rd, (1, 1), use_bias=False, dtype=self.dtype,
@@ -254,9 +268,12 @@ class SelectiveKernelBlock(nn.Module):
             h = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype,
                         name="conv1")(x)
             h = nn.relu(_bn(train, "bn1")(h))
+            # skresnext50_32x4d sk_kwargs (timm resnet.py):
+            # split_input=False, rd_ratio=1/16, rd_divisor=32
             h = SelectiveKernel(width, stride=self.stride,
-                                groups=self.cardinality, dtype=self.dtype,
-                                name="sk")(h, train)
+                                groups=self.cardinality, split_input=False,
+                                rd_ratio=1 / 16, rd_divisor=32,
+                                dtype=self.dtype, name="sk")(h, train)
             h = nn.Conv(out_c, (1, 1), use_bias=False, dtype=self.dtype,
                         name="conv3")(h)
             h = _bn(train, "bn3")(h)

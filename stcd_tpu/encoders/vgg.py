@@ -80,12 +80,18 @@ class VGGEncoder(nn.Module):
         stage_convs = _VGG_STAGE_CONVS[self.arch]
         stage_feats = [64, 128, 256, 512, 512]
         h = x
-        for s in range(min(self.depth, 5)):
+        # smp stage contract: depth+1 features = conv stages 0..depth, where
+        # stage 5 (only at depth=5) is the final maxpool alone. A shallow
+        # depth must still emit the NEXT conv stage (smp's stages split
+        # before each pool), not a pool of the previous one.
+        n_conv_stages = min(self.depth + 1, 5)
+        for s in range(n_conv_stages):
             if s > 0:
                 h = max_pool(h, window=2, stride=2)
             for _ in range(stage_convs[s]):
+                # torchvision VGG convs keep bias=True in the _bn variants too
                 h = nn.Conv(stage_feats[s], (3, 3), padding=[(1, 1)] * 2,
-                            use_bias=not self.batch_norm, dtype=self.dtype,
+                            use_bias=True, dtype=self.dtype,
                             name=f"conv{conv_idx}")(h)
                 if self.batch_norm:
                     h = MPBatchNorm(use_running_average=not train, momentum=0.9,
@@ -94,13 +100,8 @@ class VGGEncoder(nn.Module):
                 h = nn.relu(h)
                 conv_idx += 1
             features.append(h)
-        # final stage = last maxpool only (smp vgg encoder has 6 outputs,
-        # the last being the pooled 512 map)
-        features.append(max_pool(h, window=2, stride=2))
-        # smp contract expects features[0] at input resolution; vgg's first
-        # stage is already full-res convs, so prepend identity-resolution x?
-        # smp's vgg out_channels = (64, 128, 256, 512, 512, 512): the first
-        # feature IS relu1_2 (full res). Return as-is (6 features).
+        if self.depth >= 5:
+            features.append(max_pool(h, window=2, stride=2))
         return features
 
 

@@ -41,13 +41,14 @@ def act_layer(name: str):
     }[name]
 
 
-def _get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
-    """MAE-style 2D sin-cos position embedding, (grid*grid, embed_dim)."""
+def _get_2d_sincos_pos_embed(embed_dim: int, grid_hw) -> np.ndarray:
+    """MAE-style 2D sin-cos position embedding, (gh*gw, embed_dim)."""
+    gh, gw = (grid_hw, grid_hw) if isinstance(grid_hw, int) else grid_hw
     dim_half = embed_dim // 2
     omega = 1.0 / 10000 ** (np.arange(dim_half // 2, dtype=np.float64)
                             / (dim_half / 2.0))
-    grid = np.arange(grid_size, dtype=np.float64)
-    gy, gx = np.meshgrid(grid, grid, indexing="ij")
+    gy, gx = np.meshgrid(np.arange(gh, dtype=np.float64),
+                         np.arange(gw, dtype=np.float64), indexing="ij")
 
     def embed(pos):
         out = np.einsum("n,d->nd", pos.reshape(-1), omega)
@@ -56,11 +57,13 @@ def _get_2d_sincos_pos_embed(embed_dim: int, grid_size: int) -> np.ndarray:
     return np.concatenate([embed(gx), embed(gy)], axis=1)  # (N, embed_dim)
 
 
-def relative_pos_bias(channels: int, n: int, m: int) -> jnp.ndarray:
+def relative_pos_bias(channels: int, n: int, m: int,
+                      grid_hw=None) -> jnp.ndarray:
     """The Grapher's fixed relative-position bias: negative scaled gram
-    matrix of 2D sin-cos embeddings, resized to (n, m)."""
-    grid = int(round(n ** 0.5))
-    pe = _get_2d_sincos_pos_embed(channels, grid)
+    matrix of 2D sin-cos embeddings, resized to (n, m). ``grid_hw`` gives
+    the (h, w) node grid for non-square maps; default assumes square."""
+    pe = _get_2d_sincos_pos_embed(
+        channels, grid_hw if grid_hw is not None else int(round(n ** 0.5)))
     rel = 2.0 * (pe @ pe.T) / pe.shape[1]
     bias = -jnp.asarray(rel, jnp.float32)[None, :, :, None]  # (1, n, n, 1)
     if bias.shape[2] != m:
@@ -175,7 +178,7 @@ class Grapher(nn.Module):
             nbrs = nodes
         rel = None
         if self.relative_pos:
-            rel = relative_pos_bias(c, h * w, nbrs.shape[1])
+            rel = relative_pos_bias(c, h * w, nbrs.shape[1], grid_hw=(h, w))
         idx = knn_graph(nodes, nbrs, self.kernel_size, self.dilation, rel)
         conv_cls = MRConv if self.conv == "mr" else EdgeConv
         out = conv_cls(2 * c, self.act, dtype=self.dtype,

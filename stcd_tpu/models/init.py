@@ -27,8 +27,10 @@ def init_weights(params: Any, rng: jax.Array, init_type: str = "normal",
             if init_type == "normal":
                 v = init_gain * jax.random.normal(k_rng, value.shape, value.dtype)
             elif init_type == "xavier":
+                # ref init.xavier_normal_(w, gain=init_gain): std scales BY
+                # the gain itself (default 0.02), not gain/0.02
                 v = jax.nn.initializers.xavier_normal()(k_rng, value.shape,
-                                                        value.dtype) * (init_gain / 0.02)
+                                                        value.dtype) * init_gain
             elif init_type == "kaiming":
                 v = jax.nn.initializers.kaiming_normal()(k_rng, value.shape,
                                                          value.dtype)

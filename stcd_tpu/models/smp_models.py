@@ -174,9 +174,8 @@ class DeepLabV3(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        enc = ResNetEncoder(arch=self.encoder_name, depth=self.encoder_depth,
-                            replace_stride_with_dilation=(False, True, True),
-                            dtype=self.dtype)
+        enc, _ = get_encoder(self.encoder_name, depth=self.encoder_depth,
+                             output_stride=8, dtype=self.dtype)
         feats = enc.copy(name="encoder")(x, train)
         h = DeepLabV3Decoder(out_channels=self.decoder_channels,
                              dtype=self.dtype, name="decoder")(feats, train)
@@ -200,10 +199,9 @@ class DeepLabV3Plus(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        dil = (False, False, True) if self.encoder_output_stride == 16 \
-            else (False, True, True)
-        enc = ResNetEncoder(arch=self.encoder_name, depth=self.encoder_depth,
-                            replace_stride_with_dilation=dil, dtype=self.dtype)
+        enc, _ = get_encoder(self.encoder_name, depth=self.encoder_depth,
+                             output_stride=self.encoder_output_stride,
+                             dtype=self.dtype)
         feats = enc.copy(name="encoder")(x, train)
         h = DeepLabV3PlusDecoder(out_channels=self.decoder_channels,
                                  atrous_rates=tuple(self.decoder_atrous_rates),
@@ -226,9 +224,8 @@ class PAN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
-        enc = ResNetEncoder(arch=self.encoder_name, depth=5,
-                            replace_stride_with_dilation=(False, False, True),
-                            dtype=self.dtype)
+        enc, _ = get_encoder(self.encoder_name, depth=5, output_stride=16,
+                             dtype=self.dtype)
         feats = enc.copy(name="encoder")(x, train)
         h = PANDecoder(decoder_channels=self.decoder_channels, dtype=self.dtype,
                        name="decoder")(feats, train)
