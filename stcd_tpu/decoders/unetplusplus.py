@@ -30,11 +30,10 @@ class UnetPlusPlusDecoder(nn.Module):
         kwargs = dict(use_batchnorm=self.use_batchnorm,
                       attention_type=self.attention_type, dtype=self.dtype)
 
-        x = feats[0]
-        if self.center:
-            x = CenterBlock(x.shape[-1], use_batchnorm=self.use_batchnorm,
-                            dtype=self.dtype, name="center")(x, train)
-            feats = [x] + list(feats[1:])
+        # The reference's UnetPlusPlusDecoder CONSTRUCTS a center block for
+        # vgg encoders (model.py:86) but its forward never applies it
+        # (decoder.py:120-139 — upstream dead code). Matching behavior:
+        # `center` is accepted for API parity and deliberately unused.
 
         out_channels = list(self.decoder_channels)
         skip_channels = [f.shape[-1] for f in feats[1:]] + [0]
