@@ -8,7 +8,7 @@ from typing import Any, Optional, Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from stcd_tpu.decoders.unet import CenterBlock, DecoderBlock
+from stcd_tpu.decoders.unet import DecoderBlock
 
 
 class UnetPlusPlusDecoder(nn.Module):
