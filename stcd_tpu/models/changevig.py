@@ -282,23 +282,9 @@ class VFFM(nn.Module):
         return 2 * low * wei + 2 * high * (1 - wei)
 
 
-class ConvDiffV20(nn.Module):
-    """ref :921-953: interleave + grouped conv, then conv_res + bottleneck."""
-
-    out_channels: int
-    dtype: Optional[Dtype] = None
-
-    @nn.compact
-    def __call__(self, a, b, train=False):
-        n, h, w, c = a.shape
-        x = jnp.stack([a, b], axis=-1).reshape(n, h, w, 2 * c)
-        x = nn.relu(_conv_bn(x, c, 3, "diff", train, self.dtype, groups=c))
-        res = _conv_bn(x, self.out_channels, 3, "conv_res", train, self.dtype)
-        o2 = self.out_channels // 2
-        y = nn.relu(_conv_bn(x, o2, 1, "conv1", train, self.dtype))
-        y = nn.relu(_conv_bn(y, o2, 3, "conv2", train, self.dtype))
-        y = _conv_bn(y, self.out_channels, 1, "conv3", train, self.dtype)
-        return nn.relu(res + y)
+# ref conv_diff_V20 (:921-953) is byte-identical math to Cross_ConCat
+# (:315-347): interleave + grouped conv, then conv_res + bottleneck.
+ConvDiffV20 = CrossConCat
 
 
 class CSAMV20(nn.Module):
