@@ -236,7 +236,12 @@ class LEVIRDataset(_Base):
 class SyntheticCDDataset(_Base):
     """Deterministic random bi-temporal pairs for tests and benchmarks.
 
-    Change labels are square blobs; B differs from A inside the blob.
+    Images are smooth (block-upsampled coarse noise) and the change blob
+    alters B's LOCAL STATISTICS (brightness/contrast), so the task is
+    learnable by a Siamese encoder: each branch can encode region
+    appearance and the difference head compares them. (An earlier iid-noise
+    variant was unlearnable — pixel-identity cannot survive a 5-stage
+    encoder, so models could only memorize the train split.)
     """
 
     def __init__(self, length: int = 16, size: int = 64, seed: int = 1337):
@@ -248,14 +253,19 @@ class SyntheticCDDataset(_Base):
     def __len__(self):
         return self.length
 
+    def _smooth(self, rng, s):
+        coarse = rng.uniform(0, 1, size=(max(s // 8, 1), max(s // 8, 1), 3))
+        img = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1)[:s, :s]
+        return img.astype(np.float32)
+
     def __getitem__(self, index):
         rng = np.random.default_rng(self.seed + index)
         s = self.size
-        a = rng.uniform(0, 1, size=(s, s, 3)).astype(np.float32)
+        a = self._smooth(rng, s)
         label = np.zeros((s, s, 1), np.float32)
         y, x = rng.integers(0, s // 2, 2)
         h, w = rng.integers(s // 8, s // 2, 2)
         label[y:y + h, x:x + w] = 1.0
-        noise = rng.uniform(0, 1, size=(s, s, 3)).astype(np.float32)
-        b = np.where(label > 0, noise, a)
+        changed = np.clip(0.9 - 0.7 * self._smooth(rng, s), 0.0, 1.0)
+        b = np.where(label > 0, changed, a).astype(np.float32)
         return {"A": a, "B": b, "label": label, "image": a, "name": f"syn_{index}.png"}
