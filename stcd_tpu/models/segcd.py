@@ -75,7 +75,21 @@ class _EncDecHead(nn.Module):
         else:
             self.classification_head = None
 
+    def check_input_shape(self, x):
+        """ref base/model.py:5-22: reject spatial sizes the encoder/decoder
+        pyramid cannot round-trip (trace-time; zero runtime cost)."""
+        h, w = x.shape[1:3]
+        stride = 2 ** self.encoder_depth
+        if h % stride != 0 or w % stride != 0:
+            new_h = (h // stride + 1) * stride if h % stride != 0 else h
+            new_w = (w // stride + 1) * stride if w % stride != 0 else w
+            raise RuntimeError(
+                f"Wrong input shape height={h}, width={w}. Expected image "
+                f"height and width divisible by {stride}. Consider padding "
+                f"your images to shape ({new_h}, {new_w}).")
+
     def encode(self, x, train=False):
+        self.check_input_shape(x)
         return self.encoder(x, train)
 
     def decode(self, features, train=False):
