@@ -84,3 +84,35 @@ def test_predict_cli(tmp_path):
         capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-3000:]
     assert Image.open(tmp_path / "change.png").size == (80, 70)
+
+
+def test_export_model_roundtrip(tmp_path):
+    """scripts/export_model.py: StableHLO export of a trained checkpoint,
+    deserialized output matches the live model's eval forward."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jexport
+    import stcd_tpu
+    from stcd_tpu.train.state import create_train_state, adam_poly
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from export_model import build_export
+
+    model = stcd_tpu.SegCD(encoder_name="resnet18", classes=1,
+                           decoder_channels=(32, 24, 16, 12, 8))
+    state = create_train_state(model, jax.random.PRNGKey(3),
+                               (jnp.zeros((1, 32, 32, 3)),) * 2,
+                               adam_poly(1e-3, 1, 1))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    exported = build_export(model, variables, 32, 32, batch=2, normalize=False)
+    blob = exported.serialize()
+    rt = jexport.deserialize(blob)
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(2, 32, 32, 3)).astype(np.float32))
+    got = rt.call(a, b)
+    want = model.apply(variables, a, b)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
