@@ -31,8 +31,11 @@ from jax import export as jexport
 
 
 def build_export(model, variables, height: int, width: int, batch: int,
-                 normalize: bool = True):
-    """Capture the eval forward (weights closed over) as an Exported."""
+                 normalize: bool = True, platforms=("cpu", "tpu")):
+    """Capture the eval forward (weights closed over) as an Exported.
+
+    ``platforms``: the artifact is lowered for each listed platform, so
+    one file serves CPU canaries and TPU production alike."""
     from stcd_tpu.data.augment import eval_preprocess
 
     def forward(a, b):
@@ -42,7 +45,7 @@ def build_export(model, variables, height: int, width: int, batch: int,
         return model.apply(variables, a, b)
 
     spec = jax.ShapeDtypeStruct((batch, height, width, 3), jnp.float32)
-    return jexport.export(jax.jit(forward))(spec, spec)
+    return jexport.export(jax.jit(forward), platforms=platforms)(spec, spec)
 
 
 def main():
