@@ -12,7 +12,6 @@ Runs on whatever jax.devices() offers (real TPU chip under the driver;
 CPU locally with BENCH_SMALL=1 for a quick sanity run).
 """
 
-import functools
 import json
 import os
 import time
@@ -30,7 +29,6 @@ from stcd_tpu.train.steps import make_cd_steps
 def bench_changeformer():
     """Secondary config (BASELINE.json): ChangeFormerV6 at 512x512, bf16
     train step with the fused Pallas SRA attention path."""
-    import time as _t
     from stcd_tpu.models.changeformer import ChangeFormerV6
     from stcd_tpu.losses.functional import cross_entropy
 
@@ -61,13 +59,13 @@ def bench_changeformer():
     params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
                                        jax.random.PRNGKey(3))
     jax.block_until_ready(loss)
-    t0 = _t.perf_counter()
+    t0 = time.perf_counter()
     iters = 10
     for i in range(iters):
         params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
                                            jax.random.PRNGKey(4 + i))
     jax.block_until_ready(loss)
-    dt = _t.perf_counter() - t0
+    dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "changeformerv6_512_train_pairs_per_sec_per_chip",
         "value": round(batch * iters / dt, 3),

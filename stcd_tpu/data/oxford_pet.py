@@ -2,8 +2,9 @@
 
 Local-directory variant (zero-egress hosts): expects the standard layout
 {root}/images/*.jpg + {root}/annotations/trimaps/*.png and the
-annotations/{train,val,test}.txt split lists. SimpleOxfordPetDataset
-resizes to 256x256 as the reference does.
+annotations/{trainval,test}.txt split lists (train/valid are derived from
+trainval.txt by index modulo 10, as the reference does).
+SimpleOxfordPetDataset resizes image, mask AND trimap to 256x256.
 """
 
 from __future__ import annotations
@@ -61,7 +62,10 @@ class SimpleOxfordPetDataset(OxfordPetDataset):
             (256, 256), Image.BILINEAR))
         mask = np.asarray(Image.fromarray(sample["mask"]).resize(
             (256, 256), Image.NEAREST))
+        trimap = np.asarray(Image.fromarray(sample["trimap"]).resize(
+            (256, 256), Image.NEAREST))
         sample["image"] = image
         sample["mask"] = mask[..., None]
+        sample["trimap"] = trimap[..., None]
         sample["label"] = sample["mask"]
         return sample

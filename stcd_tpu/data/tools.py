@@ -23,13 +23,18 @@ import os
 import random
 from os.path import basename, join, splitext
 
+import shutil
+
 import numpy as np
 from PIL import Image
+
+from stcd_tpu.data.io import write_list
 
 
 def tile_rasters(data_dir: str, out_dir: str, subset: str = "image_data",
                  subdirs=("A", "A_label", "B", "B_label", "C_label"),
                  crop_size: int = 256, stride: int = 256, ext_glob: str = "*.tif"):
+    total = 0
     for subdir in subdirs:
         src = join(data_dir, subset, subdir)
         paths = sorted(glob.glob(join(src, ext_glob)))
@@ -45,7 +50,8 @@ def tile_rasters(data_dir: str, out_dir: str, subset: str = "image_data",
                     tile = img[i:i + crop_size, j:j + crop_size]
                     Image.fromarray(tile).save(join(out_subdir, f"{counter}{ext}"))
                     counter += 1
-    return counter
+        total += counter
+    return total
 
 
 def split_dataset(data_dir: str, out_dir: str, n_train: int = 5948,
@@ -64,8 +70,9 @@ def split_dataset(data_dir: str, out_dir: str, n_train: int = 5948,
             split = "train" if i < n_train else ("val" if i < n_train + n_val else "test")
             dst = join(out_dir, split, subdir)
             os.makedirs(dst, exist_ok=True)
-            img = Image.open(join(data_dir, subdir, names[oi]))
-            img.save(join(dst, names[oi]))
+            # byte-identical, metadata-preserving copy (re-encoding through
+            # PIL would drop TIFF tags and recompress)
+            shutil.copy2(join(data_dir, subdir, names[oi]), join(dst, names[oi]))
 
 
 def select_changed(data_dir: str, out_path: str = "changed.txt",
@@ -79,10 +86,7 @@ def select_changed(data_dir: str, out_path: str = "changed.txt",
         label = np.asarray(Image.open(label_path).convert("RGB"), np.float64) / 255.0
         if label.sum() < threshold:
             selected.append(name)
-    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
-    with open(out_path, "w") as f:
-        for n in selected:
-            f.write(n + "\n")
+    write_list(selected, out_path)
     return selected
 
 
@@ -90,11 +94,8 @@ def create_list(data_dir: str, list_name: str = "val.txt", subdir: str = "A",
                 ext_glob: str = "*.tif"):
     """Directory listing -> list/{name} (ref seg_label_process.py:43-53)."""
     out = join(data_dir, "list", list_name)
-    os.makedirs(os.path.dirname(out), exist_ok=True)
     names = [basename(p) for p in sorted(glob.glob(join(data_dir, subdir, ext_glob)))]
-    with open(out, "w") as f:
-        for n in names:
-            f.write(n + "\n")
+    write_list(names, out)
     return names
 
 

@@ -26,7 +26,10 @@ class AverageValueMeter:
 
     def add(self, value, n=1):
         self.val = value
-        self.sum += value * n
+        # ref meter.py accumulates the raw value (not value*n) and a
+        # running sum of squares in `var`
+        self.sum += value
+        self.var += value * value
         self.n += n
         if self.n == 0:
             self.mean, self.std = np.nan, np.nan
@@ -209,27 +212,51 @@ class Epoch:
 class ValidEpoch(Epoch):
     def __init__(self, apply_fn, loss, metrics, verbose=True):
         super().__init__(apply_fn, loss, metrics, "valid", verbose)
+        self._jit_step = None
 
     def batch_update(self, state, x, y):
-        pred = self.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats}, x)
-        return state, self.loss(pred, y), pred
+        if self._jit_step is None:
+            @jax.jit
+            def step(state, x, y):
+                pred = self.apply_fn(
+                    {"params": state.params,
+                     "batch_stats": state.batch_stats}, x)
+                return self.loss(pred, y), pred
+            self._jit_step = step
+        loss, pred = self._jit_step(state, x, y)
+        return state, loss, pred
 
 
 class TrainEpoch(Epoch):
     def __init__(self, apply_fn, loss, metrics, tx=None, verbose=True):
         super().__init__(apply_fn, loss, metrics, "train", verbose)
+        self.tx = tx  # optional optimizer override, applied at run() start
+        self._jit_step = None
+
+    def run(self, state, dataloader):
+        if self.tx is not None and state.tx is not self.tx:
+            from stcd_tpu.train.state import TrainState
+            state = TrainState.create_with_stats(
+                apply_fn=state.apply_fn, params=state.params,
+                batch_stats=state.batch_stats, tx=self.tx)
+        return super().run(state, dataloader)
 
     def batch_update(self, state, x, y):
-        def loss_fn(params):
-            pred, mutated = self.apply_fn(
-                {"params": params, "batch_stats": state.batch_stats},
-                x, True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(int(state.step))})
-            return self.loss(pred, y), (mutated, pred)
+        if self._jit_step is None:
+            @jax.jit
+            def step(state, x, y, rng):
+                def loss_fn(params):
+                    pred, mutated = self.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        x, True, mutable=["batch_stats"],
+                        rngs={"dropout": rng})
+                    return self.loss(pred, y), (mutated, pred)
 
-        (loss, (mutated, pred)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads=grads,
-                                      batch_stats=mutated["batch_stats"])
-        return state, loss, pred
+                (loss, (mutated, pred)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(state.params)
+                state = state.apply_gradients(
+                    grads=grads, batch_stats=mutated["batch_stats"])
+                return state, loss, pred
+            self._jit_step = step
+        return self._jit_step(state, x, y,
+                              jax.random.PRNGKey(int(state.step)))
