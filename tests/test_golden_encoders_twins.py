@@ -1,0 +1,279 @@
+"""Golden forward parity for encoder families whose upstream torch
+implementations (Cadene pretrainedmodels, efficientnet_pytorch) are not
+importable on this host: torch TWINS written here from the upstream
+semantics — TF asymmetric SAME padding, ceil-mode stem pooling,
+stride-on-conv1 SE bottlenecks, BN eps 1e-3 — validate our JAX encoders
+numerically (the shape-only zoo tests cannot see padding/pooling window
+misalignments; three such bugs were found by review in exactly these
+families)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as F
+
+
+def _conv_w(w):
+    return np.transpose(w.detach().numpy(), (2, 3, 1, 0))
+
+
+def _bn_params(bn):
+    return ({"scale": bn.weight.detach().numpy(),
+             "bias": bn.bias.detach().numpy()},
+            {"mean": bn.running_mean.numpy(), "var": bn.running_var.numpy()})
+
+
+def _randomize_bn(m):
+    for mod in m.modules():
+        if isinstance(mod, tnn.BatchNorm2d):
+            with torch.no_grad():
+                mod.running_mean.normal_(0, 0.1)
+                mod.running_var.uniform_(0.6, 1.4)
+                mod.weight.normal_(1.0, 0.1)
+                mod.bias.normal_(0, 0.1)
+
+
+# ---------------------------------------------------------------------------
+# se_resnet50 twin (Cadene senet.py semantics)
+# ---------------------------------------------------------------------------
+
+class TSEModule(tnn.Module):
+    def __init__(self, c, reduction=16):
+        super().__init__()
+        self.fc1 = tnn.Conv2d(c, c // reduction, 1)
+        self.fc2 = tnn.Conv2d(c // reduction, c, 1)
+
+    def forward(self, x):
+        s = F.adaptive_avg_pool2d(x, 1)
+        s = torch.sigmoid(self.fc2(F.relu(self.fc1(s))))
+        return x * s
+
+
+class TSEResNetBottleneck(tnn.Module):
+    def __init__(self, in_c, planes, stride=1, downsample=False):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_c, planes, 1, stride=stride, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.se = TSEModule(planes * 4)
+        self.down = None
+        if downsample:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.se(self.bn3(self.conv3(h)))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+class TSEResNet50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        layers = []
+        in_c = 64
+        for li, (planes, n, stride) in enumerate(
+                ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2))):
+            blocks = []
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_c != planes * 4)
+                blocks.append(TSEResNetBottleneck(in_c, planes, s, down))
+                in_c = planes * 4
+            layers.append(tnn.Sequential(*blocks))
+        self.layers = tnn.ModuleList(layers)
+
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.bn1(self.conv1(x)))
+        feats.append(h)
+        h = F.max_pool2d(h, 3, 2, 0, ceil_mode=True)  # Cadene ceil-mode pool
+        for layer in self.layers:
+            h = layer(h)
+            feats.append(h)
+        return feats
+
+
+def _convert_se_resnet50(tv):
+    p, s = {}, {}
+    p["stem_conv1"] = {"kernel": _conv_w(tv.conv1.weight)}
+    p["stem_bn1"], s["stem_bn1"] = _bn_params(tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            bp, bs = {}, {}
+            for n in (1, 2, 3):
+                bp[f"conv{n}"] = {"kernel": _conv_w(getattr(blk, f"conv{n}").weight)}
+                bp[f"bn{n}"], bs[f"bn{n}"] = _bn_params(getattr(blk, f"bn{n}"))
+            bp["se"] = {
+                "fc1": {"kernel": _conv_w(blk.se.fc1.weight),
+                        "bias": blk.se.fc1.bias.detach().numpy()},
+                "fc2": {"kernel": _conv_w(blk.se.fc2.weight),
+                        "bias": blk.se.fc2.bias.detach().numpy()}}
+            if blk.down is not None:
+                bp["downsample_conv"] = {"kernel": _conv_w(blk.down[0].weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down[1])
+            p[f"layer{li}_block{bi}"] = bp
+            s[f"layer{li}_block{bi}"] = bs
+    return p, s
+
+
+def test_se_resnet50_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(4)
+    tv = TSEResNet50()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 3, 63, 63)).astype(np.float32)  # odd size:
+    # exercises the ceil-mode pool's asymmetric windows
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_se_resnet50(tv)
+    enc, _ = get_encoder("se_resnet50")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=3e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# efficientnet-b0 twin (efficientnet_pytorch semantics: TF SAME padding,
+# swish, SE on input-channel budget, BN eps 1e-3)
+# ---------------------------------------------------------------------------
+
+def _same_pad(x, k, s):
+    ih, iw = x.shape[-2:]
+    pad_h = max((-(-ih // s) - 1) * s + k - ih, 0)
+    pad_w = max((-(-iw // s) - 1) * s + k - iw, 0)
+    return F.pad(x, (pad_w // 2, pad_w - pad_w // 2,
+                     pad_h // 2, pad_h - pad_h // 2))
+
+
+def _swish(x):
+    return x * torch.sigmoid(x)
+
+
+class TMBConv(tnn.Module):
+    def __init__(self, in_c, out_c, k, stride, expand, se_ratio):
+        super().__init__()
+        self.k, self.stride = k, stride
+        exp_c = in_c * expand
+        self.expand_conv = (tnn.Conv2d(in_c, exp_c, 1, bias=False)
+                            if expand != 1 else None)
+        self.expand_bn = tnn.BatchNorm2d(exp_c, eps=1e-3) if expand != 1 else None
+        self.dw = tnn.Conv2d(exp_c, exp_c, k, stride=stride, groups=exp_c,
+                             bias=False)
+        self.dw_bn = tnn.BatchNorm2d(exp_c, eps=1e-3)
+        rd = max(1, int(in_c * se_ratio))
+        self.se_reduce = tnn.Conv2d(exp_c, rd, 1)
+        self.se_expand = tnn.Conv2d(rd, exp_c, 1)
+        self.project = tnn.Conv2d(exp_c, out_c, 1, bias=False)
+        self.project_bn = tnn.BatchNorm2d(out_c, eps=1e-3)
+        self.skip = stride == 1 and in_c == out_c
+
+    def forward(self, x):
+        h = x
+        if self.expand_conv is not None:
+            h = _swish(self.expand_bn(self.expand_conv(h)))
+        h = _swish(self.dw_bn(self.dw(_same_pad(h, self.k, self.stride))))
+        s = F.adaptive_avg_pool2d(h, 1)
+        s = torch.sigmoid(self.se_expand(_swish(self.se_reduce(s))))
+        h = h * s
+        h = self.project_bn(self.project(h))
+        return h + x if self.skip else h
+
+
+class TEffNetB0(tnn.Module):
+    def __init__(self, base_blocks, stage_end_group):
+        super().__init__()
+        self.stage_end_group = stage_end_group
+        self.stem = tnn.Conv2d(3, 32, 3, stride=2, bias=False)
+        self.stem_bn = tnn.BatchNorm2d(32, eps=1e-3)
+        blocks = []
+        self.group_of_block = []
+        in_c = 32
+        for gi, (k, r, s, e, _ic, oc, se) in enumerate(base_blocks):
+            for i in range(r):
+                blocks.append(TMBConv(in_c, oc, k, s if i == 0 else 1, e, se))
+                self.group_of_block.append(gi)
+                in_c = oc
+        self.blocks = tnn.ModuleList(blocks)
+
+    def forward(self, x):
+        feats = [x]
+        h = _swish(self.stem_bn(self.stem(_same_pad(x, 3, 2))))
+        feats.append(h)
+        for bi, blk in enumerate(self.blocks):
+            h = blk(h)
+            if (bi + 1 == len(self.blocks)
+                    or self.group_of_block[bi + 1] != self.group_of_block[bi]):
+                if self.group_of_block[bi] in self.stage_end_group:
+                    feats.append(h)
+        return feats
+
+
+def _convert_effnet(tv):
+    p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)}}
+    s = {}
+    p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
+    for bi, blk in enumerate(tv.blocks):
+        bp, bs = {}, {}
+        if blk.expand_conv is not None:
+            bp["expand_conv"] = {"kernel": _conv_w(blk.expand_conv.weight)}
+            bp["expand_bn"], bs["expand_bn"] = _bn_params(blk.expand_bn)
+        bp["dw_conv"] = {"kernel": _conv_w(blk.dw.weight)}
+        bp["dw_bn"], bs["dw_bn"] = _bn_params(blk.dw_bn)
+        bp["se_reduce"] = {"kernel": _conv_w(blk.se_reduce.weight),
+                           "bias": blk.se_reduce.bias.detach().numpy()}
+        bp["se_expand"] = {"kernel": _conv_w(blk.se_expand.weight),
+                           "bias": blk.se_expand.bias.detach().numpy()}
+        bp["project_conv"] = {"kernel": _conv_w(blk.project.weight)}
+        bp["project_bn"], bs["project_bn"] = _bn_params(blk.project_bn)
+        p[f"block{bi}"] = bp
+        s[f"block{bi}"] = bs
+    return p, s
+
+
+def test_efficientnet_b0_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+
+    torch.manual_seed(6)
+    tv = TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((1, 3, 66, 66)).astype(np.float32)  # even size
+    # after stride 2 -> TF SAME pads asymmetrically; symmetric k//2 differs
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_effnet(tv)
+    enc, _ = get_encoder("efficientnet-b0")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want), (len(got), len(want))
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
