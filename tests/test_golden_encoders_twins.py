@@ -277,3 +277,206 @@ def test_efficientnet_b0_forward_parity():
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# densenet121 twin (torchvision DenseNet + smp TransitionWithSkip taps)
+# ---------------------------------------------------------------------------
+
+class TDenseLayer(tnn.Module):
+    def __init__(self, in_c, growth=32, bn_size=4):
+        super().__init__()
+        self.norm1 = tnn.BatchNorm2d(in_c)
+        self.conv1 = tnn.Conv2d(in_c, bn_size * growth, 1, bias=False)
+        self.norm2 = tnn.BatchNorm2d(bn_size * growth)
+        self.conv2 = tnn.Conv2d(bn_size * growth, growth, 3, padding=1, bias=False)
+
+    def forward(self, x):
+        h = self.conv1(F.relu(self.norm1(x)))
+        h = self.conv2(F.relu(self.norm2(h)))
+        return torch.cat([x, h], 1)
+
+
+class TDenseNet121(tnn.Module):
+    def __init__(self, init=64, growth=32, blocks=(6, 12, 24, 16)):
+        super().__init__()
+        self.conv0 = tnn.Conv2d(3, init, 7, stride=2, padding=3, bias=False)
+        self.norm0 = tnn.BatchNorm2d(init)
+        c = init
+        self.blocks = tnn.ModuleList()
+        self.trans_norm = tnn.ModuleList()
+        self.trans_conv = tnn.ModuleList()
+        for i, n in enumerate(blocks):
+            layers = tnn.ModuleList()
+            for _ in range(n):
+                layers.append(TDenseLayer(c, growth))
+                c += growth
+            self.blocks.append(layers)
+            if i < len(blocks) - 1:
+                self.trans_norm.append(tnn.BatchNorm2d(c))
+                self.trans_conv.append(tnn.Conv2d(c, c // 2, 1, bias=False))
+                c = c // 2
+        self.norm5 = tnn.BatchNorm2d(c)
+
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.norm0(self.conv0(x)))
+        feats.append(h)
+        h = F.max_pool2d(h, 3, 2, 1)
+        for i, layers in enumerate(self.blocks):
+            for l in layers:
+                h = l(h)
+            if i < len(self.blocks) - 1:
+                h = F.relu(self.trans_norm[i](h))
+                feats.append(h)  # smp TransitionWithSkip: skip pre-conv/pool
+                h = F.avg_pool2d(self.trans_conv[i](h), 2)
+            else:
+                feats.append(F.relu(self.norm5(h)))
+        return feats
+
+
+def _convert_densenet(tv):
+    p = {"conv0": {"kernel": _conv_w(tv.conv0.weight)}}
+    s = {}
+    p["norm0"], s["norm0"] = _bn_params(tv.norm0)
+    for i, layers in enumerate(tv.blocks, start=1):
+        bp, bs = {}, {}
+        for j, l in enumerate(layers, start=1):
+            lp = {"conv1": {"kernel": _conv_w(l.conv1.weight)},
+                  "conv2": {"kernel": _conv_w(l.conv2.weight)}}
+            ls = {}
+            lp["norm1"], ls["norm1"] = _bn_params(l.norm1)
+            lp["norm2"], ls["norm2"] = _bn_params(l.norm2)
+            bp[f"denselayer{j}"], bs[f"denselayer{j}"] = lp, ls
+        p[f"denseblock{i}"], s[f"denseblock{i}"] = bp, bs
+        if i <= len(tv.trans_norm):
+            p[f"transition{i}_norm"], s[f"transition{i}_norm"] = _bn_params(
+                tv.trans_norm[i - 1])
+            p[f"transition{i}_conv"] = {"kernel": _conv_w(tv.trans_conv[i - 1].weight)}
+    p["norm5"], s["norm5"] = _bn_params(tv.norm5)
+    return p, s
+
+
+def test_densenet121_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(8)
+    tv = TDenseNet121()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_densenet(tv)
+    enc, ch = get_encoder("densenet121")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    assert tuple(g.shape[-1] for g in got) == tuple(ch)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# mobilenet_v2 twin (torchvision semantics)
+# ---------------------------------------------------------------------------
+
+class TInvertedResidual(tnn.Module):
+    def __init__(self, in_c, out_c, t, stride):
+        super().__init__()
+        exp = in_c * t
+        self.expand = None
+        if t != 1:
+            self.expand = tnn.Conv2d(in_c, exp, 1, bias=False)
+            self.expand_bn = tnn.BatchNorm2d(exp)
+        self.dw = tnn.Conv2d(exp, exp, 3, stride=stride, padding=1,
+                             groups=exp, bias=False)
+        self.dw_bn = tnn.BatchNorm2d(exp)
+        self.project = tnn.Conv2d(exp, out_c, 1, bias=False)
+        self.project_bn = tnn.BatchNorm2d(out_c)
+        self.skip = stride == 1 and in_c == out_c
+
+    def forward(self, x):
+        h = x
+        if self.expand is not None:
+            h = F.relu6(self.expand_bn(self.expand(h)))
+        h = F.relu6(self.dw_bn(self.dw(h)))
+        h = self.project_bn(self.project(h))
+        return h + x if self.skip else h
+
+
+class TMobileNetV2(tnn.Module):
+    CFG = [(1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+           (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1)]
+
+    def __init__(self):
+        super().__init__()
+        self.stem = tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = tnn.BatchNorm2d(32)
+        blocks, in_c = [], 32
+        for t, c, n, s in self.CFG:
+            for i in range(n):
+                blocks.append(TInvertedResidual(in_c, c, t, s if i == 0 else 1))
+                in_c = c
+        self.blocks = tnn.ModuleList(blocks)
+        self.final = tnn.Conv2d(in_c, 1280, 1, bias=False)
+        self.final_bn = tnn.BatchNorm2d(1280)
+
+    def forward(self, x):
+        feats = [x]
+        h = F.relu6(self.stem_bn(self.stem(x)))
+        for bi, blk in enumerate(self.blocks, start=1):
+            h = blk(h)
+            if bi in (1, 3, 6, 13):  # smp stage splits [:2],[2:4],[4:7],[7:14]
+                feats.append(h)
+        feats.append(F.relu6(self.final_bn(self.final(h))))
+        return feats
+
+
+def _convert_mobilenet_v2(tv):
+    p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)},
+         "final_conv": {"kernel": _conv_w(tv.final.weight)}}
+    s = {}
+    p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
+    p["final_bn"], s["final_bn"] = _bn_params(tv.final_bn)
+    for bi, blk in enumerate(tv.blocks, start=1):
+        bp, bs = {}, {}
+        if blk.expand is not None:
+            bp["expand_conv"] = {"kernel": _conv_w(blk.expand.weight)}
+            bp["expand_bn"], bs["expand_bn"] = _bn_params(blk.expand_bn)
+        bp["dw_conv"] = {"kernel": _conv_w(blk.dw.weight)}
+        bp["dw_bn"], bs["dw_bn"] = _bn_params(blk.dw_bn)
+        bp["project_conv"] = {"kernel": _conv_w(blk.project.weight)}
+        bp["project_bn"], bs["project_bn"] = _bn_params(blk.project_bn)
+        p[f"block{bi}"], s[f"block{bi}"] = bp, bs
+    return p, s
+
+
+def test_mobilenet_v2_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(10)
+    tv = TMobileNetV2()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_mobilenet_v2(tv)
+    enc, ch = get_encoder("mobilenet_v2")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    assert tuple(g.shape[-1] for g in got) == tuple(ch)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
