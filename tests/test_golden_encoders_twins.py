@@ -480,3 +480,248 @@ def test_mobilenet_v2_forward_parity():
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# res2net50_26w_4s twin (timm res2net.Bottle2neck semantics)
+# ---------------------------------------------------------------------------
+
+class TBottle2neck(tnn.Module):
+    def __init__(self, in_c, planes, base_width=26, scale=4, stride=1,
+                 downsample=False):
+        super().__init__()
+        width = int((planes * base_width) // 64)
+        self.scale, self.stride = scale, stride
+        self.is_first = stride > 1 or downsample
+        self.conv1 = tnn.Conv2d(in_c, width * scale, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width * scale)
+        self.convs = tnn.ModuleList(
+            [tnn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+             for _ in range(max(1, scale - 1))])
+        self.bns = tnn.ModuleList(
+            [tnn.BatchNorm2d(width) for _ in range(max(1, scale - 1))])
+        self.conv3 = tnn.Conv2d(width * scale, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.pool = tnn.AvgPool2d(3, stride, padding=1)
+        self.down = None
+        if downsample:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        spx = torch.chunk(h, self.scale, 1)
+        outs, sp = [], None
+        for i, (conv, bn) in enumerate(zip(self.convs, self.bns)):
+            sp = spx[i] if (i == 0 or self.is_first) else sp + spx[i]
+            sp = F.relu(bn(conv(sp)))
+            outs.append(sp)
+        if self.scale > 1:
+            outs.append(self.pool(spx[-1]) if self.is_first else spx[-1])
+        h = self.bn3(self.conv3(torch.cat(outs, 1)))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+class TRes2Net50(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        self.layers = tnn.ModuleList()
+        in_c = 64
+        for planes, n, stride in ((64, 3, 1), (128, 4, 2), (256, 6, 2),
+                                  (512, 3, 2)):
+            blocks = []
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_c != planes * 4)
+                blocks.append(TBottle2neck(in_c, planes, stride=s,
+                                           downsample=down))
+                in_c = planes * 4
+            self.layers.append(tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.bn1(self.conv1(x)))
+        feats.append(h)
+        h = F.max_pool2d(h, 3, 2, 1)
+        for layer in self.layers:
+            h = layer(h)
+            feats.append(h)
+        return feats
+
+
+def _convert_res2net(tv):
+    p = {"stem_conv1": {"kernel": _conv_w(tv.conv1.weight)}}
+    s = {}
+    p["stem_bn1"], s["stem_bn1"] = _bn_params(tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            bp, bs = {}, {}
+            bp["conv1"] = {"kernel": _conv_w(blk.conv1.weight)}
+            bp["bn1"], bs["bn1"] = _bn_params(blk.bn1)
+            for i, (conv, bn) in enumerate(zip(blk.convs, blk.bns)):
+                bp[f"conv2_{i}"] = {"kernel": _conv_w(conv.weight)}
+                bp[f"bn2_{i}"], bs[f"bn2_{i}"] = _bn_params(bn)
+            bp["conv3"] = {"kernel": _conv_w(blk.conv3.weight)}
+            bp["bn3"], bs["bn3"] = _bn_params(blk.bn3)
+            if blk.down is not None:
+                bp["downsample_conv"] = {"kernel": _conv_w(blk.down[0].weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down[1])
+            p[f"layer{li}_block{bi}"] = bp
+            s[f"layer{li}_block{bi}"] = bs
+    return p, s
+
+
+def test_res2net50_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(12)
+    tv = TRes2Net50()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_res2net(tv)
+    enc, ch = get_encoder("timm-res2net50_26w_4s")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# dpn68 twin (Cadene pretrainedmodels dpn.py semantics: pre-activated
+# BnActConv2d everywhere, dual residual+dense paths, BN eps 1e-3)
+# ---------------------------------------------------------------------------
+
+class TBnAct(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.bn = tnn.BatchNorm2d(c, eps=1e-3)
+
+    def forward(self, x):
+        return F.relu(self.bn(x))
+
+
+class TDualPathBlock(tnn.Module):
+    def __init__(self, in_c, r, bw, inc, groups, block_type):
+        super().__init__()
+        self.bw, self.inc = bw, inc
+        stride = 2 if block_type == "down" else 1
+        self.stride = stride
+        self.proj = block_type in ("proj", "down")
+        if self.proj:
+            self.w_bn = TBnAct(in_c)
+            self.w = tnn.Conv2d(in_c, bw + 2 * inc, 1, stride=stride, bias=False)
+        self.a_bn = TBnAct(in_c)
+        self.a = tnn.Conv2d(in_c, r, 1, bias=False)
+        self.b_bn = TBnAct(r)
+        self.b = tnn.Conv2d(r, r, 3, stride=stride, padding=1, groups=groups,
+                            bias=False)
+        self.c_bn = TBnAct(r)
+        self.c = tnn.Conv2d(r, bw + inc, 1, bias=False)
+
+    def forward(self, x):
+        x_in = torch.cat(x, 1) if isinstance(x, tuple) else x
+        if self.proj:
+            w = self.w(self.w_bn(x_in))
+            s1, s2 = w[:, :self.bw], w[:, self.bw:]
+        else:
+            s1, s2 = x
+        h = self.a(self.a_bn(x_in))
+        h = self.b(self.b_bn(h))
+        h = self.c(self.c_bn(h))
+        out1, out2 = h[:, :self.bw], h[:, self.bw:]
+        return s1 + out1, torch.cat([s2, out2], 1)
+
+
+class TDPN68(tnn.Module):
+    K_SEC, INC = (3, 4, 12, 3), (16, 32, 32, 64)
+
+    def __init__(self):
+        super().__init__()
+        self.stem = tnn.Conv2d(3, 10, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = tnn.BatchNorm2d(10, eps=1e-3)
+        self.groups_list = tnn.ModuleList()
+        in_c = 10
+        for i in range(4):
+            bw = 64 * (2 ** i)  # small: bw factor 1
+            r = (128 * bw) // 64
+            inc = self.INC[i]
+            blocks = [TDualPathBlock(in_c, r, bw, inc, 32,
+                                     "proj" if i == 0 else "down")]
+            in_c = bw + 3 * inc
+            for _ in range(1, self.K_SEC[i]):
+                blocks.append(TDualPathBlock(in_c, r, bw, inc, 32, "normal"))
+                in_c += inc
+            self.groups_list.append(tnn.ModuleList(blocks))
+        self.final_bn = tnn.BatchNorm2d(in_c, eps=1e-3)
+
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.stem_bn(self.stem(x)))
+        feats.append(h)
+        h = F.max_pool2d(h, 3, 2, 1)
+        for i, blocks in enumerate(self.groups_list):
+            for blk in blocks:
+                h = blk(h)
+            cat = torch.cat(h, 1)
+            feats.append(F.relu(self.final_bn(cat)) if i == 3 else F.relu(cat))
+        return feats
+
+
+def _convert_dpn68(tv):
+    p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)}}
+    s = {}
+    p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
+    for i, blocks in enumerate(tv.groups_list):
+        for j, blk in enumerate(blocks, start=1):
+            bp, bs = {}, {}
+            if blk.proj:
+                bp["c1x1_w"] = {"kernel": _conv_w(blk.w.weight)}
+                bp["c1x1_w_bn"], bs["c1x1_w_bn"] = _bn_params(blk.w_bn.bn)
+            bp["c1x1_a"] = {"kernel": _conv_w(blk.a.weight)}
+            bp["c1x1_a_bn"], bs["c1x1_a_bn"] = _bn_params(blk.a_bn.bn)
+            bp["c3x3_b"] = {"kernel": _conv_w(blk.b.weight)}
+            bp["c3x3_b_bn"], bs["c3x3_b_bn"] = _bn_params(blk.b_bn.bn)
+            bp["c1x1_c"] = {"kernel": _conv_w(blk.c.weight)}
+            bp["c1x1_c_bn"], bs["c1x1_c_bn"] = _bn_params(blk.c_bn.bn)
+            p[f"conv{i + 2}_{j}"] = bp
+            s[f"conv{i + 2}_{j}"] = bs
+    p["final_bn"], s["final_bn"] = _bn_params(tv.final_bn)
+    return p, s
+
+
+def test_dpn68_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(14)
+    tv = TDPN68()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_dpn68(tv)
+    enc, ch = get_encoder("dpn68")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    assert tuple(g.shape[-1] for g in got) == tuple(ch)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
