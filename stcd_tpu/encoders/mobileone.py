@@ -120,8 +120,10 @@ class MobileOneEncoder(nn.Module):
         features = [x]
         if self.depth >= 1:
             stem_c = min(64, int(64 * wms[0]))
-            h = MobileOneConv(stem_c, kernel=3, stride=2, dtype=self.dtype,
-                              name="stem")(x, train)
+            # ref stage0 keeps the DEFAULT single conv branch (mobileone.py:
+            # 320-327 does not pass num_conv_branches) even for s0
+            h = MobileOneConv(stem_c, kernel=3, stride=2,
+                              dtype=self.dtype, name="stem")(x, train)
             features.append(h)
         for i in range(4):
             if self.depth < 2 + i:

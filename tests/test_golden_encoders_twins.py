@@ -725,3 +725,72 @@ def test_dpn68_forward_parity():
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# mobileone_s0: TRUE golden vs the reference's own vendored implementation
+# (encoders/mobileone.py is torch-only and loads standalone)
+# ---------------------------------------------------------------------------
+
+def _convert_mobileone_block(blk):
+    """ref MobileOneBlock (train form) -> our MobileOneConv params."""
+    p, s = {}, {}
+    for i, cb in enumerate(blk.rbr_conv):
+        p[f"branch{i}_conv"] = {"kernel": _conv_w(cb.conv.weight)}
+        p[f"branch{i}_bn"], s[f"branch{i}_bn"] = _bn_params(cb.bn)
+    if blk.rbr_scale is not None:
+        p["scale_conv"] = {"kernel": _conv_w(blk.rbr_scale.conv.weight)}
+        p["scale_bn"], s["scale_bn"] = _bn_params(blk.rbr_scale.bn)
+    if blk.rbr_skip is not None:
+        p["identity_bn"], s["identity_bn"] = _bn_params(blk.rbr_skip)
+    if not isinstance(blk.se, tnn.Identity):
+        p["se_fc1"] = {"kernel": _conv_w(blk.se.reduce.weight),
+                       "bias": blk.se.reduce.bias.detach().numpy()}
+        p["se_fc2"] = {"kernel": _conv_w(blk.se.expand.weight),
+                       "bias": blk.se.expand.bias.detach().numpy()}
+    return p, s
+
+
+@pytest.mark.parametrize("arch", ["mobileone_s0", "mobileone_s4"])
+def test_mobileone_forward_parity(arch):
+    import os
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    from _ref_stubs import load_ref_smp_file
+    from stcd_tpu.encoders import get_encoder
+
+    mod = load_ref_smp_file("encoders.mobileone")
+    cfg = {"mobileone_s0": dict(width_multipliers=(0.75, 1.0, 1.0, 2.0),
+                                num_conv_branches=4, use_se=False),
+           "mobileone_s4": dict(width_multipliers=(3.0, 3.5, 3.5, 4.0),
+                                num_conv_branches=1, use_se=True)}[arch]
+    torch.manual_seed(16)
+    ref = mod.MobileOne(out_channels=(3, 0, 0, 0, 0, 0), depth=5, **cfg)
+    _randomize_bn(ref)
+    ref.eval()
+    rng = np.random.default_rng(17)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+
+    p = {}
+    s = {}
+    p["stem"], s["stem"] = _convert_mobileone_block(ref.stage0)
+    for si in range(1, 5):
+        stage = getattr(ref, f"stage{si}")
+        assert len(stage) % 2 == 0
+        for b in range(len(stage) // 2):
+            for part, blk in (("dw", stage[2 * b]), ("pw", stage[2 * b + 1])):
+                bp, bs = _convert_mobileone_block(blk)
+                p.setdefault(f"stage{si}_block{b}", {})[part] = bp
+                s.setdefault(f"stage{si}_block{b}", {})[part] = bs
+
+    enc, ch = get_encoder(arch)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
