@@ -138,18 +138,25 @@ class SplitAttentionConv(nn.Module):
             gap = avg_pool_global(sum(parts))
         else:
             gap = avg_pool_global(h)
-        inter = max(c * r // 4, 32)
+        # timm SplitAttn: attn_chs = make_divisible(in*r*0.25, 8, min 32)
+        v = c * r // 4
+        inter = max(32, int(v + 4) // 8 * 8)
+        if inter < 0.9 * v:
+            inter += 8
         a = nn.Conv(inter, (1, 1), feature_group_count=self.groups,
                     dtype=self.dtype, name="fc1")(gap)
         a = nn.relu(_bn(train, "bn1")(a))
         a = nn.Conv(c * r, (1, 1), feature_group_count=self.groups,
                     dtype=self.dtype, name="fc2")(a)
         if r > 1:
-            # rSoftMax over the radix axis, per group
+            # rSoftMax (timm/official): reshape (B, groups, radix, -1),
+            # softmax over radix, then flatten RADIX-major so each split's
+            # attention keeps the group-major channel layout of the conv.
+            # (A group-major flatten is only correct for cardinality 1.)
             n = a.shape[0]
             a = a.reshape(n, self.groups, r, c // self.groups)
             a = jax.nn.softmax(a, axis=2)
-            a = a.reshape(n, 1, 1, c * r)
+            a = a.transpose(0, 2, 1, 3).reshape(n, 1, 1, r * c)
             att = jnp.split(a, r, axis=-1)
             return sum(att[i] * parts[i] for i in range(r))
         a = jax.nn.sigmoid(a)

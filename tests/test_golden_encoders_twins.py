@@ -794,3 +794,166 @@ def test_mobileone_forward_parity(arch):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# resnest twins (timm resnest semantics: deep 'd' stem, avg_down, avd pool,
+# SplitAttn with rSoftMax radix-major layout)
+# ---------------------------------------------------------------------------
+
+class TSplitAttn(tnn.Module):
+    def __init__(self, c, radix=2, groups=1):
+        super().__init__()
+        self.radix, self.groups, self.c = radix, groups, c
+        self.conv = tnn.Conv2d(c, c * radix, 3, padding=1,
+                               groups=groups * radix, bias=False)
+        self.bn0 = tnn.BatchNorm2d(c * radix)
+        v = c * radix // 4
+        inter = max(32, int(v + 4) // 8 * 8)
+        if inter < 0.9 * v:
+            inter += 8
+        self.fc1 = tnn.Conv2d(c, inter, 1, groups=groups)
+        self.bn1 = tnn.BatchNorm2d(inter)
+        self.fc2 = tnn.Conv2d(inter, c * radix, 1, groups=groups)
+
+    def forward(self, x):
+        h = F.relu(self.bn0(self.conv(x)))
+        B, RC, H, W = h.shape
+        hs = h.reshape(B, self.radix, RC // self.radix, H, W)
+        gap = F.adaptive_avg_pool2d(hs.sum(dim=1), 1)
+        a = self.fc2(F.relu(self.bn1(self.fc1(gap))))
+        a = a.reshape(B, self.groups, self.radix, -1).transpose(1, 2)
+        a = F.softmax(a, dim=1)
+        a = a.reshape(B, -1, 1, 1)
+        att = a.reshape(B, self.radix, RC // self.radix, 1, 1)
+        return (att * hs).sum(dim=1)
+
+
+class TResNestBottleneck(tnn.Module):
+    def __init__(self, in_c, planes, radix=2, groups=1, base_width=64,
+                 stride=1, downsample=False, avd_first=False):
+        super().__init__()
+        gw = int(planes * (base_width / 64.0)) * groups
+        self.stride, self.avd_first = stride, avd_first
+        self.conv1 = tnn.Conv2d(in_c, gw, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(gw)
+        self.attn = TSplitAttn(gw, radix, groups)
+        self.conv3 = tnn.Conv2d(gw, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.down = None
+        if downsample:
+            self.down_conv = tnn.Conv2d(in_c, planes * 4, 1, bias=False)
+            self.down_bn = tnn.BatchNorm2d(planes * 4)
+            self.down = True
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        if self.stride > 1 and self.avd_first:
+            h = F.avg_pool2d(h, 3, self.stride, padding=1)
+        h = self.attn(h)
+        if self.stride > 1 and not self.avd_first:
+            h = F.avg_pool2d(h, 3, self.stride, padding=1)
+        h = self.bn3(self.conv3(h))
+        identity = x
+        if self.down:
+            identity = x
+            if self.stride > 1:
+                identity = F.avg_pool2d(identity, 2, 2)
+            identity = self.down_bn(self.down_conv(identity))
+        return F.relu(h + identity)
+
+
+class TResNest(tnn.Module):
+    def __init__(self, layers=(1, 1, 1, 1), stem_w=32, radix=2, groups=1,
+                 base_width=64, avd_first=False):
+        super().__init__()
+        self.stem = tnn.ModuleList()
+        cs = ((3, stem_w, 2), (stem_w, stem_w, 1), (stem_w, stem_w * 2, 1))
+        for ic, oc, s in cs:
+            self.stem.append(tnn.Sequential(
+                tnn.Conv2d(ic, oc, 3, stride=s, padding=1, bias=False),
+                tnn.BatchNorm2d(oc)))
+        self.layers = tnn.ModuleList()
+        in_c = stem_w * 2
+        for li, (planes, n, stride) in enumerate(
+                ((64, layers[0], 1), (128, layers[1], 2),
+                 (256, layers[2], 2), (512, layers[3], 2))):
+            blocks = []
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_c != planes * 4)
+                blocks.append(TResNestBottleneck(
+                    in_c, planes, radix, groups, base_width, s, down, avd_first))
+                in_c = planes * 4
+            self.layers.append(tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        feats = [x]
+        h = x
+        for stage in self.stem:
+            h = F.relu(stage(h))
+        feats.append(h)
+        h = F.max_pool2d(h, 3, 2, 1)
+        for layer in self.layers:
+            h = layer(h)
+            feats.append(h)
+        return feats
+
+
+def _convert_resnest(tv):
+    p, s = {}, {}
+    for i, stem in enumerate(tv.stem, start=1):
+        p[f"stem_conv{i}"] = {"kernel": _conv_w(stem[0].weight)}
+        p[f"stem_bn{i}"], s[f"stem_bn{i}"] = _bn_params(stem[1])
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            bp, bs = {}, {}
+            bp["conv1"] = {"kernel": _conv_w(blk.conv1.weight)}
+            bp["bn1"], bs["bn1"] = _bn_params(blk.bn1)
+            ap, asx = {}, {}
+            ap["conv"] = {"kernel": _conv_w(blk.attn.conv.weight)}
+            ap["bn0"], asx["bn0"] = _bn_params(blk.attn.bn0)
+            ap["fc1"] = {"kernel": _conv_w(blk.attn.fc1.weight),
+                         "bias": blk.attn.fc1.bias.detach().numpy()}
+            ap["bn1"], asx["bn1"] = _bn_params(blk.attn.bn1)
+            ap["fc2"] = {"kernel": _conv_w(blk.attn.fc2.weight),
+                         "bias": blk.attn.fc2.bias.detach().numpy()}
+            bp["conv2"], bs["conv2"] = ap, asx
+            bp["conv3"] = {"kernel": _conv_w(blk.conv3.weight)}
+            bp["bn3"], bs["bn3"] = _bn_params(blk.bn3)
+            if blk.down:
+                bp["downsample_conv"] = {"kernel": _conv_w(blk.down_conv.weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down_bn)
+            p[f"layer{li}_block{bi}"] = bp
+            s[f"layer{li}_block{bi}"] = bs
+    return p, s
+
+
+@pytest.mark.parametrize("arch,kw", [
+    ("timm-resnest14d", dict(layers=(1, 1, 1, 1), stem_w=32, radix=2,
+                             groups=1, base_width=64, avd_first=False)),
+    ("timm-resnest50d_4s2x40d", dict(layers=(3, 4, 6, 3), stem_w=32, radix=4,
+                                     groups=2, base_width=40, avd_first=True)),
+])
+def test_resnest_forward_parity(arch, kw):
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(18)
+    tv = TResNest(**kw)
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(19)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_resnest(tv)
+    enc, _ = get_encoder(arch)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
