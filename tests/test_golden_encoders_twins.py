@@ -957,3 +957,180 @@ def test_resnest_forward_parity(arch, kw):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# sknet twins (timm SelectiveKernel semantics: 3x3 paths at dilations 1/2,
+# path-sum attention; sk18 split_input rd 1/8, skresnext50 full-input
+# rd 1/16 divisor 32)
+# ---------------------------------------------------------------------------
+
+def _make_div(v, divisor=8, min_value=None):
+    min_value = min_value or divisor
+    new_v = max(min_value, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class TSelectiveKernel(tnn.Module):
+    def __init__(self, in_c, out_c, stride=1, groups=1, split_input=True,
+                 rd_ratio=1 / 8, rd_divisor=8):
+        super().__init__()
+        self.split_input = split_input
+        groups = min(out_c, groups)
+        path_in = in_c // 2 if split_input else in_c
+        self.paths = tnn.ModuleList()
+        for d in (1, 2):
+            self.paths.append(tnn.Sequential(
+                tnn.Conv2d(path_in, out_c, 3, stride=stride, padding=d,
+                           dilation=d, groups=groups, bias=False),
+                tnn.BatchNorm2d(out_c)))
+        rd = _make_div(out_c * rd_ratio, rd_divisor)
+        self.fc_reduce = tnn.Conv2d(out_c, rd, 1, bias=False)
+        self.bn = tnn.BatchNorm2d(rd)
+        self.fc_select = tnn.Conv2d(rd, out_c * 2, 1)
+        self.out_c = out_c
+
+    def forward(self, x):
+        xs = torch.chunk(x, 2, 1) if self.split_input else (x, x)
+        feats = [F.relu(p(xi)) for p, xi in zip(self.paths, xs)]
+        u = feats[0] + feats[1]
+        a = F.adaptive_avg_pool2d(u, 1)
+        a = self.fc_select(F.relu(self.bn(self.fc_reduce(a))))
+        B = a.shape[0]
+        a = F.softmax(a.view(B, 2, self.out_c, 1, 1), dim=1)
+        return a[:, 0] * feats[0] + a[:, 1] * feats[1]
+
+
+class TSKBasicBlock(tnn.Module):
+    def __init__(self, in_c, planes, stride=1, downsample=False):
+        super().__init__()
+        self.sk = TSelectiveKernel(in_c, planes, stride)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.down = None
+        if downsample:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, planes, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes))
+
+    def forward(self, x):
+        h = self.bn2(self.conv2(self.sk(x)))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+class TSKBottleneck(tnn.Module):
+    def __init__(self, in_c, planes, stride=1, downsample=False,
+                 cardinality=32, base_width=4):
+        super().__init__()
+        width = int(planes * (base_width / 64.0)) * cardinality
+        self.conv1 = tnn.Conv2d(in_c, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.sk = TSelectiveKernel(width, width, stride, groups=cardinality,
+                                   split_input=False, rd_ratio=1 / 16,
+                                   rd_divisor=32)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.down = None
+        if downsample:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, planes * 4, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = self.bn3(self.conv3(self.sk(h)))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+class TSKNet(tnn.Module):
+    def __init__(self, bottleneck, layers):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        e = 4 if bottleneck else 1
+        self.layers = tnn.ModuleList()
+        in_c = 64
+        for planes, n, stride in ((64, layers[0], 1), (128, layers[1], 2),
+                                  (256, layers[2], 2), (512, layers[3], 2)):
+            blocks = []
+            for b in range(n):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or in_c != planes * e)
+                cls = TSKBottleneck if bottleneck else TSKBasicBlock
+                blocks.append(cls(in_c, planes, s, down))
+                in_c = planes * e
+            self.layers.append(tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.bn1(self.conv1(x)))
+        feats.append(h)
+        h = F.max_pool2d(h, 3, 2, 1)
+        for layer in self.layers:
+            h = layer(h)
+            feats.append(h)
+        return feats
+
+
+def _convert_sk(tv, bottleneck):
+    p = {"stem_conv1": {"kernel": _conv_w(tv.conv1.weight)}}
+    s = {}
+    p["stem_bn1"], s["stem_bn1"] = _bn_params(tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            bp, bs = {}, {}
+            skp, sks = {}, {}
+            for i, path in enumerate(blk.sk.paths):
+                skp[f"path{i}_conv"] = {"kernel": _conv_w(path[0].weight)}
+                skp[f"path{i}_bn"], sks[f"path{i}_bn"] = _bn_params(path[1])
+            skp["attn_fc1"] = {"kernel": _conv_w(blk.sk.fc_reduce.weight)}
+            skp["attn_bn"], sks["attn_bn"] = _bn_params(blk.sk.bn)
+            skp["attn_fc2"] = {"kernel": _conv_w(blk.sk.fc_select.weight),
+                               "bias": blk.sk.fc_select.bias.detach().numpy()}
+            bp["sk"], bs["sk"] = skp, sks
+            if bottleneck:
+                bp["conv1"] = {"kernel": _conv_w(blk.conv1.weight)}
+                bp["bn1"], bs["bn1"] = _bn_params(blk.bn1)
+                bp["conv3"] = {"kernel": _conv_w(blk.conv3.weight)}
+                bp["bn3"], bs["bn3"] = _bn_params(blk.bn3)
+            else:
+                bp["conv2"] = {"kernel": _conv_w(blk.conv2.weight)}
+                bp["bn2"], bs["bn2"] = _bn_params(blk.bn2)
+            if blk.down is not None:
+                bp["downsample_conv"] = {"kernel": _conv_w(blk.down[0].weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down[1])
+            p[f"layer{li}_block{bi}"] = bp
+            s[f"layer{li}_block{bi}"] = bs
+    return p, s
+
+
+@pytest.mark.parametrize("arch,bottleneck,layers", [
+    ("timm-skresnet18", False, (2, 2, 2, 2)),
+    ("timm-skresnext50_32x4d", True, (3, 4, 6, 3)),
+])
+def test_sknet_forward_parity(arch, bottleneck, layers):
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(20)
+    tv = TSKNet(bottleneck, layers)
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    params, stats = _convert_sk(tv, bottleneck)
+    enc, _ = get_encoder(arch)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, params),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
