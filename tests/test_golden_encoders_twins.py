@@ -1134,3 +1134,113 @@ def test_sknet_forward_parity(arch, bottleneck, layers):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# regnety_002 twin (timm regnet semantics: grouped bottleneck, SE ratio on
+# block INPUT width, 1x1 downsample)
+# ---------------------------------------------------------------------------
+
+class TRegNetBlock(tnn.Module):
+    def __init__(self, in_c, width, group_size, stride=1, se_ratio=0.0):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(in_c, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1,
+                                groups=width // group_size, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.se = None
+        if se_ratio > 0:
+            rd = max(1, int(round(in_c * se_ratio)))
+            self.se_fc1 = tnn.Conv2d(width, rd, 1)
+            self.se_fc2 = tnn.Conv2d(rd, width, 1)
+            self.se = True
+        self.conv3 = tnn.Conv2d(width, width, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(width)
+        self.down = None
+        if stride != 1 or in_c != width:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, width, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(width))
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        if self.se:
+            s = F.adaptive_avg_pool2d(h, 1)
+            s = torch.sigmoid(self.se_fc2(F.relu(self.se_fc1(s))))
+            h = h * s
+        h = self.bn3(self.conv3(h))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+def test_regnety_002_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.regnet import generate_regnet
+
+    widths, depths, group_sizes = generate_regnet("regnety_002")
+
+    class TRegNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
+            self.stem_bn = tnn.BatchNorm2d(32)
+            self.stages = tnn.ModuleList()
+            in_c = 32
+            for w, d, g in zip(widths, depths, group_sizes):
+                blocks = []
+                for b in range(d):
+                    blocks.append(TRegNetBlock(in_c, w, g,
+                                               stride=2 if b == 0 else 1,
+                                               se_ratio=0.25))
+                    in_c = w
+                self.stages.append(tnn.Sequential(*blocks))
+
+        def forward(self, x):
+            feats = [x]
+            h = F.relu(self.stem_bn(self.stem(x)))
+            feats.append(h)
+            for stage in self.stages:
+                h = stage(h)
+                feats.append(h)
+            return feats
+
+    torch.manual_seed(22)
+    tv = TRegNet()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)}}
+    s = {}
+    p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
+    for si, stage in enumerate(tv.stages, start=1):
+        for bi, blk in enumerate(stage):
+            bp, bs = {}, {}
+            for n in (1, 2, 3):
+                bp[f"conv{n}"] = {"kernel": _conv_w(getattr(blk, f"conv{n}").weight)}
+                bp[f"bn{n}"], bs[f"bn{n}"] = _bn_params(getattr(blk, f"bn{n}"))
+            if blk.se:
+                bp["se_fc1"] = {"kernel": _conv_w(blk.se_fc1.weight),
+                                "bias": blk.se_fc1.bias.detach().numpy()}
+                bp["se_fc2"] = {"kernel": _conv_w(blk.se_fc2.weight),
+                                "bias": blk.se_fc2.bias.detach().numpy()}
+            if blk.down is not None:
+                bp["downsample_conv"] = {"kernel": _conv_w(blk.down[0].weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down[1])
+            p[f"stage{si}_block{bi}"] = bp
+            s[f"stage{si}_block{bi}"] = bs
+
+    enc, _ = get_encoder("timm-regnety_002")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
