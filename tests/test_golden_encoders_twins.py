@@ -1244,3 +1244,116 @@ def test_regnety_002_forward_parity():
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# gernet_s twin (timm ByobNet subset: basic / grouped-bottle blocks,
+# conv1x1 shortcut, stride-1 tail + final 1x1 feature conv)
+# ---------------------------------------------------------------------------
+
+class TGERBlock(tnn.Module):
+    def __init__(self, in_c, kind, c, stride=1, group_size=0, bottle_ratio=1.0):
+        super().__init__()
+        self.kind = kind
+        if kind == "basic":
+            self.conv1 = tnn.Conv2d(in_c, c, 3, stride=stride, padding=1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(c)
+            self.conv2 = tnn.Conv2d(c, c, 3, padding=1, bias=False)
+            self.bn2 = tnn.BatchNorm2d(c)
+        else:
+            mid = int(round(c * bottle_ratio))
+            groups = mid // group_size if group_size else 1
+            self.conv1 = tnn.Conv2d(in_c, mid, 1, bias=False)
+            self.bn1 = tnn.BatchNorm2d(mid)
+            self.conv2 = tnn.Conv2d(mid, mid, 3, stride=stride, padding=1,
+                                    groups=groups, bias=False)
+            self.bn2 = tnn.BatchNorm2d(mid)
+            self.conv3 = tnn.Conv2d(mid, c, 1, bias=False)
+            self.bn3 = tnn.BatchNorm2d(c)
+        self.down = None
+        if stride != 1 or in_c != c:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, c, 1, stride=stride, bias=False),
+                tnn.BatchNorm2d(c))
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        if self.kind == "basic":
+            h = self.bn2(self.conv2(h))
+        else:
+            h = F.relu(self.bn2(self.conv2(h)))
+            h = self.bn3(self.conv3(h))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+def test_gernet_s_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.gernet import _GERNET_CFGS
+
+    cfg = _GERNET_CFGS["gernet_s"]
+
+    class TGERNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Conv2d(3, cfg["stem"], 3, stride=2, padding=1, bias=False)
+            self.stem_bn = tnn.BatchNorm2d(cfg["stem"])
+            self.stages = tnn.ModuleList()
+            in_c = cfg["stem"]
+            for kind, d, c, s, gs, br in cfg["blocks"]:
+                blocks = []
+                for b in range(d):
+                    blocks.append(TGERBlock(in_c, kind, c, s if b == 0 else 1,
+                                            gs, br))
+                    in_c = c
+                self.stages.append(tnn.Sequential(*blocks))
+            self.final = tnn.Conv2d(in_c, cfg["features"], 1, bias=False)
+            self.final_bn = tnn.BatchNorm2d(cfg["features"])
+
+        def forward(self, x):
+            feats = [x]
+            h = F.relu(self.stem_bn(self.stem(x)))
+            feats.append(h)
+            for si, stage in enumerate(self.stages):
+                h = stage(h)
+                if si < 3:
+                    feats.append(h)
+            feats.append(F.relu(self.final_bn(self.final(h))))
+            return feats
+
+    torch.manual_seed(24)
+    tv = TGERNet()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(25)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)},
+         "final_conv": {"kernel": _conv_w(tv.final.weight)}}
+    s = {}
+    p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
+    p["final_bn"], s["final_bn"] = _bn_params(tv.final_bn)
+    for si, stage in enumerate(tv.stages):
+        for bi, blk in enumerate(stage):
+            bp, bs = {}, {}
+            convs = (1, 2) if blk.kind == "basic" else (1, 2, 3)
+            for n in convs:
+                bp[f"conv{n}"] = {"kernel": _conv_w(getattr(blk, f"conv{n}").weight)}
+                bp[f"bn{n}"], bs[f"bn{n}"] = _bn_params(getattr(blk, f"bn{n}"))
+            if blk.down is not None:
+                bp["shortcut_conv"] = {"kernel": _conv_w(blk.down[0].weight)}
+                bp["shortcut_bn"], bs["shortcut_bn"] = _bn_params(blk.down[1])
+            p[f"stage{si}_block{bi}"] = bp
+            s[f"stage{si}_block{bi}"] = bs
+
+    enc, _ = get_encoder("timm-gernet_s")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
