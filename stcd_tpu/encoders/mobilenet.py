@@ -81,8 +81,10 @@ class InvertedResidual(nn.Module):
                     dtype=self.dtype, name="dw_conv")(h)
         h = act(_bn(train, "dw_bn")(h))
         if self.use_se:
-            # V3 SE: reduce to exp/4 (divisible-by-8), hard-sigmoid gate
-            rd = make_divisible(self.exp_channels / 4)
+            # timm mobilenetv3 SE (se_from_exp=False): the reduction width
+            # comes from the block INPUT channels, not the expanded width
+            # (torchvision uses expanded/4 — the vendored reference is timm)
+            rd = make_divisible(in_c / 4)
             s = avg_pool_global(h)
             s = nn.relu(nn.Conv(rd, (1, 1), dtype=self.dtype, name="se_reduce")(s))
             s = hard_sigmoid(nn.Conv(self.exp_channels, (1, 1), dtype=self.dtype,

@@ -1357,3 +1357,126 @@ def test_gernet_s_forward_parity():
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# mobilenetv3_large_100 twin (timm semantics: hswish/relu per block,
+# SE from block-input channels with hard-sigmoid gate, stage grouping
+# stem+g0 | g1 | g2 | g3+g4 | g5+final-conv)
+# ---------------------------------------------------------------------------
+
+def _hsig(x):
+    return F.relu6(x + 3.0) / 6.0
+
+
+def _hswish(x):
+    return x * _hsig(x)
+
+
+class TV3Block(tnn.Module):
+    def __init__(self, in_c, k, exp, out, se, act, stride):
+        super().__init__()
+        self.act = F.relu if act == "relu" else _hswish
+        self.expand = None
+        if exp != in_c:
+            self.expand = tnn.Conv2d(in_c, exp, 1, bias=False)
+            self.expand_bn = tnn.BatchNorm2d(exp)
+        self.dw = tnn.Conv2d(exp, exp, k, stride=stride, padding=k // 2,
+                             groups=exp, bias=False)
+        self.dw_bn = tnn.BatchNorm2d(exp)
+        self.se = None
+        if se:
+            rd = _make_div(in_c / 4, 8)
+            self.se_reduce = tnn.Conv2d(exp, rd, 1)
+            self.se_expand = tnn.Conv2d(rd, exp, 1)
+            self.se = True
+        self.project = tnn.Conv2d(exp, out, 1, bias=False)
+        self.project_bn = tnn.BatchNorm2d(out)
+        self.skip = stride == 1 and in_c == out
+
+    def forward(self, x):
+        h = x
+        if self.expand is not None:
+            h = self.act(self.expand_bn(self.expand(h)))
+        h = self.act(self.dw_bn(self.dw(h)))
+        if self.se:
+            s = F.adaptive_avg_pool2d(h, 1)
+            s = _hsig(self.se_expand(F.relu(self.se_reduce(s))))
+            h = h * s
+        return_h = self.project_bn(self.project(h))
+        return return_h + x if self.skip else return_h
+
+
+def test_mobilenetv3_large_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.mobilenet import _V3_LARGE
+
+    class TV3Large(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = tnn.Conv2d(3, 16, 3, stride=2, padding=1, bias=False)
+            self.stem_bn = tnn.BatchNorm2d(16)
+            blocks, in_c = [], 16
+            for group in _V3_LARGE:
+                for (k, e, c, se, act, s) in group:
+                    blocks.append(TV3Block(in_c, k, e, c, se, act, s))
+                    in_c = c
+            self.blocks = tnn.ModuleList(blocks)
+            self.final = tnn.Conv2d(in_c, 960, 1, bias=False)
+            self.final_bn = tnn.BatchNorm2d(960)
+
+        def forward(self, x):
+            feats = [x]
+            h = _hswish(self.stem_bn(self.stem(x)))
+            ends = []
+            n = 0
+            for gi, group in enumerate(_V3_LARGE):
+                n += len(group)
+                ends.append(n)
+            stage_end = {ends[0]: 1, ends[1]: 2, ends[2]: 3, ends[4]: 4}
+            for bi, blk in enumerate(self.blocks, start=1):
+                h = blk(h)
+                if bi in stage_end:
+                    feats.append(h)
+            feats.append(_hswish(self.final_bn(self.final(h))))
+            return feats
+
+    torch.manual_seed(26)
+    tv = TV3Large()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(27)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)},
+         "final_conv": {"kernel": _conv_w(tv.final.weight)}}
+    s = {}
+    p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
+    p["final_bn"], s["final_bn"] = _bn_params(tv.final_bn)
+    for bi, blk in enumerate(tv.blocks):
+        bp, bs = {}, {}
+        if blk.expand is not None:
+            bp["expand_conv"] = {"kernel": _conv_w(blk.expand.weight)}
+            bp["expand_bn"], bs["expand_bn"] = _bn_params(blk.expand_bn)
+        bp["dw_conv"] = {"kernel": _conv_w(blk.dw.weight)}
+        bp["dw_bn"], bs["dw_bn"] = _bn_params(blk.dw_bn)
+        if blk.se:
+            bp["se_reduce"] = {"kernel": _conv_w(blk.se_reduce.weight),
+                               "bias": blk.se_reduce.bias.detach().numpy()}
+            bp["se_expand"] = {"kernel": _conv_w(blk.se_expand.weight),
+                               "bias": blk.se_expand.bias.detach().numpy()}
+        bp["project_conv"] = {"kernel": _conv_w(blk.project.weight)}
+        bp["project_bn"], bs["project_bn"] = _bn_params(blk.project_bn)
+        p[f"block{bi}"], s[f"block{bi}"] = bp, bs
+
+    enc, ch = get_encoder("timm-mobilenetv3_large_100")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
