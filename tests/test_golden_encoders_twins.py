@@ -1480,3 +1480,140 @@ def test_mobilenetv3_large_forward_parity():
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+# ---------------------------------------------------------------------------
+# senet154 + se_resnext50_32x4d twins (Cadene variant-specific paths:
+# 3-conv stem, double-width conv1 + grouped conv2 SEBottleneck, k3
+# downsample for senet154; grouped-width SEResNeXtBottleneck)
+# ---------------------------------------------------------------------------
+
+class TSENetVariantBlock(tnn.Module):
+    def __init__(self, kind, in_c, planes, stride=1, downsample=False,
+                 groups=64, base_width=4, down_k=1):
+        super().__init__()
+        if kind == "se":  # senet154 SEBottleneck
+            c1, c2, g = planes * 2, planes * 4, groups
+            s1, s2 = 1, stride
+        else:  # se_resnext SEResNeXtBottleneck
+            width = (planes * base_width // 64) * groups
+            c1, c2, g = width, width, groups
+            s1, s2 = 1, stride
+        self.conv1 = tnn.Conv2d(in_c, c1, 1, stride=s1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(c1)
+        self.conv2 = tnn.Conv2d(c1, c2, 3, stride=s2, padding=1, groups=g,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(c2)
+        self.conv3 = tnn.Conv2d(c2, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.se = TSEModule(planes * 4)
+        self.down = None
+        if downsample:
+            self.down = tnn.Sequential(
+                tnn.Conv2d(in_c, planes * 4, down_k, stride=stride,
+                           padding=down_k // 2, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+
+    def forward(self, x):
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        h = self.se(self.bn3(self.conv3(h)))
+        identity = self.down(x) if self.down is not None else x
+        return F.relu(h + identity)
+
+
+@pytest.mark.parametrize("arch,kind,groups,dk,stem3", [
+    ("senet154", "se", 64, 3, True),
+    ("se_resnext50_32x4d", "se_resnext", 32, 1, False),
+])
+def test_senet_variants_forward_parity(arch, kind, groups, dk, stem3):
+    from stcd_tpu.encoders import get_encoder
+
+    layers = (3, 8, 36, 3) if arch == "senet154" else (3, 4, 6, 3)
+
+    class TNet(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            if stem3:
+                self.stem = tnn.ModuleList()
+                for ic, oc, s in ((3, 64, 2), (64, 64, 1), (64, 128, 1)):
+                    self.stem.append(tnn.Sequential(
+                        tnn.Conv2d(ic, oc, 3, stride=s, padding=1, bias=False),
+                        tnn.BatchNorm2d(oc)))
+                in_c = 128
+            else:
+                self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+                self.bn1 = tnn.BatchNorm2d(64)
+                in_c = 64
+            self.layers = tnn.ModuleList()
+            for li, (planes, n, stride) in enumerate(
+                    ((64, layers[0], 1), (128, layers[1], 2),
+                     (256, layers[2], 2), (512, layers[3], 2))):
+                blocks = []
+                this_dk = 1 if li == 0 else dk
+                for b in range(n):
+                    s = stride if b == 0 else 1
+                    down = b == 0 and (s != 1 or in_c != planes * 4)
+                    blocks.append(TSENetVariantBlock(
+                        kind, in_c, planes, s, down, groups, 4, this_dk))
+                    in_c = planes * 4
+                self.layers.append(tnn.Sequential(*blocks))
+
+        def forward(self, x):
+            feats = [x]
+            if stem3:
+                h = x
+                for st in self.stem:
+                    h = F.relu(st(h))
+            else:
+                h = F.relu(self.bn1(self.conv1(x)))
+            feats.append(h)
+            h = F.max_pool2d(h, 3, 2, 0, ceil_mode=True)
+            for layer in self.layers:
+                h = layer(h)
+                feats.append(h)
+            return feats
+
+    torch.manual_seed(28)
+    tv = TNet()
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(29)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p, s = {}, {}
+    if stem3:
+        for i, st in enumerate(tv.stem, start=1):
+            p[f"stem_conv{i}"] = {"kernel": _conv_w(st[0].weight)}
+            p[f"stem_bn{i}"], s[f"stem_bn{i}"] = _bn_params(st[1])
+    else:
+        p["stem_conv1"] = {"kernel": _conv_w(tv.conv1.weight)}
+        p["stem_bn1"], s["stem_bn1"] = _bn_params(tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            bp, bs = {}, {}
+            for n in (1, 2, 3):
+                bp[f"conv{n}"] = {"kernel": _conv_w(getattr(blk, f"conv{n}").weight)}
+                bp[f"bn{n}"], bs[f"bn{n}"] = _bn_params(getattr(blk, f"bn{n}"))
+            bp["se"] = {
+                "fc1": {"kernel": _conv_w(blk.se.fc1.weight),
+                        "bias": blk.se.fc1.bias.detach().numpy()},
+                "fc2": {"kernel": _conv_w(blk.se.fc2.weight),
+                        "bias": blk.se.fc2.bias.detach().numpy()}}
+            if blk.down is not None:
+                bp["downsample_conv"] = {"kernel": _conv_w(blk.down[0].weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down[1])
+            p[f"layer{li}_block{bi}"] = bp
+            s[f"layer{li}_block{bi}"] = bs
+
+    enc, _ = get_encoder(arch)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
