@@ -1617,3 +1617,70 @@ def test_senet_variants_forward_parity(arch, kind, groups, dk, stem3):
         np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
                                    w.numpy(), atol=5e-4, rtol=1e-3,
                                    err_msg=f"stage {i}")
+
+
+def test_efficientnet_lite0_forward_parity():
+    """timm tf_efficientnet_lite0: relu6 instead of swish, NO squeeze-excite,
+    fixed 32-ch stem; TF SAME padding throughout."""
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+
+    class TMBConvLite(TMBConv):
+        def forward(self, x):
+            h = x
+            if self.expand_conv is not None:
+                h = F.relu6(self.expand_bn(self.expand_conv(h)))
+            h = F.relu6(self.dw_bn(self.dw(_same_pad(h, self.k, self.stride))))
+            h = self.project_bn(self.project(h))
+            return h + x if self.skip else h
+
+    class TEffLite(TEffNetB0):
+        def __init__(self, base_blocks, stage_end_group):
+            super().__init__(base_blocks, stage_end_group)
+            blocks = []
+            in_c = 32
+            self.group_of_block = []
+            for gi, (k, r, s, e, _ic, oc, se) in enumerate(base_blocks):
+                for i in range(r):
+                    blocks.append(TMBConvLite(in_c, oc, k, s if i == 0 else 1,
+                                              e, se))
+                    self.group_of_block.append(gi)
+                    in_c = oc
+            self.blocks = tnn.ModuleList(blocks)
+
+        def forward(self, x):
+            feats = [x]
+            h = F.relu6(self.stem_bn(self.stem(_same_pad(x, 3, 2))))
+            feats.append(h)
+            for bi, blk in enumerate(self.blocks):
+                h = blk(h)
+                if (bi + 1 == len(self.blocks)
+                        or self.group_of_block[bi + 1] != self.group_of_block[bi]):
+                    if self.group_of_block[bi] in self.stage_end_group:
+                        feats.append(h)
+            return feats
+
+    torch.manual_seed(30)
+    tv = TEffLite(_BASE_BLOCKS, _STAGE_END_GROUP)
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((1, 3, 66, 66)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p, s = _convert_effnet(tv)
+    # lite blocks carry no SE params
+    for k in list(p):
+        if k.startswith("block"):
+            p[k].pop("se_reduce", None)
+            p[k].pop("se_expand", None)
+    enc, _ = get_encoder("timm-tf_efficientnet_lite0")
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert len(got) == len(want)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
