@@ -268,3 +268,61 @@ def test_training_dynamics_semi_cd_stage3():
     for i, (o, t) in enumerate(zip(got, want)):
         np.testing.assert_allclose(o, t.numpy().transpose(0, 2, 3, 1),
                                    atol=1e-2, err_msg=f"eval output {i}")
+
+
+def test_training_dynamics_seg_stage1():
+    """Stage-1 `train_sup` dynamics (ref train_sup.py:112-185): UnetSeg
+    single-image segmentation with BCE+Dice, Adam + per-iter Poly."""
+    from test_convert import TVSegCD
+    from stcd_tpu.convert.torch_to_flax import convert_unetseg
+    from stcd_tpu.models import UnetSeg
+    from stcd_tpu.train.state import TrainState, adam_poly
+    from stcd_tpu.train.steps import make_seg_steps
+
+    torch.manual_seed(9)
+    tv = TVSegCD()  # encoder+decoder+head == UnetSeg applied to one image
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_unetseg(sd, (2, 2, 2, 2))
+
+    rng = np.random.default_rng(77)
+    n_steps, bs, hw = 4, 2, 32
+    batches = [
+        dict(image=rng.uniform(size=(bs, 3, hw, hw)).astype(np.float32),
+             label=(rng.uniform(size=(bs, 1, hw, hw)) > 0.6).astype(np.float32))
+        for _ in range(n_steps)
+    ]
+
+    # ---- ours first (JAX before torch training; see module docstring)
+    model = UnetSeg(encoder_name="resnet18", classes=1,
+                    decoder_channels=(64, 32, 24, 16, 8))
+    state = TrainState.create_with_stats(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+        tx=adam_poly(1e-3, num_epochs=2, iters_per_epoch=n_steps // 2))
+    train_step, _ = make_seg_steps(model, augment=False)
+    our_losses = []
+    for t, batch in enumerate(batches):
+        jb = {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in batch.items()}
+        state, metrics = train_step(state, jb, jax.random.PRNGKey(t))
+        our_losses.append(float(metrics["loss"]))
+
+    # ---- torch twin: UnetSeg forward = head(decoder(encoder(x)))
+    opt = torch.optim.Adam(tv.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    torch_losses = []
+    tv.train()
+    for t, batch in enumerate(batches):
+        for g in opt.param_groups:
+            g["lr"] = _poly_lr(t, total=n_steps)
+        opt.zero_grad()
+        x = _imagenet_norm(torch.from_numpy(batch["image"]))
+        pred = tv.segmentation_head(tv.decoder(tv.encoder(x)))
+        probs = torch.sigmoid(pred)
+        loss = _bce_dice_torch(probs, torch.from_numpy(batch["label"]))
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], atol=1e-5)
+    np.testing.assert_allclose(our_losses, torch_losses, atol=5e-3,
+                               err_msg=f"ours={our_losses} torch={torch_losses}")
