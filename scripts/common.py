@@ -53,7 +53,10 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--encoder", type=str, default="resnet50")
     p.add_argument("--encoder_weights", type=str, default=None,
-                   help="path to converted imagenet weights (msgpack), or None")
+                   help="converted imagenet weights: a msgpack path, or "
+                        "'imagenet' to resolve {encoder}.msgpack under "
+                        "$STCD_PRETRAINED_DIR (missing weights raise; "
+                        "ref always trains from imagenet, train_sup.py:303)")
     p.add_argument("--decoder_channels", type=str, default="256,128,64,32,16",
                    help="comma-separated unet decoder widths")
     # TPU knobs

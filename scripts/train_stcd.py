@@ -53,7 +53,8 @@ def main():
                             sharding=sharding)
 
     tx = optax.adam(poly_schedule(args.lr, args.n_epochs, max(len(train_loader), 1)))
-    state = create_train_state(model, rng, (example, example), tx)
+    state = create_train_state(model, rng, (example, example), tx,
+                               encoder_weights=args.encoder_weights)
     train_step, eval_step = make_semi_cd_steps(model, augment=True, remat=args.remat,
                                         accum_steps=args.accum_steps)
 

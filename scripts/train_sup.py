@@ -50,7 +50,8 @@ def main():
                     b1=0.9, b2=0.999)
     rng = jax.random.PRNGKey(args.seed)
     example = jnp.zeros((args.batch_size, args.img_height, args.img_width, 3))
-    state = create_train_state(model, rng, (example,), tx)
+    state = create_train_state(model, rng, (example,), tx,
+                               encoder_weights=args.encoder_weights)
 
     if args.load_model:
         mgr = CheckpointManager(args.load_path)

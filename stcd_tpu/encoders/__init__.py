@@ -4,11 +4,13 @@ Every encoder obeys the smp stage contract: ``module(x, train)`` returns a
 pyramid ``[f0 .. f_depth]`` of NHWC features, f0 at input resolution, each
 subsequent level 2x smaller (ref encoders/resnet.py:1-24 docstring).
 
-``weights="imagenet"`` loads converted torchvision weights from a local
-checkpoint directory (no network egress on TPU hosts); see
-``stcd_tpu.convert.torch_to_flax``. When unavailable the encoder falls back
-to random init with a warning — accuracy parity runs require the weights
-(ref train_sup.py:303 et al. always pass encoder_weights="imagenet").
+``weights="imagenet"`` resolves converted torchvision weights from a local
+checkpoint directory ($STCD_PRETRAINED_DIR; no network egress on TPU
+hosts) and raises FileNotFoundError with conversion instructions when they
+are absent — never a silent fallback to random init. The graft itself
+happens post-init on the param pytree (``stcd_tpu.convert.pretrained``);
+accuracy parity runs require the weights (ref train_sup.py:303 et al.
+always pass encoder_weights="imagenet").
 """
 
 from __future__ import annotations
@@ -158,8 +160,8 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
     the caller supplying wider inputs (convs infer input width in Flax).
     ``output_stride`` in {8, 16} dilates the deepest stages instead of
     striding (ref :88 make_dilated; the DeepLabV3/+ encoder contract).
-    Pretrained-weight loading is a separate step: see
-    ``stcd_tpu.convert.load_pretrained`` which patches the param pytree.
+    ``weights`` is resolved here (raising when unresolvable) but applied to
+    the param pytree post-init: see ``stcd_tpu.convert.pretrained``.
     """
     if name.startswith("tu-"):
         # timm_universal passthrough (ref encoders/__init__.py:56-66): the
@@ -192,9 +194,19 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
             (False, False, True) if output_stride == 16 else (False, True, True))
     module = spec.cls(depth=depth, dtype=dtype, **kwargs)
     if weights is not None:
-        # Weight application happens on the param pytree after init; record
-        # the request on the module metadata for the model factory to use.
-        logger.debug("encoder %s requested weights=%s", name, weights)
+        # Flax modules are stateless until init, so the actual graft happens
+        # on the param pytree (stcd_tpu.convert.pretrained.apply_pretrained
+        # or create_train_state(encoder_weights=...)). Resolve NOW so a
+        # missing checkpoint raises here — mirroring the reference, which
+        # loads (or 404s) inside get_encoder (ref encoders/__init__.py:83-86)
+        # and never silently falls back to random init.
+        from stcd_tpu.convert.pretrained import resolve_encoder_weights
+        path = resolve_encoder_weights(weights, name)
+        logger.warning(
+            "encoder %s: pretrained weights resolved to %s; apply them to "
+            "the initialized params via stcd_tpu.convert.pretrained."
+            "apply_pretrained (create_train_state does this automatically "
+            "for models built through create_model)", name, path)
     return module, spec.out_channels[: depth + 1]
 
 

@@ -35,8 +35,16 @@ def create_model(arch: str, encoder_name: str = "resnet34", encoder_weights=None
     arch_l = arch.lower()
     if arch_l not in _ARCHS:
         raise KeyError(f"Wrong architecture `{arch}`. Available: {sorted(_ARCHS)}")
-    return _ARCHS[arch_l](encoder_name=encoder_name, classes=classes, dtype=dtype,
-                          **kwargs)
+    if encoder_weights is not None:
+        # Resolve eagerly so a bad path fails HERE (the reference loads —
+        # or 404s — inside get_encoder, ref encoders/__init__.py:83-86;
+        # silent random init would be a semantic divergence). The resolved
+        # path rides on the module and is grafted by create_train_state.
+        from stcd_tpu.convert.pretrained import resolve_encoder_weights
+        encoder_weights = resolve_encoder_weights(encoder_weights, encoder_name)
+    return _ARCHS[arch_l](encoder_name=encoder_name,
+                          encoder_weights=encoder_weights, classes=classes,
+                          dtype=dtype, **kwargs)
 
 
 def register_arch(name: str, cls) -> None:

@@ -45,6 +45,10 @@ class _EncDecHead(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    # Converted ImageNet msgpack path or "imagenet" (resolved against
+    # $STCD_PRETRAINED_DIR); consumed by create_train_state, which grafts
+    # the weights onto the initialized pytree (ref train_sup.py:303).
+    encoder_weights: Optional[str] = None
     decoder_use_batchnorm: bool = True
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_attention_type: Optional[str] = None

@@ -33,6 +33,7 @@ class UnetPlusPlus(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_use_batchnorm: bool = True
     decoder_attention_type: Optional[str] = None
@@ -61,6 +62,7 @@ class MAnet(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_use_batchnorm: bool = True
     decoder_pab_channels: int = 64
@@ -87,6 +89,7 @@ class Linknet(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     decoder_use_batchnorm: bool = True
     classes: int = 1
     activation: Union[str, None] = None
@@ -110,6 +113,7 @@ class FPN(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     decoder_pyramid_channels: int = 256
     decoder_segmentation_channels: int = 128
     decoder_merge_policy: str = "add"
@@ -139,6 +143,7 @@ class PSPNet(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 3
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     psp_out_channels: int = 512
     psp_use_batchnorm: bool = True
     psp_dropout: float = 0.2
@@ -166,6 +171,7 @@ class DeepLabV3(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     decoder_channels: int = 256
     classes: int = 1
     activation: Union[str, None] = None
@@ -189,6 +195,7 @@ class DeepLabV3Plus(nn.Module):
 
     encoder_name: str = "resnet34"
     encoder_depth: int = 5
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     encoder_output_stride: int = 16
     decoder_channels: int = 256
     decoder_atrous_rates: Sequence[int] = (12, 24, 36)
@@ -216,6 +223,7 @@ class PAN(nn.Module):
     """ref decoders/pan/model.py (head 4x; encoder dilated to stride 16)."""
 
     encoder_name: str = "resnet34"
+    encoder_weights: Optional[str] = None  # consumed by create_train_state
     decoder_channels: int = 32
     classes: int = 1
     activation: Union[str, None] = None

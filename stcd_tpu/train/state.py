@@ -24,15 +24,27 @@ class TrainState(train_state.TrainState):
 
 
 def create_train_state(model, rng, example_inputs, tx,
-                       train_kwargs: Optional[dict] = None) -> TrainState:
-    """Initialize params/batch_stats and wrap into a TrainState."""
+                       train_kwargs: Optional[dict] = None,
+                       encoder_weights: Optional[str] = None) -> TrainState:
+    """Initialize params/batch_stats and wrap into a TrainState.
+
+    ``encoder_weights`` (or, when None, the model's own ``encoder_weights``
+    field set via ``create_model``) grafts converted ImageNet weights onto
+    the fresh state — the reference's universal starting point
+    (ref train_sup.py:303). Resolution failures raise; never silent."""
     variables = model.init(rng, *example_inputs, **(train_kwargs or {}))
-    return TrainState.create_with_stats(
+    state = TrainState.create_with_stats(
         apply_fn=model.apply,
         params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         tx=tx,
     )
+    weights = encoder_weights or getattr(model, "encoder_weights", None)
+    if weights is not None:
+        from stcd_tpu.convert.pretrained import apply_pretrained_to_state
+        state = apply_pretrained_to_state(
+            state, weights, encoder_name=getattr(model, "encoder_name", None))
+    return state
 
 
 def adam_poly(base_lr: float = 1e-3, num_epochs: int = 60,

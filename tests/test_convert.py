@@ -217,3 +217,78 @@ def test_patch_first_conv_golden():
         got = patch_first_conv(params, new_in)["conv1"]["kernel"]
         np.testing.assert_allclose(got, want, atol=1e-6,
                                    err_msg=f"in_channels={new_in}")
+
+
+def test_pretrained_wiring_end_to_end(tmp_path, np_rng):
+    """VERDICT r1 item 2: --encoder_weights <msgpack> reaches the train
+    state. Converted resnet18 weights are serialized, resolved and grafted
+    by create_train_state, and the grafted encoder's eval forward matches
+    the torch twin."""
+    import jax
+    import optax
+    from flax import serialization
+
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import create_train_state
+
+    tv = TVResNet18().eval()
+    _randomize_bn_stats(tv)
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_resnet(sd, (2, 2, 2, 2))
+    path = tmp_path / "resnet18.msgpack"
+    path.write_bytes(serialization.msgpack_serialize(
+        {"params": params, "batch_stats": stats}))
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(32, 24, 16, 12, 8))
+    ex = jnp.zeros((1, 64, 64, 3))
+    state = create_train_state(model, jax.random.PRNGKey(0), (ex, ex),
+                               optax.adam(1e-3), encoder_weights=str(path))
+
+    np.testing.assert_array_equal(
+        np.asarray(state.params["encoder"]["conv1"]["kernel"]),
+        params["conv1"]["kernel"])
+
+    x = np_rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    feats = ResNetEncoder(arch="resnet18").apply(
+        {"params": state.params["encoder"],
+         "batch_stats": state.batch_stats["encoder"]},
+        jnp.asarray(x.transpose(0, 2, 3, 1)))
+    with torch.no_grad():
+        torch_feats = tv(torch.tensor(x))
+    for i in (2, 5):
+        np.testing.assert_allclose(
+            np.asarray(feats[i]), torch_feats[i].numpy().transpose(0, 2, 3, 1),
+            atol=2e-4, err_msg=f"stage {i} after graft")
+
+
+def test_pretrained_resolution_is_loud(tmp_path, monkeypatch, np_rng):
+    """encoder_weights is never silently ignored: unresolvable paths raise
+    in create_model AND get_encoder; 'imagenet' resolves against
+    $STCD_PRETRAINED_DIR (ref encoders/__init__.py:83-86 loads-or-404s)."""
+    import pytest
+    from flax import serialization
+
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.models.factory import create_model
+
+    monkeypatch.setenv("STCD_PRETRAINED_DIR", str(tmp_path))
+
+    with pytest.raises(FileNotFoundError):
+        create_model("segcd", encoder_name="resnet18",
+                     encoder_weights="imagenet")
+    with pytest.raises(FileNotFoundError):
+        get_encoder("resnet18", weights="/nonexistent/w.msgpack")
+
+    tv = TVResNet18().eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()}
+    params, stats = convert_resnet(sd, (2, 2, 2, 2))
+    (tmp_path / "resnet18.msgpack").write_bytes(
+        serialization.msgpack_serialize({"params": params,
+                                         "batch_stats": stats}))
+
+    model = create_model("segcd", encoder_name="resnet18",
+                         encoder_weights="imagenet",
+                         decoder_channels=(32, 24, 16, 12, 8))
+    assert model.encoder_weights == str(tmp_path / "resnet18.msgpack")
+    get_encoder("resnet18", weights="imagenet")  # resolves, no raise
