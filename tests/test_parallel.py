@@ -75,18 +75,38 @@ def test_sharded_step_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
 
 
-def test_tensor_parallel_param_sharding(setup):
+def test_tensor_parallel_matches_single_device(setup):
+    """TP correctness, not just finiteness (VERDICT r1 item 3): the 4x2
+    DPxTP step — conv kernels sharded over 'model' output channels —
+    produces the SAME loss, confusion matrix and updated params as the
+    unsharded single-placement step, at the DP test's tolerances."""
     model, state, batch = setup
+    train_step, _ = make_cd_steps(model, augment=False)
+
+    s1, out1 = train_step(_copy(state), batch, jax.random.PRNGKey(3))
+    state = _copy(state)
+
     mesh = create_mesh(data=4, model=2)
     shardings = param_sharding(mesh, state.params, min_size_to_shard=1024)
-    leaves = jax.tree_util.tree_leaves(shardings)
-    assert len(leaves) > 0
-    state2 = _copy(state).replace(
-        params=jax.device_put(state.params, shardings))
-    train_step, _ = make_cd_steps(model, augment=False)
+    n_sharded = sum(
+        s.spec != P() for s in jax.tree_util.tree_leaves(shardings))
+    assert n_sharded > 0, "no kernel qualified for model-axis sharding"
+    repl = NamedSharding(mesh, P())
+    state2 = state.replace(
+        params=jax.device_put(state.params, shardings),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+    )
     batch_sharded = jax.device_put(batch, batch_sharding(mesh))
-    _, out = train_step(state2, batch_sharded, jax.random.PRNGKey(3))
-    assert np.isfinite(float(out["loss"]))
+    s2, out2 = train_step(state2, batch_sharded, jax.random.PRNGKey(3))
+
+    np.testing.assert_allclose(float(out1["loss"]), float(out2["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out1["cm"]),
+                                  np.asarray(out2["cm"]))
+    for x, y in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
 
 
 def test_loader_process_partitioning():
