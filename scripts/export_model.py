@@ -76,7 +76,7 @@ def main():
         (jnp.zeros((1, args.img_height, args.img_width, 3)),) * 2,
         adam_poly(1e-3, 1, 1))
     mgr = CheckpointManager(args.load_path if os.path.isdir(args.load_path)
-                            else os.path.dirname(args.load_path))
+                            else (os.path.dirname(args.load_path) or "."))
     path = (args.load_path if not os.path.isdir(args.load_path)
             else mgr.best_path())
     if not path:

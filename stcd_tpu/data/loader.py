@@ -99,6 +99,17 @@ class DataLoader:
                     else strided[: per - len(strided)]
                 strided = np.concatenate([strided, extra])
             idx = strided
+            if not self.drop_last:
+                # pad the final local batch to full batch_size by wrapping
+                # (DistributedSampler semantics): a partial global batch
+                # cannot be assembled by make_array_from_process_local_data
+                # when it doesn't divide the data-axis device count. The
+                # duplicated tail rows slightly overweight those samples in
+                # multi-host eval metrics — the standard DDP-sampler
+                # tradeoff (single-host keeps exact partial batches).
+                total = len(self) * self.batch_size
+                if len(idx) < total:
+                    idx = np.resize(idx, total)
         self._epoch += 1
         return idx
 

@@ -152,6 +152,13 @@ class ConvBNReLU(nn.Module):
     """Conv2d + (BatchNorm) + ReLU (ref base/modules.py:10-47 Conv2dReLU).
 
     Conv bias is disabled when batchnorm is on, matching the reference.
+
+    ``use_batchnorm="inplace"`` (the reference's optional InPlaceABN path,
+    ref base/modules.py:4-7,29-35) is intentionally NOT implemented:
+    InPlaceABN is a CUDA memory-saving fused activated-BN; the TPU-native
+    equivalent of that memory saving is XLA op fusion plus
+    ``jax.checkpoint`` rematerialisation (the ``--remat`` training flag).
+    Requesting it raises with this explanation (docs/DESIGN.md).
     """
 
     features: int
@@ -163,6 +170,12 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.use_batchnorm == "inplace":
+            raise ValueError(
+                "use_batchnorm='inplace' (InPlaceABN) is a CUDA memory "
+                "optimization with no TPU counterpart; use plain batchnorm "
+                "with the --remat flag (jax.checkpoint) for the same "
+                "activation-memory saving.")
         x = nn.Conv(
             self.features,
             (self.kernel_size, self.kernel_size),

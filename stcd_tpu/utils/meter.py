@@ -4,6 +4,9 @@
 - Epoch/TrainEpoch/ValidEpoch <- utils/train.py:73-115 (generic fit loop
   over (x, y) batches with a loss object and metric objects)
 - IoU/Fscore/Accuracy/Recall/Precision metric objects <- utils/metrics.py
+- Loss arithmetic (+, *) and the loss-object zoo (Jaccard/Dice/L1/MSE/
+  CrossEntropy/NLL/BCE/BCEWithLogits) <- utils/base.py:24-68 +
+  utils/losses.py:1-67
 """
 
 from __future__ import annotations
@@ -144,8 +147,51 @@ class Recall:
         return (tp + self.eps) / (tp + fn + self.eps)
 
 
+class Loss:
+    """ref utils/base.py:24-68 Loss arithmetic: loss objects compose with
+    ``+`` (SumOfLosses) and ``*`` scalar (MultipliedLoss), with composed
+    ``__name__`` strings for the meter display."""
+
+    def __add__(self, other):
+        if isinstance(other, Loss):
+            return SumOfLosses(self, other)
+        raise ValueError("Loss should be inherited from `Loss` class")
+
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __mul__(self, value):
+        if isinstance(value, (int, float)):
+            return MultipliedLoss(self, value)
+        raise ValueError("Loss should be inherited from `BaseLoss` class")
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+
+class SumOfLosses(Loss):
+    def __init__(self, l1, l2):
+        self.l1, self.l2 = l1, l2
+        self.__name__ = f"{l1.__name__} + {l2.__name__}"
+
+    def __call__(self, *inputs):
+        return self.l1(*inputs) + self.l2(*inputs)
+
+
+class MultipliedLoss(Loss):
+    def __init__(self, loss, multiplier):
+        self.loss, self.multiplier = loss, multiplier
+        if "+" in loss.__name__:
+            self.__name__ = f"{multiplier} * ({loss.__name__})"
+        else:
+            self.__name__ = f"{multiplier} * {loss.__name__}"
+
+    def __call__(self, *inputs):
+        return self.multiplier * self.loss(*inputs)
+
+
 @dataclasses.dataclass
-class JaccardLoss:
+class JaccardLoss(Loss):
     """ref utils/losses.py JaccardLoss: 1 - soft jaccard, eps=1."""
 
     eps: float = 1.0
@@ -161,7 +207,7 @@ class JaccardLoss:
 
 
 @dataclasses.dataclass
-class DiceLoss:
+class DiceLoss(Loss):
     """ref utils/losses.py DiceLoss: 1 - soft f-score, eps=1."""
 
     eps: float = 1.0
@@ -178,6 +224,70 @@ class DiceLoss:
         b2 = self.beta ** 2
         return 1.0 - ((1 + b2) * tp + self.eps) / (
             (1 + b2) * tp + b2 * fn + fp + self.eps)
+
+
+class L1Loss(Loss):
+    """ref utils/losses.py L1Loss (torch nn.L1Loss, mean reduction)."""
+
+    __name__ = "l1_loss"
+
+    def __call__(self, pr, gt):
+        return jnp.mean(jnp.abs(pr - gt))
+
+
+class MSELoss(Loss):
+    """ref utils/losses.py MSELoss (torch nn.MSELoss, mean reduction)."""
+
+    __name__ = "mse_loss"
+
+    def __call__(self, pr, gt):
+        return jnp.mean(jnp.square(pr - gt))
+
+
+class CrossEntropyLoss(Loss):
+    """ref utils/losses.py CrossEntropyLoss: softmax CE on logits with
+    integer targets (channel-LAST here; torch is channel-first)."""
+
+    __name__ = "cross_entropy_loss"
+
+    def __call__(self, pr, gt):
+        logp = jax.nn.log_softmax(pr, axis=-1)
+        gt = gt.astype(jnp.int32)
+        return -jnp.mean(jnp.take_along_axis(logp, gt[..., None], axis=-1))
+
+
+class NLLLoss(Loss):
+    """ref utils/losses.py NLLLoss: mean -log_prob[target] (inputs are
+    already log-probabilities, channel-last)."""
+
+    __name__ = "nll_loss"
+
+    def __call__(self, pr, gt):
+        gt = gt.astype(jnp.int32)
+        return -jnp.mean(jnp.take_along_axis(pr, gt[..., None], axis=-1))
+
+
+class BCELoss(Loss):
+    """ref utils/losses.py BCELoss: binary CE on probabilities, with the
+    torch log clamp at -100."""
+
+    __name__ = "bce_loss"
+
+    def __call__(self, pr, gt):
+        log_p = jnp.clip(jnp.log(pr), -100.0)
+        log_1mp = jnp.clip(jnp.log1p(-pr), -100.0)
+        return -jnp.mean(gt * log_p + (1.0 - gt) * log_1mp)
+
+
+class BCEWithLogitsLoss(Loss):
+    """ref utils/losses.py BCEWithLogitsLoss: numerically stable sigmoid
+    CE on logits."""
+
+    __name__ = "bce_with_logits_loss"
+
+    def __call__(self, pr, gt):
+        import optax
+        return jnp.mean(optax.sigmoid_binary_cross_entropy(pr, gt))
 
 
 class Epoch:
@@ -235,10 +345,16 @@ class TrainEpoch(Epoch):
 
     def run(self, state, dataloader):
         if self.tx is not None and state.tx is not self.tx:
-            from stcd_tpu.train.state import TrainState
-            state = TrainState.create_with_stats(
-                apply_fn=state.apply_fn, params=state.params,
-                batch_stats=state.batch_stats, tx=self.tx)
+            # smp pattern: swap the optimizer (e.g. new lr) between epochs.
+            # Keep Adam moments + step counter when the new tx has the same
+            # opt_state structure; re-init only on a structure mismatch
+            # (e.g. adam -> sgd), still preserving the step counter.
+            new_opt = self.tx.init(state.params)
+            if (jax.tree_util.tree_structure(new_opt)
+                    == jax.tree_util.tree_structure(state.opt_state)):
+                state = state.replace(tx=self.tx)
+            else:
+                state = state.replace(tx=self.tx, opt_state=new_opt)
         return super().run(state, dataloader)
 
     def batch_update(self, state, x, y):

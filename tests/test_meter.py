@@ -77,3 +77,65 @@ def test_epoch_runners_fit_loop():
     valid = ValidEpoch(model.apply, loss, [Precision(), Recall()])
     state, vlogs = valid.run(state, data)
     assert np.isfinite(vlogs["precision"]) and np.isfinite(vlogs["recall"])
+
+
+def test_utils_loss_wrappers_match_torch():
+    """ref utils/losses.py torch-wrapper classes (L1/MSE/CE/NLL/BCE/
+    BCEWithLogits) match their torch counterparts on random tensors."""
+    import torch
+    import torch.nn.functional as TF
+
+    from stcd_tpu.utils.meter import (
+        BCELoss, BCEWithLogitsLoss, CrossEntropyLoss, L1Loss, MSELoss,
+        NLLLoss)
+
+    rng = np.random.default_rng(3)
+    pr = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    gt = rng.normal(size=(2, 4, 4, 3)).astype(np.float32)
+    prob = 1 / (1 + np.exp(-pr))
+    bin_gt = (rng.random((2, 4, 4, 3)) > 0.5).astype(np.float32)
+    cls_gt = rng.integers(0, 3, size=(2, 4, 4))
+
+    tpr = torch.tensor(pr)
+    with torch.no_grad():
+        cases = [
+            (L1Loss(), (pr, gt), TF.l1_loss(tpr, torch.tensor(gt))),
+            (MSELoss(), (pr, gt), TF.mse_loss(tpr, torch.tensor(gt))),
+            (BCELoss(), (prob, bin_gt),
+             TF.binary_cross_entropy(torch.tensor(prob), torch.tensor(bin_gt))),
+            (BCEWithLogitsLoss(), (pr, bin_gt),
+             TF.binary_cross_entropy_with_logits(tpr, torch.tensor(bin_gt))),
+            # torch is NCHW; ours channel-last -> permute for torch
+            (CrossEntropyLoss(), (pr, cls_gt),
+             TF.cross_entropy(tpr.permute(0, 3, 1, 2), torch.tensor(cls_gt))),
+            (NLLLoss(), (np.log(prob / prob.sum(-1, keepdims=True)), cls_gt),
+             TF.nll_loss(torch.tensor(
+                 np.log(prob / prob.sum(-1, keepdims=True))).permute(0, 3, 1, 2),
+                 torch.tensor(cls_gt))),
+        ]
+    for loss, args, expect in cases:
+        got = float(loss(*(jnp.asarray(a) for a in args)))
+        assert np.isclose(got, float(expect), atol=1e-5), loss.__name__
+
+
+def test_loss_arithmetic_composition():
+    """ref utils/base.py:24-68: losses compose with + and * and the
+    composed __name__ matches the reference's formatting."""
+    from stcd_tpu.utils.meter import DiceLoss, JaccardLoss
+
+    d, j = DiceLoss(), JaccardLoss()
+    s = d + j
+    assert s.__name__ == "dice_loss + jaccard_loss"
+    m = 0.5 * s
+    assert m.__name__ == "0.5 * (dice_loss + jaccard_loss)"
+    m2 = d * 2
+    assert m2.__name__ == "2 * dice_loss"
+
+    rng = np.random.default_rng(0)
+    pr = jnp.asarray(rng.normal(size=(2, 8, 8, 1)).astype(np.float32))
+    gt = jnp.asarray((rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32))
+    assert np.isclose(float(s(pr, gt)), float(d(pr, gt)) + float(j(pr, gt)))
+    assert np.isclose(float(m(pr, gt)), 0.5 * float(s(pr, gt)))
+    import pytest
+    with pytest.raises(ValueError):
+        d + 1.0
