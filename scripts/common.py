@@ -60,6 +60,10 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
     p.add_argument("--decoder_channels", type=str, default="256,128,64,32,16",
                    help="comma-separated unet decoder widths")
     # TPU knobs
+    p.add_argument("--float_transfer", action="store_true",
+                   help="ship float32 images host->device instead of the "
+                        "default uint8 mode (uint8 moves 4x less data; the "
+                        "1/255 scale + normalization run on device)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize activations (bigger batches per HBM)")
@@ -69,6 +73,14 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
     p.add_argument("--data_axis", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     return p
+
+
+def configure_host_transfer(args) -> None:
+    """Default the uint8 H2D transfer mode (4x less PCIe/tunnel traffic,
+    +62% end-to-end on tunnel hosts — BASELINE.md realloop numbers);
+    --float_transfer opts back into float32 host arrays."""
+    from stcd_tpu.data.io import set_uint8_transfer
+    set_uint8_transfer(not getattr(args, "float_transfer", False))
 
 
 def make_mesh(args):

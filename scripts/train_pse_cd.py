@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from scripts.common import base_parser, make_mesh
+from scripts.common import base_parser, configure_host_transfer, make_mesh
 from stcd_tpu.data.datasets import CDDataset, PSEDataset
 from stcd_tpu.data.loader import DataLoader
 from stcd_tpu.models import SegCD
@@ -43,6 +43,7 @@ def init_seg_cd_net(args):
 
 def main():
     args = base_parser("LEVIR", "runs/LEVIR-PseCD").parse_args()
+    configure_host_transfer(args)
     print(args)
     mesh, sharding = make_mesh(args)
 

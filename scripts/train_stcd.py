@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from scripts.common import base_parser, make_mesh
+from scripts.common import base_parser, configure_host_transfer, make_mesh
 from stcd_tpu.data.datasets import CDDataset, LEVIRDataset
 from stcd_tpu.data.loader import DataLoader
 from stcd_tpu.models import SegCD
@@ -34,6 +34,7 @@ from stcd_tpu.train.steps import make_semi_cd_steps
 
 def main():
     args = base_parser("LEVIR", "runs/STCD").parse_args()
+    configure_host_transfer(args)
     print(args)
     mesh, sharding = make_mesh(args)
 

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from scripts.common import base_parser, make_mesh
+from scripts.common import base_parser, configure_host_transfer, make_mesh
 from stcd_tpu.data.datasets import WHUDataset
 from stcd_tpu.data.loader import DataLoader
 from stcd_tpu.models import UnetSeg
@@ -31,6 +31,7 @@ from stcd_tpu.train.steps import make_seg_steps
 
 def main():
     args = base_parser("WHU-AB", "runs/WHU-Seg").parse_args()
+    configure_host_transfer(args)
     print(args)
     mesh, sharding = make_mesh(args)
 

@@ -1085,3 +1085,249 @@ def patch_first_conv(params: dict, new_in_channels: int,
         neww = w[:, :, idx, :] * (default_in_channels / new_in_channels)
     leaves[target_idx] = neww.astype(w.dtype)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Encoder-zoo converters, round 2 (VERDICT item 5): the families smp users
+# actually pass as encoder_name. Each maps the UPSTREAM checkpoint naming
+# (the .pth files the reference's pretrained_settings URLs serve) onto our
+# encoder param/batch_stats layout.
+# ---------------------------------------------------------------------------
+
+
+def _scan_indices(sd: Dict[str, Any], pattern: str) -> list:
+    """Sorted unique integer captures of a single-{} format pattern."""
+    import re
+    rx = re.compile("^" + pattern.replace("{}", r"(\d+)"))
+    found = {int(m.group(1)) for k in sd if (m := rx.match(k))}
+    return sorted(found)
+
+
+def convert_efficientnet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """efficientnet_pytorch state_dict (the reference's encoders/
+    efficientnet.py:31-60 EfficientNet base; url_map checkpoints) ->
+    EfficientNetEncoder params/batch_stats. Works for b0..b7 (block count
+    discovered from the keys). Head (_conv_head/_bn1/_fc) is dropped —
+    the smp encoder contract keeps features only."""
+    params = {"stem_conv": {"kernel": _conv(sd["_conv_stem.weight"])}}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "_bn0")
+    for i in _scan_indices(sd, "_blocks.{}."):
+        base = f"_blocks.{i}"
+        bp, bs = {}, {}
+        if f"{base}._expand_conv.weight" in sd:
+            bp["expand_conv"] = {"kernel": _conv(sd[f"{base}._expand_conv.weight"])}
+            bp["expand_bn"], bs["expand_bn"] = _bn(sd, f"{base}._bn0")
+        bp["dw_conv"] = {"kernel": _conv(sd[f"{base}._depthwise_conv.weight"])}
+        bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}._bn1")
+        if f"{base}._se_reduce.weight" in sd:
+            bp["se_reduce"] = {"kernel": _conv(sd[f"{base}._se_reduce.weight"]),
+                               "bias": np.asarray(sd[f"{base}._se_reduce.bias"])}
+            bp["se_expand"] = {"kernel": _conv(sd[f"{base}._se_expand.weight"]),
+                               "bias": np.asarray(sd[f"{base}._se_expand.bias"])}
+        bp["project_conv"] = {"kernel": _conv(sd[f"{base}._project_conv.weight"])}
+        bp["project_bn"], bs["project_bn"] = _bn(sd, f"{base}._bn2")
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = bs
+    return params, stats
+
+
+def convert_mobilenet_v2(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """torchvision mobilenet_v2 state_dict (ref encoders/mobilenet.py) ->
+    MobileNetV2Encoder params/batch_stats."""
+    params = {"stem_conv": {"kernel": _conv(sd["features.0.0.weight"])}}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "features.0.1")
+    blocks = [i for i in _scan_indices(sd, "features.{}.")
+              if f"features.{i}.conv.0.0.weight" in sd
+              or f"features.{i}.conv.1.weight" in sd]
+    for i in blocks:
+        base = f"features.{i}.conv"
+        bp, bs = {}, {}
+        if f"{base}.1.0.weight" in sd:  # expand + dw + project
+            bp["expand_conv"] = {"kernel": _conv(sd[f"{base}.0.0.weight"])}
+            bp["expand_bn"], bs["expand_bn"] = _bn(sd, f"{base}.0.1")
+            bp["dw_conv"] = {"kernel": _conv(sd[f"{base}.1.0.weight"])}
+            bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}.1.1")
+            proj, proj_bn = f"{base}.2", f"{base}.3"
+        else:  # first block: dw + project only
+            bp["dw_conv"] = {"kernel": _conv(sd[f"{base}.0.0.weight"])}
+            bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}.0.1")
+            proj, proj_bn = f"{base}.1", f"{base}.2"
+        bp["project_conv"] = {"kernel": _conv(sd[f"{proj}.weight"])}
+        bp["project_bn"], bs["project_bn"] = _bn(sd, proj_bn)
+        params[f"block{i}"] = bp
+        stats[f"block{i}"] = bs
+    last = max(_scan_indices(sd, "features.{}."))
+    params["final_conv"] = {"kernel": _conv(sd[f"features.{last}.0.weight"])}
+    params["final_bn"], stats["final_bn"] = _bn(sd, f"features.{last}.1")
+    return params, stats
+
+
+def convert_mobilenet_v3(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm mobilenetv3 state_dict (ref encoders/timm_mobilenetv3.py) ->
+    MobileNetV3Encoder params/batch_stats. timm's staged blocks.{s}.{b}
+    flatten (in order) onto our block{j}; the trailing ConvBnAct stage is
+    final_conv/final_bn."""
+    params = {"stem_conv": {"kernel": _conv(sd["conv_stem.weight"])}}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "bn1")
+    bidx = 0
+    for s in _scan_indices(sd, "blocks.{}."):
+        for b in _scan_indices(sd, f"blocks.{s}.{{}}."):
+            base = f"blocks.{s}.{b}"
+            if f"{base}.conv.weight" in sd:  # trailing ConvBnAct
+                params["final_conv"] = {"kernel": _conv(sd[f"{base}.conv.weight"])}
+                params["final_bn"], stats["final_bn"] = _bn(sd, f"{base}.bn1")
+                continue
+            bp, bs = {}, {}
+            if f"{base}.conv_pwl.weight" in sd:  # InvertedResidual
+                bp["expand_conv"] = {"kernel": _conv(sd[f"{base}.conv_pw.weight"])}
+                bp["expand_bn"], bs["expand_bn"] = _bn(sd, f"{base}.bn1")
+                bp["dw_conv"] = {"kernel": _conv(sd[f"{base}.conv_dw.weight"])}
+                bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}.bn2")
+                bp["project_conv"] = {"kernel": _conv(sd[f"{base}.conv_pwl.weight"])}
+                bp["project_bn"], bs["project_bn"] = _bn(sd, f"{base}.bn3")
+            else:  # DepthwiseSeparableConv (first stage)
+                bp["dw_conv"] = {"kernel": _conv(sd[f"{base}.conv_dw.weight"])}
+                bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}.bn1")
+                bp["project_conv"] = {"kernel": _conv(sd[f"{base}.conv_pw.weight"])}
+                bp["project_bn"], bs["project_bn"] = _bn(sd, f"{base}.bn2")
+            if f"{base}.se.conv_reduce.weight" in sd:
+                bp["se_reduce"] = {
+                    "kernel": _conv(sd[f"{base}.se.conv_reduce.weight"]),
+                    "bias": np.asarray(sd[f"{base}.se.conv_reduce.bias"])}
+                bp["se_expand"] = {
+                    "kernel": _conv(sd[f"{base}.se.conv_expand.weight"]),
+                    "bias": np.asarray(sd[f"{base}.se.conv_expand.bias"])}
+            params[f"block{bidx}"] = bp
+            stats[f"block{bidx}"] = bs
+            bidx += 1
+    return params, stats
+
+
+def convert_senet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """pretrainedmodels senet state_dict (ref encoders/senet.py:
+    se_resnet50/101/152, se_resnext50/101_32x4d, senet154) ->
+    SENetEncoder params/batch_stats."""
+    params: dict = {}
+    stats: dict = {}
+    # stem: layer0.conv1[/bn1[/conv2/bn2/conv3/bn3]] (senet154 has 3 convs)
+    for ci in (1, 2, 3):
+        if f"layer0.conv{ci}.weight" not in sd:
+            break
+        params[f"stem_conv{ci}"] = {"kernel": _conv(sd[f"layer0.conv{ci}.weight"])}
+        params[f"stem_bn{ci}"], stats[f"stem_bn{ci}"] = _bn(sd, f"layer0.bn{ci}")
+    for li in (1, 2, 3, 4):
+        for bi in _scan_indices(sd, f"layer{li}.{{}}."):
+            base = f"layer{li}.{bi}"
+            bp, bs = {}, {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = {"kernel": _conv(sd[f"{base}.conv{ci}.weight"])}
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{base}.bn{ci}")
+            bp["se"] = {
+                "fc1": {"kernel": _conv(sd[f"{base}.se_module.fc1.weight"]),
+                        "bias": np.asarray(sd[f"{base}.se_module.fc1.bias"])},
+                "fc2": {"kernel": _conv(sd[f"{base}.se_module.fc2.weight"]),
+                        "bias": np.asarray(sd[f"{base}.se_module.fc2.bias"])}}
+            if f"{base}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = {
+                    "kernel": _conv(sd[f"{base}.downsample.0.weight"])}
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{base}.downsample.1")
+            params[f"layer{li}_block{bi}"] = bp
+            stats[f"layer{li}_block{bi}"] = bs
+    return params, stats
+
+
+def _densenet_normalize_keys(sd: Dict[str, Any]) -> Dict[str, Any]:
+    """torchvision legacy densenet checkpoints name layers 'norm.1' etc.;
+    apply the same regex rename the reference does
+    (ref encoders/densenet.py:60-73)."""
+    import re
+    pattern = re.compile(
+        r"^(.*denselayer\d+\.(?:norm|relu|conv))\.((?:[12])\.(?:weight|bias|"
+        r"running_mean|running_var))$")
+    out = {}
+    for k, v in sd.items():
+        m = pattern.match(k)
+        if m:
+            k = m.group(1) + m.group(2)
+        out[k] = v
+    return out
+
+
+def convert_densenet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """torchvision densenet state_dict (ref encoders/densenet.py) ->
+    DenseNetEncoder params/batch_stats (121/169/201/161; block/layer
+    counts discovered from keys)."""
+    sd = _densenet_normalize_keys(sd)
+    params = {"conv0": {"kernel": _conv(sd["features.conv0.weight"])}}
+    stats: dict = {}
+    params["norm0"], stats["norm0"] = _bn(sd, "features.norm0")
+    for di in _scan_indices(sd, "features.denseblock{}."):
+        dbp, dbs = {}, {}
+        for li in _scan_indices(sd, f"features.denseblock{di}.denselayer{{}}."):
+            base = f"features.denseblock{di}.denselayer{li}"
+            lp, ls = {}, {}
+            for ni in (1, 2):
+                lp[f"conv{ni}"] = {"kernel": _conv(sd[f"{base}.conv{ni}.weight"])}
+                lp[f"norm{ni}"], ls[f"norm{ni}"] = _bn(sd, f"{base}.norm{ni}")
+            dbp[f"denselayer{li}"] = lp
+            dbs[f"denselayer{li}"] = ls
+        params[f"denseblock{di}"] = dbp
+        stats[f"denseblock{di}"] = dbs
+    for ti in _scan_indices(sd, "features.transition{}."):
+        params[f"transition{ti}_conv"] = {
+            "kernel": _conv(sd[f"features.transition{ti}.conv.weight"])}
+        params[f"transition{ti}_norm"], stats[f"transition{ti}_norm"] = _bn(
+            sd, f"features.transition{ti}.norm")
+    params["norm5"], stats["norm5"] = _bn(sd, "features.norm5")
+    return params, stats
+
+
+def _ln(sd: Dict[str, Any], prefix: str) -> dict:
+    return {"scale": np.asarray(sd[prefix + ".weight"]),
+            "bias": np.asarray(sd[prefix + ".bias"])}
+
+
+def _linear(sd: Dict[str, Any], prefix: str) -> dict:
+    p = {"kernel": _dense(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        p["bias"] = np.asarray(sd[prefix + ".bias"])
+    return p
+
+
+def convert_mix_transformer(sd: Dict[str, Any]) -> dict:
+    """SegFormer MiT state_dict (ref encoders/mix_transformer.py mit_b0..b5)
+    -> MixTransformerEncoder params ({"mit": {...}}; no batch_stats —
+    LayerNorm only)."""
+    mit: dict = {}
+    for i in (1, 2, 3, 4):
+        pe = f"patch_embed{i}"
+        mit[pe] = {"proj": {"kernel": _conv(sd[f"{pe}.proj.weight"]),
+                            "bias": np.asarray(sd[f"{pe}.proj.bias"])},
+                   "norm": _ln(sd, f"{pe}.norm")}
+        for j in _scan_indices(sd, f"block{i}.{{}}."):
+            base = f"block{i}.{j}"
+            attn = {"q": _linear(sd, f"{base}.attn.q"),
+                    "kv": _linear(sd, f"{base}.attn.kv"),
+                    "proj": _linear(sd, f"{base}.attn.proj")}
+            if f"{base}.attn.sr.weight" in sd:
+                attn["sr"] = {"kernel": _conv(sd[f"{base}.attn.sr.weight"]),
+                              "bias": np.asarray(sd[f"{base}.attn.sr.bias"])}
+                attn["norm"] = _ln(sd, f"{base}.attn.norm")
+            mit[f"block{i}_{j}"] = {
+                "norm1": _ln(sd, f"{base}.norm1"),
+                "norm2": _ln(sd, f"{base}.norm2"),
+                "attn": attn,
+                "mlp": {
+                    "fc1": _linear(sd, f"{base}.mlp.fc1"),
+                    "fc2": _linear(sd, f"{base}.mlp.fc2"),
+                    "dw": {"dwconv": {
+                        "kernel": _conv(sd[f"{base}.mlp.dwconv.dwconv.weight"]),
+                        "bias": np.asarray(sd[f"{base}.mlp.dwconv.dwconv.bias"])}},
+                },
+            }
+        mit[f"norm{i}"] = _ln(sd, f"norm{i}")
+    return {"mit": mit}

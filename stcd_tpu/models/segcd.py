@@ -52,6 +52,7 @@ class _EncDecHead(nn.Module):
     decoder_use_batchnorm: bool = True
     decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     decoder_attention_type: Optional[str] = None
+    decoder_fused: bool = True  # exact upsample+concat+conv rewrite (unet.py)
     classes: int = 1
     activation: Union[str, None] = None
     aux_params: Optional[dict] = None
@@ -68,6 +69,7 @@ class _EncDecHead(nn.Module):
             use_batchnorm=self.decoder_use_batchnorm,
             attention_type=self.decoder_attention_type,
             center=self.encoder_name.startswith("vgg"),
+            fused=self.decoder_fused,
             dtype=self.dtype,
         )
         self.segmentation_head = SegmentationHead(

@@ -1,0 +1,309 @@
+"""Upstream-checkpoint converters for the broadened encoder zoo
+(stcd_tpu/convert/torch_to_flax.py round-2 section; VERDICT r1 item 5).
+
+Each test emits a state_dict with the UPSTREAM key naming (what the
+reference's pretrained_settings URLs actually serve: efficientnet_pytorch,
+torchvision, timm, pretrainedmodels, SegFormer) from the already
+forward-parity-validated torch twins in test_golden_encoders_twins.py,
+runs the real converter over it, and asserts the resulting pytrees equal
+the twin-validated conversion leaf-for-leaf. mit_b0 goes further: the
+REFERENCE's own MixVisionTransformer (loaded standalone) provides both the
+state_dict and the golden forward."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+import test_golden_encoders_twins as twins
+from stcd_tpu.convert.torch_to_flax import (
+    convert_densenet,
+    convert_efficientnet,
+    convert_mix_transformer,
+    convert_mobilenet_v2,
+    convert_mobilenet_v3,
+    convert_senet,
+)
+
+
+def _w(t):
+    return t.detach().numpy()
+
+
+def _put_conv(sd, name, conv):
+    sd[name + ".weight"] = _w(conv.weight)
+    if conv.bias is not None:
+        sd[name + ".bias"] = _w(conv.bias)
+
+
+def _put_bn(sd, name, bn):
+    sd[name + ".weight"] = _w(bn.weight)
+    sd[name + ".bias"] = _w(bn.bias)
+    sd[name + ".running_mean"] = _w(bn.running_mean)
+    sd[name + ".running_var"] = _w(bn.running_var)
+
+
+def _assert_trees_equal(got, want, label):
+    gl, gt = jax.tree_util.tree_flatten_with_path(got)[0], None
+    wl = jax.tree_util.tree_flatten_with_path(want)[0]
+    gpaths = {jax.tree_util.keystr(p): v for p, v in gl}
+    wpaths = {jax.tree_util.keystr(p): v for p, v in wl}
+    assert set(gpaths) == set(wpaths), (
+        f"{label}: key sets differ: only-got={sorted(set(gpaths) - set(wpaths))[:5]} "
+        f"only-want={sorted(set(wpaths) - set(gpaths))[:5]}")
+    for k in gpaths:
+        np.testing.assert_array_equal(np.asarray(gpaths[k]),
+                                      np.asarray(wpaths[k]),
+                                      err_msg=f"{label}:{k}")
+
+
+def test_convert_efficientnet_upstream_keys():
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+
+    torch.manual_seed(6)
+    tv = twins.TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "_conv_stem", tv.stem)
+    _put_bn(sd, "_bn0", tv.stem_bn)
+    for i, blk in enumerate(tv.blocks):
+        b = f"_blocks.{i}"
+        if blk.expand_conv is not None:
+            _put_conv(sd, f"{b}._expand_conv", blk.expand_conv)
+            _put_bn(sd, f"{b}._bn0", blk.expand_bn)
+        _put_conv(sd, f"{b}._depthwise_conv", blk.dw)
+        _put_bn(sd, f"{b}._bn1", blk.dw_bn)
+        _put_conv(sd, f"{b}._se_reduce", blk.se_reduce)
+        _put_conv(sd, f"{b}._se_expand", blk.se_expand)
+        _put_conv(sd, f"{b}._project_conv", blk.project)
+        _put_bn(sd, f"{b}._bn2", blk.project_bn)
+    # model-level head keys the converter must ignore
+    sd["_conv_head.weight"] = np.zeros((1280, 320, 1, 1), np.float32)
+
+    params, stats = convert_efficientnet(sd)
+    want_p, want_s = twins._convert_effnet(tv)
+    _assert_trees_equal(params, want_p, "effnet params")
+    _assert_trees_equal(stats, want_s, "effnet stats")
+
+
+def test_convert_mobilenet_v2_upstream_keys():
+    torch.manual_seed(10)
+    tv = twins.TMobileNetV2()
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "features.0.0", tv.stem)
+    _put_bn(sd, "features.0.1", tv.stem_bn)
+    for bi, blk in enumerate(tv.blocks, start=1):
+        base = f"features.{bi}.conv"
+        if blk.expand is not None:
+            _put_conv(sd, f"{base}.0.0", blk.expand)
+            _put_bn(sd, f"{base}.0.1", blk.expand_bn)
+            _put_conv(sd, f"{base}.1.0", blk.dw)
+            _put_bn(sd, f"{base}.1.1", blk.dw_bn)
+            _put_conv(sd, f"{base}.2", blk.project)
+            _put_bn(sd, f"{base}.3", blk.project_bn)
+        else:
+            _put_conv(sd, f"{base}.0.0", blk.dw)
+            _put_bn(sd, f"{base}.0.1", blk.dw_bn)
+            _put_conv(sd, f"{base}.1", blk.project)
+            _put_bn(sd, f"{base}.2", blk.project_bn)
+    _put_conv(sd, "features.18.0", tv.final)
+    _put_bn(sd, "features.18.1", tv.final_bn)
+
+    params, stats = convert_mobilenet_v2(sd)
+    want_p, want_s = twins._convert_mobilenet_v2(tv)
+    _assert_trees_equal(params, want_p, "mbv2 params")
+    _assert_trees_equal(stats, want_s, "mbv2 stats")
+
+
+def test_convert_mobilenet_v3_upstream_keys():
+    """timm mobilenetv3_large_100 staged blocks.{s}.{b} naming flattens
+    onto our block{j} in spec order; trailing ConvBnAct -> final_conv."""
+    from stcd_tpu.encoders.mobilenet import _V3_LARGE
+
+    class TV3Large(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            tnn = torch.nn
+            self.stem = tnn.Conv2d(3, 16, 3, stride=2, padding=1, bias=False)
+            self.stem_bn = tnn.BatchNorm2d(16)
+            blocks, in_c = [], 16
+            for group in _V3_LARGE:
+                for (k, e, c, se, act, s) in group:
+                    blocks.append(twins.TV3Block(in_c, k, e, c, se, act, s))
+                    in_c = c
+            self.blocks = torch.nn.ModuleList(blocks)
+            self.final = tnn.Conv2d(in_c, 960, 1, bias=False)
+            self.final_bn = tnn.BatchNorm2d(960)
+
+    torch.manual_seed(26)
+    tv = TV3Large()
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "conv_stem", tv.stem)
+    _put_bn(sd, "bn1", tv.stem_bn)
+    group_sizes = [len(g) for g in _V3_LARGE]
+    flat = 0
+    for s_i, n in enumerate(group_sizes):
+        for b_i in range(n):
+            blk = tv.blocks[flat]
+            base = f"blocks.{s_i}.{b_i}"
+            if blk.expand is not None:  # InvertedResidual
+                _put_conv(sd, f"{base}.conv_pw", blk.expand)
+                _put_bn(sd, f"{base}.bn1", blk.expand_bn)
+                _put_conv(sd, f"{base}.conv_dw", blk.dw)
+                _put_bn(sd, f"{base}.bn2", blk.dw_bn)
+                _put_conv(sd, f"{base}.conv_pwl", blk.project)
+                _put_bn(sd, f"{base}.bn3", blk.project_bn)
+            else:  # DepthwiseSeparableConv (stage 0)
+                _put_conv(sd, f"{base}.conv_dw", blk.dw)
+                _put_bn(sd, f"{base}.bn1", blk.dw_bn)
+                _put_conv(sd, f"{base}.conv_pw", blk.project)
+                _put_bn(sd, f"{base}.bn2", blk.project_bn)
+            if blk.se:
+                _put_conv(sd, f"{base}.se.conv_reduce", blk.se_reduce)
+                _put_conv(sd, f"{base}.se.conv_expand", blk.se_expand)
+            flat += 1
+    _put_conv(sd, f"blocks.{len(group_sizes)}.0.conv", tv.final)
+    _put_bn(sd, f"blocks.{len(group_sizes)}.0.bn1", tv.final_bn)
+
+    params, stats = convert_mobilenet_v3(sd)
+
+    # twin-validated expectation (mirrors test_mobilenetv3_large_forward_parity)
+    want_p = {"stem_conv": {"kernel": twins._conv_w(tv.stem.weight)},
+              "final_conv": {"kernel": twins._conv_w(tv.final.weight)}}
+    want_s = {}
+    want_p["stem_bn"], want_s["stem_bn"] = twins._bn_params(tv.stem_bn)
+    want_p["final_bn"], want_s["final_bn"] = twins._bn_params(tv.final_bn)
+    for bi, blk in enumerate(tv.blocks):
+        bp, bs = {}, {}
+        if blk.expand is not None:
+            bp["expand_conv"] = {"kernel": twins._conv_w(blk.expand.weight)}
+            bp["expand_bn"], bs["expand_bn"] = twins._bn_params(blk.expand_bn)
+        bp["dw_conv"] = {"kernel": twins._conv_w(blk.dw.weight)}
+        bp["dw_bn"], bs["dw_bn"] = twins._bn_params(blk.dw_bn)
+        if blk.se:
+            bp["se_reduce"] = {"kernel": twins._conv_w(blk.se_reduce.weight),
+                               "bias": _w(blk.se_reduce.bias)}
+            bp["se_expand"] = {"kernel": twins._conv_w(blk.se_expand.weight),
+                               "bias": _w(blk.se_expand.bias)}
+        bp["project_conv"] = {"kernel": twins._conv_w(blk.project.weight)}
+        bp["project_bn"], bs["project_bn"] = twins._bn_params(blk.project_bn)
+        want_p[f"block{bi}"], want_s[f"block{bi}"] = bp, bs
+
+    _assert_trees_equal(params, want_p, "mbv3 params")
+    _assert_trees_equal(stats, want_s, "mbv3 stats")
+
+
+def test_convert_senet_upstream_keys():
+    torch.manual_seed(4)
+    tv = twins.TSEResNet50()
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "layer0.conv1", tv.conv1)
+    _put_bn(sd, "layer0.bn1", tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            base = f"layer{li}.{bi}"
+            for n in (1, 2, 3):
+                _put_conv(sd, f"{base}.conv{n}", getattr(blk, f"conv{n}"))
+                _put_bn(sd, f"{base}.bn{n}", getattr(blk, f"bn{n}"))
+            _put_conv(sd, f"{base}.se_module.fc1", blk.se.fc1)
+            _put_conv(sd, f"{base}.se_module.fc2", blk.se.fc2)
+            if blk.down is not None:
+                _put_conv(sd, f"{base}.downsample.0", blk.down[0])
+                _put_bn(sd, f"{base}.downsample.1", blk.down[1])
+
+    params, stats = convert_senet(sd)
+    want_p, want_s = twins._convert_se_resnet50(tv)
+    _assert_trees_equal(params, want_p, "senet params")
+    _assert_trees_equal(stats, want_s, "senet stats")
+
+
+def test_convert_senet154_three_conv_stem():
+    """senet154's layer0 has conv1..3 (pretrainedmodels naming); the
+    converter must emit stem_conv1..3/stem_bn1..3."""
+    sd = {}
+    tnn = torch.nn
+    for ci, (ic, oc) in enumerate(((3, 64), (64, 64), (64, 128)), start=1):
+        _put_conv(sd, f"layer0.conv{ci}", tnn.Conv2d(ic, oc, 3, bias=False))
+        _put_bn(sd, f"layer0.bn{ci}", tnn.BatchNorm2d(oc))
+    params, stats = convert_senet(sd)
+    assert set(params) == {f"stem_conv{i}" for i in (1, 2, 3)} | {
+        f"stem_bn{i}" for i in (1, 2, 3)}
+    assert set(stats) == {f"stem_bn{i}" for i in (1, 2, 3)}
+
+
+@pytest.mark.parametrize("legacy", [False, True])
+def test_convert_densenet_upstream_keys(legacy):
+    torch.manual_seed(8)
+    tv = twins.TDenseNet121()
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "features.conv0", tv.conv0)
+    _put_bn(sd, "features.norm0", tv.norm0)
+    for i, layers in enumerate(tv.blocks, start=1):
+        for j, l in enumerate(layers, start=1):
+            base = f"features.denseblock{i}.denselayer{j}"
+            for n in (1, 2):
+                cname, nname = f"{base}.conv{n}", f"{base}.norm{n}"
+                if legacy:  # pre-1.0 torchvision naming: norm.1 / conv.2
+                    cname, nname = f"{base}.conv.{n}", f"{base}.norm.{n}"
+                _put_conv(sd, cname, getattr(l, f"conv{n}"))
+                _put_bn(sd, nname, getattr(l, f"norm{n}"))
+    for i in range(1, 4):
+        _put_bn(sd, f"features.transition{i}.norm", tv.trans_norm[i - 1])
+        _put_conv(sd, f"features.transition{i}.conv", tv.trans_conv[i - 1])
+    _put_bn(sd, "features.norm5", tv.norm5)
+
+    params, stats = convert_densenet(sd)
+    want_p, want_s = twins._convert_densenet(tv)
+    _assert_trees_equal(params, want_p, f"densenet params legacy={legacy}")
+    _assert_trees_equal(stats, want_s, f"densenet stats legacy={legacy}")
+
+
+def test_convert_mit_b0_golden_vs_reference():
+    """Full golden: the REFERENCE's own MixVisionTransformer (mit_b0
+    config, loaded standalone via _ref_stubs) supplies the upstream
+    state_dict AND the eval forward; our MixTransformerEncoder with the
+    converted params must match every stage."""
+    from _ref_stubs import load_ref_smp_file
+    from stcd_tpu.encoders import get_encoder
+
+    m = load_ref_smp_file("encoders.mix_transformer")
+    cfg = dict(m.mix_transformer_encoders["mit_b0"]["params"])
+    cfg.pop("out_channels")
+    torch.manual_seed(14)
+    ref = m.MixVisionTransformer(**{k: v for k, v in cfg.items()
+                                    if k != "patch_size"})
+    ref.eval()
+
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params = convert_mix_transformer(sd)
+
+    rng = np.random.default_rng(15)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.forward_features(torch.from_numpy(x)) \
+            if hasattr(ref, "forward_features") else ref(torch.from_numpy(x))
+
+    enc, ch = get_encoder("mit_b0")
+    got = enc.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # got = [x, dummy, c1, c2, c3, c4]; want = [c1, c2, c3, c4]
+    assert len(got) == 6 and len(want) == 4
+    for i, w in enumerate(want):
+        np.testing.assert_allclose(
+            np.asarray(got[i + 2]).transpose(0, 3, 1, 2), w.numpy(),
+            atol=5e-4, rtol=1e-3, err_msg=f"stage {i}")
