@@ -5,7 +5,18 @@ semantics — TF asymmetric SAME padding, ceil-mode stem pooling,
 stride-on-conv1 SE bottlenecks, BN eps 1e-3 — validate our JAX encoders
 numerically (the shape-only zoo tests cannot see padding/pooling window
 misalignments; three such bugs were found by review in exactly these
-families)."""
+families).
+
+PROVENANCE NOTE (weaker guarantee than the ref-file goldens): these are
+builder-authored twins, not the upstream code — a misunderstanding encoded
+identically on both sides would pass. Mitigations: (1) every registered
+name's out_channels is mechanically cross-checked against the reference's
+own encoder tables in test_encoder_registry_crosscheck.py (zero
+divergences), (2) checkpoint-key coverage is pinned by the upstream-naming
+converter tests in test_convert_zoo.py, and (3) the families whose
+reference files ARE loadable standalone (mix_transformer, mobileone, and
+the whole bespoke zoo via tests/_ref_stubs.py) are golden-tested against
+the reference's actual code instead."""
 
 import numpy as np
 import pytest
