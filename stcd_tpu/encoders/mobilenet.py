@@ -62,6 +62,10 @@ class InvertedResidual(nn.Module):
     out_channels: int
     kernel: int = 3
     stride: int = 1
+    # smp make_dilated semantics (ref _utils.py:41-52): stride forced to 1,
+    # dw conv dilated. The residual connection keeps the ORIGINAL stride
+    # condition (torch fixes use_res_connect at __init__, before patching).
+    dilation: int = 1
     use_se: bool = False
     act: str = "relu6"
     dtype: Optional[Dtype] = None
@@ -75,8 +79,11 @@ class InvertedResidual(nn.Module):
             h = nn.Conv(self.exp_channels, (1, 1), use_bias=False,
                         dtype=self.dtype, name="expand_conv")(h)
             h = act(_bn(train, "expand_bn")(h))
-        k, p = self.kernel, self.kernel // 2
-        h = nn.Conv(self.exp_channels, (k, k), strides=self.stride, padding=p,
+        k, d = self.kernel, self.dilation
+        p = (self.kernel // 2) * d
+        eff_stride = 1 if d > 1 else self.stride
+        h = nn.Conv(self.exp_channels, (k, k), strides=eff_stride, padding=p,
+                    kernel_dilation=(d, d),
                     feature_group_count=self.exp_channels, use_bias=False,
                     dtype=self.dtype, name="dw_conv")(h)
         h = act(_bn(train, "dw_bn")(h))
@@ -114,11 +121,19 @@ class MobileNetV2Encoder(nn.Module):
     """
 
     depth: int = 5
+    # (stage3, stage4, stage5) flags, smp make_dilated semantics
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         features = [x]
+        # stage index (3..5) -> dilation rate from the cumulative flags
+        flags = self.replace_stride_with_dilation
+        stage_dilation = {}
+        for si in (3, 4, 5):
+            if flags[si - 3]:
+                stage_dilation[si] = 2 ** sum(bool(f) for f in flags[: si - 2])
         # expand the (t,c,n,s) table into the flat torchvision features list
         blocks = []
         for t, c, n, s in _V2_CFG:
@@ -134,6 +149,7 @@ class MobileNetV2Encoder(nn.Module):
                 return features
             in_c = h.shape[-1]
             h = InvertedResidual(t * in_c, c, stride=s, act="relu6",
+                                 dilation=stage_dilation.get(stage, 1),
                                  dtype=self.dtype, name=f"block{idx}")(h, train)
             if boundaries.get(idx) is not None:
                 features.append(h)
@@ -186,6 +202,8 @@ class MobileNetV3Encoder(nn.Module):
     width_mult: float = 1.0
     minimal: bool = False
     depth: int = 5
+    # (stage3, stage4, stage5) flags, smp make_dilated semantics
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -205,6 +223,11 @@ class MobileNetV3Encoder(nn.Module):
             groups = [[0], [1], [2], [3, 4], [5]]
         else:
             groups = [[], [0], [1], [2, 3], [4]]
+        flags = self.replace_stride_with_dilation
+        stage_dilation = {}
+        for si in (3, 4, 5):
+            if flags[si - 3]:
+                stage_dilation[si] = 2 ** sum(bool(f) for f in flags[: si - 2])
         bidx = 0
         for stage, gids in enumerate(groups, start=1):
             if stage > self.depth:
@@ -216,6 +239,7 @@ class MobileNetV3Encoder(nn.Module):
                     h = InvertedResidual(
                         make_divisible(e * wm), make_divisible(c * wm),
                         kernel=k, stride=s, use_se=se, act=act,
+                        dilation=stage_dilation.get(stage, 1),
                         dtype=self.dtype, name=f"block{bidx}")(h, train)
                     bidx += 1
             if stage == 5:

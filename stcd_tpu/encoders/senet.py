@@ -16,7 +16,7 @@ pool+layer1 stage 2, then layer2..4.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,7 @@ class SENetBlock(nn.Module):
     groups: int = 1
     reduction: int = 16
     stride: int = 1
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     downsample: bool = False
     downsample_kernel: int = 1
     base_width: int = 4
@@ -92,10 +93,14 @@ class SENetBlock(nn.Module):
             width = (p * self.base_width // 64) * self.groups
             c1, c2, g = width, width, self.groups
             s1, s2 = 1, self.stride
+        d = self.dilation
+        if d > 1:  # ref _utils.replace_strides_with_dilation: all strides -> 1
+            s1 = s2 = 1
         h = nn.Conv(c1, (1, 1), strides=s1, use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         h = nn.relu(_bn(train, "bn1")(h))
-        h = nn.Conv(c2, (3, 3), strides=s2, padding=1, feature_group_count=g,
+        h = nn.Conv(c2, (3, 3), strides=s2, padding=d, kernel_dilation=(d, d),
+                    feature_group_count=g,
                     use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.relu(_bn(train, "bn2")(h))
         h = nn.Conv(out_c, (1, 1), use_bias=False, dtype=self.dtype,
@@ -105,8 +110,10 @@ class SENetBlock(nn.Module):
         identity = x
         if self.downsample:
             k = self.downsample_kernel
-            identity = nn.Conv(out_c, (k, k), strides=self.stride,
-                               padding=k // 2, use_bias=False,
+            identity = nn.Conv(out_c, (k, k),
+                               strides=1 if d > 1 else self.stride,
+                               padding=(k // 2) * d, kernel_dilation=(d, d),
+                               use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(x)
             identity = _bn(train, "downsample_bn")(identity)
         return nn.relu(h + identity)
@@ -117,6 +124,10 @@ class SENetEncoder(nn.Module):
 
     arch: str = "se_resnet50"
     depth: int = 5
+    # smp make_dilated semantics (ref encoders/_base.py:34-57 +
+    # _utils.py:41-52): a True entry converts layer{2,3,4}'s stride into a
+    # stage-uniform cumulative dilation (os=16 -> (F,F,T); os=8 -> (F,T,T))
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -147,6 +158,12 @@ class SENetEncoder(nn.Module):
                 h = nn.max_pool(h, (3, 3), strides=(2, 2),
                                 padding=((0, 1), (0, 1)))
             stride = 1 if i == 0 else 2
+            # layer{2,3,4} map onto the 3 flags; a dilated stage's rate is
+            # the cumulative doubling including its own flag (os=8 ->
+            # layer3 rate 2, layer4 rate 4 — ref _base.py:34-47)
+            flags = self.replace_stride_with_dilation
+            this_dilated = i > 0 and flags[i - 1]
+            dilation = 2 ** sum(bool(f) for f in flags[: i]) if this_dilated else 1
             # Cadene: layer1 always uses downsample_kernel_size=1 even for
             # senet154; later layers use the config kernel
             this_dk = 1 if i == 0 else dk
@@ -156,6 +173,7 @@ class SENetEncoder(nn.Module):
                 h = SENetBlock(kind, planes[i], groups=groups,
                                reduction=reduction,
                                stride=stride if b == 0 else 1,
+                               dilation=dilation if this_dilated else 1,
                                downsample=down, downsample_kernel=this_dk,
                                dtype=self.dtype,
                                name=f"layer{i + 1}_block{b}")(h, train)
