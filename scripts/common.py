@@ -18,6 +18,11 @@ import jax
 # request before any backend is initialized.
 if os.environ.get("STCD_FORCE_CPU") == "1":
     jax.config.update("jax_platforms", "cpu")
+    if os.environ.get("STCD_CPU_DEVICES"):
+        # virtual CPU devices for multi-device CLI runs without hardware
+        # (env XLA_FLAGS is overridden here; set programmatically)
+        jax.config.update("jax_num_cpu_devices",
+                          int(os.environ["STCD_CPU_DEVICES"]))
 
 # persistent compile cache (first compile of a config is slow; reuse it)
 jax.config.update("jax_compilation_cache_dir",
