@@ -17,6 +17,12 @@ import os
 import time
 
 import jax
+
+if os.environ.get("STCD_FORCE_CPU") == "1":
+    # env JAX_PLATFORMS is overridden by the axon sitecustomize; force
+    # programmatically for local CPU sanity runs (pair with BENCH_SMALL=1)
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import optax
 
@@ -58,13 +64,15 @@ def bench_changeformer():
     params, bs = variables["params"], variables.get("batch_stats", {})
     params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
                                        jax.random.PRNGKey(3))
-    jax.block_until_ready(loss)
+    float(loss)  # warmup + real sync (see benchmarks/profile_changeformer.py
+    # methodology note: block_until_ready alone can return optimistically on
+    # the tunneled axon platform; fetch the VALUE once per timed group)
     t0 = time.perf_counter()
     iters = 10
     for i in range(iters):
         params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
                                            jax.random.PRNGKey(4 + i))
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "changeformerv6_512_train_pairs_per_sec_per_chip",
@@ -101,17 +109,20 @@ def main():
     train_step, _ = make_cd_steps(model, augment=True)
     batch_dict = {"A": a, "B": b, "label": label}
 
-    # compile + warmup
+    # compile + warmup (final sync fetches the VALUE: block_until_ready can
+    # return optimistically on the tunneled axon platform; device-time
+    # validated against a jax.profiler trace, 110.6 ms/step on-device vs
+    # 112 ms measured for the bs=64 config)
     state, out = train_step(state, batch_dict, jax.random.PRNGKey(3))
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
     for i in range(warmup):
         state, out = train_step(state, batch_dict, jax.random.PRNGKey(4 + i))
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
 
     t0 = time.perf_counter()
     for i in range(iters):
         state, out = train_step(state, batch_dict, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(out["loss"])
+    float(out["loss"])
     dt = time.perf_counter() - t0
     pairs_per_sec = batch * iters / dt
 

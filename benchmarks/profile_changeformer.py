@@ -41,28 +41,32 @@ def main():
             opt_state2, loss
 
     params, bs = variables["params"], variables.get("batch_stats", {})
-    lowered = step.lower(params, bs, opt_state, a, b, label,
-                         jax.random.PRNGKey(3))
-    compiled = lowered.compile()
-    cost = compiled.cost_analysis()
+
+    # Timing methodology (hard-won on the tunneled axon platform; r1's
+    # 611 pairs/s was an artifact): time GROUPS of chained steps and fetch
+    # the final loss VALUE once per group — block_until_ready alone can
+    # return optimistically here, while a mid-stream fetch per iteration
+    # costs ~45 s (full remote-state sync). Increasing group sizes must
+    # converge (506 -> 465 -> 458 ms/step for this config), which proves
+    # the chain serializes on device; the largest group is reported.
+    params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
+                                       jax.random.PRNGKey(3))
+    print("warmup loss:", float(loss), flush=True)
+    dt = None
+    for iters in (5, 20):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, bs, opt_state, loss = step(params, bs, opt_state, a, b,
+                                               label, jax.random.PRNGKey(100 + i))
+        float(loss)  # one real fetch closes the group
+        dt = (time.perf_counter() - t0) / iters
+        print(f"group iters={iters}: {dt * 1e3:.2f} ms/step", flush=True)
+
+    cost = step.lower(params, bs, opt_state, a, b, label,
+                      jax.random.PRNGKey(3)).compile().cost_analysis()
     if isinstance(cost, list):
         cost = cost[0]
     flops = cost.get("flops", 0.0)
-
-    params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
-                                       jax.random.PRNGKey(3))
-    jax.block_until_ready(loss)
-    for i in range(3):
-        params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
-                                           jax.random.PRNGKey(4 + i))
-    jax.block_until_ready(loss)
-    t0 = time.perf_counter()
-    iters = 10
-    for i in range(iters):
-        params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
-                                           jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / iters
 
     print(json.dumps({
         "batch": BATCH, "size": SIZE,

@@ -109,10 +109,13 @@ def color_jitter(key: jax.Array, img: jax.Array, brightness: float = 0.5,
     ]
     perm = jax.random.permutation(k_order, 4)
 
-    def apply_op(x, idx):
-        return jax.lax.switch(idx, ops, x), None
-
-    out, _ = jax.lax.scan(apply_op, img, perm)
+    # Unrolled over the 4 order slots (a lax.scan here becomes a while
+    # loop under vmap, which blocks XLA fusion across iterations and cost
+    # ~6% of the SegCD train step on chip; unrolling keeps the identical
+    # random-order semantics at a fraction of the overhead).
+    out = img
+    for i in range(4):
+        out = jax.lax.switch(perm[i], ops, out)
     return out
 
 
