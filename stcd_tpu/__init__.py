@@ -47,3 +47,22 @@ from stcd_tpu.models.smp_models import (  # noqa: F401  (smp top-level exports)
     DeepLabV3Plus,
     PAN,
 )
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _jitted_eval_apply(model):
+    import jax
+
+    return jax.jit(lambda variables, *inputs: model.apply(variables, *inputs))
+
+
+def predict(model, variables, *inputs):
+    """smp ``SegmentationModel.predict`` parity (ref base/model.py:41-56):
+    eval-mode forward, no gradients, jitted (cached per model instance).
+
+    >>> masks = stcd_tpu.predict(model, variables, images)
+    """
+    return _jitted_eval_apply(model)(variables, *inputs)
