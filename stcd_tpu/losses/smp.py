@@ -277,7 +277,10 @@ class SoftCrossEntropyLoss:
         valid = jnp.ones(t.shape, jnp.float32) if self.ignore_index is None else (
             t != self.ignore_index).astype(jnp.float32)
         safe_t = jnp.where(valid > 0, t, 0)
-        nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+        # one-hot select, not take_along_axis: TPU gathers run on the scalar
+        # path (see losses/functional.py cross_entropy); identical values.
+        nll = -jnp.sum(logp * jax.nn.one_hot(safe_t, c, dtype=logp.dtype),
+                       axis=-1)
         smooth_loss = -jnp.mean(logp, axis=-1)
         sf = self.smooth_factor
         loss = (1 - sf) * nll + sf * smooth_loss

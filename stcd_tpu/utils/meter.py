@@ -253,7 +253,8 @@ class CrossEntropyLoss(Loss):
     def __call__(self, pr, gt):
         logp = jax.nn.log_softmax(pr, axis=-1)
         gt = gt.astype(jnp.int32)
-        return -jnp.mean(jnp.take_along_axis(logp, gt[..., None], axis=-1))
+        onehot = jax.nn.one_hot(gt, pr.shape[-1], dtype=logp.dtype)
+        return -jnp.mean(jnp.sum(logp * onehot, axis=-1))
 
 
 class NLLLoss(Loss):
@@ -264,7 +265,8 @@ class NLLLoss(Loss):
 
     def __call__(self, pr, gt):
         gt = gt.astype(jnp.int32)
-        return -jnp.mean(jnp.take_along_axis(pr, gt[..., None], axis=-1))
+        onehot = jax.nn.one_hot(gt, pr.shape[-1], dtype=pr.dtype)
+        return -jnp.mean(jnp.sum(pr * onehot, axis=-1))
 
 
 class BCELoss(Loss):
