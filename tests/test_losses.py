@@ -58,6 +58,22 @@ def test_cross_entropy_resizes_logits(np_rng):
     np.testing.assert_allclose(got, expected, rtol=1e-4)
 
 
+def test_cross_entropy_class_weights_match_torch(np_rng):
+    """Per-class weight path (torch weighted-mean semantics), combined with
+    ignore_index — exercises the one-hot weight contraction that replaced
+    the take_along_axis gather (TPU scalar-path fix, round 2)."""
+    logits = np_rng.normal(size=(2, 8, 8, 4)).astype(np.float32)
+    target = np_rng.integers(0, 4, size=(2, 8, 8)).astype(np.int64)
+    target[1, 2, :3] = 255
+    w = np.array([1.0, 2.0, 0.5, 1.5], np.float32)
+    expected = F.cross_entropy(
+        torch.tensor(logits).permute(0, 3, 1, 2), torch.tensor(target),
+        weight=torch.tensor(w), ignore_index=255).item()
+    got = float(L.cross_entropy(jnp.asarray(logits), jnp.asarray(target),
+                                weight=jnp.asarray(w)))
+    np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
 def test_contrastive_loss_matches_reference_math(np_rng):
     """ref train_stcd.py:334-385."""
     n = 3
