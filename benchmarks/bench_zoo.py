@@ -5,9 +5,12 @@ per define_G family at 256x256, grouped-chained timing (docs/DESIGN.md
 Prints one JSON line per model; BASELINE.md records the results.
 
 Usage: python benchmarks/bench_zoo.py [net_G ...]   (default: the sweep)
+       TRACE_DIR=/tmp/t python benchmarks/bench_zoo.py SNUNet   (+ xplane
+       trace of 5 steps for benchmarks/parse_trace.py)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -75,6 +78,14 @@ def bench_one(net_g: str, batch: int, size: int = 256) -> dict:
         float(loss)  # one real value fetch closes the timed group
         dt = (time.perf_counter() - t0) / iters
         print(f"  group iters={iters}: {dt * 1e3:.2f} ms/step", flush=True)
+
+    if os.environ.get("TRACE_DIR"):
+        with jax.profiler.trace(os.environ["TRACE_DIR"]):
+            for i in range(5):
+                params, bs, opt_state, loss = step(
+                    params, bs, opt_state, a, b, jax.random.PRNGKey(200 + i))
+            float(loss)
+        print(f"  trace written to {os.environ['TRACE_DIR']}", flush=True)
 
     n_params = sum(x.size for x in jax.tree.leaves(params))
     return {"net_G": net_g, "batch": batch, "size": size,
