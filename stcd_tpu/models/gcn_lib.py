@@ -14,8 +14,9 @@ reimplements the behavior from the ViG paper / public gcn_lib semantics:
   with DropPath residual.
 
 TPU-first formulation: pairwise similarity is one batched matmul on the
-MXU; top_k is jax.lax.top_k; neighbor gather is jnp.take_along_axis.
-Everything is static-shape and jit-friendly.
+MXU; top_k is jax.lax.top_k; neighbor gather is a one-hot MXU
+contraction against the (pooled, M<=256) node table — see
+gather_neighbors. Everything is static-shape and jit-friendly.
 """
 
 from __future__ import annotations
@@ -91,6 +92,30 @@ def knn_graph(x: jax.Array, y: jax.Array, k: int, dilation: int = 1,
     return idx[:, :, ::dilation][:, :, :k]
 
 
+def gather_neighbors(neighbors: jax.Array, idx: jax.Array) -> jax.Array:
+    """(B, M, C) table + (B, N, k) indices -> (B, N, k, C) neighbor feats.
+
+    TPU formulation: when the node table is small (ViG pools it to
+    M <= 256 at every stage, models/changevig.py reduce_ratios), the
+    dynamic gather is a one-hot contraction on the MXU instead of
+    jnp.take_along_axis — TPU gathers run on the scalar/sparse path and
+    their scatter-add backward is worse (the xplane trace of a
+    ChangeGNNV2 train step showed ~26% of device time in these two).
+    The one-hot matmul is exact (each output row sums one value and
+    M-1 zeros) and its backward is another matmul. Falls back to
+    take_along_axis when the (B*N*k, M) one-hot would not be worth
+    materializing.
+    """
+    b, m, c = neighbors.shape
+    _, n, k = idx.shape
+    if b * n * k * m * neighbors.dtype.itemsize > 1 << 29:  # >512 MB one-hot
+        return jnp.take_along_axis(neighbors[:, :, None, :], idx[..., None],
+                                   axis=1)
+    onehot = jax.nn.one_hot(idx, m, dtype=neighbors.dtype)  # (B, N, k, M)
+    return jnp.einsum("bnkm,bmc->bnkc", onehot, neighbors,
+                      preferred_element_type=neighbors.dtype)
+
+
 class BasicConv(nn.Module):
     """1x1 conv + BN + act over node features (gcn_lib BasicConv on (B,C,N,1))."""
 
@@ -121,8 +146,7 @@ class MRConv(nn.Module):
         # x: (B, N, C); neighbors: (B, M, C); idx: (B, N, k)
         b, n, c = x.shape
         k = idx.shape[-1]
-        gathered = jnp.take_along_axis(neighbors[:, :, None, :],
-                                       idx[..., None], axis=1)  # (B, N, k, C)
+        gathered = gather_neighbors(neighbors, idx)  # (B, N, k, C)
         x_j = jnp.max(gathered - x[:, :, None, :], axis=2)  # (B, N, C)
         h = jnp.stack([x, x_j], axis=-1).reshape(b, n, 2 * c)  # channel interleave
         return BasicConv(self.features, self.act, dtype=self.dtype, name="nn")(h, train)
@@ -139,8 +163,7 @@ class EdgeConv(nn.Module):
     def __call__(self, x, neighbors, idx, train=False):
         b, n, c = x.shape
         k = idx.shape[-1]
-        gathered = jnp.take_along_axis(neighbors[:, :, None, :],
-                                       idx[..., None], axis=1)  # (B, N, k, C)
+        gathered = gather_neighbors(neighbors, idx)  # (B, N, k, C)
         xi = jnp.broadcast_to(x[:, :, None, :], gathered.shape)
         h = jnp.concatenate([xi, gathered - xi], axis=-1)
         h = BasicConv(self.features, self.act, dtype=self.dtype, name="nn")(h, train)
