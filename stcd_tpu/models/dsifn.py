@@ -2,8 +2,11 @@
 
 Parity targets (ref models/DSIFN.py):
 - vgg16_base        :9-21   -> stcd_tpu.encoders.vgg.VGG16Features
-                              (taps {3,8,15,22,29}; the reference keeps the
-                              base in eval() — a frozen conv stack here)
+                              (taps {3,8,15,22,29}; the reference calls
+                              .eval() on the base but that is a no-op for
+                              VGG features (no BN/dropout) and it never
+                              sets requires_grad=False — the base IS
+                              trained, so its params are trainable here)
 - ChannelAttention  :24-36  (avg+max pooled conv MLP, ratio 8)
 - SpatialAttention  :40-52  (mean/max channel stats -> 7x7 conv -> sigmoid)
 - conv2d_bn         :55-61  (Conv -> PReLU -> BN -> Dropout 0.6)
