@@ -159,6 +159,42 @@ class VIGBackbone(nn.Module):
         return outs
 
 
+class _PairGroupedConv(nn.Module):
+    """The ref's 3x3 conv with feature_group_count=c over the (a, b)
+    channel interleave (group i sees (a_i, b_i)), computed as two TRUE
+    depthwise convs summed: out_i = K[:,:,0,i] * a_i + K[:,:,1,i] * b_i.
+
+    XLA:TPU handles depthwise (1 channel/group) convs well but lowers the
+    2-channels-per-group form catastrophically — the xplane trace showed
+    these four convs (one per stage tap) + their kernel grads + layout
+    copies at ~23% of the ChangeGNNV2 train step. Param tree is identical
+    to the nn.Conv it replaces (kernel (3,3,2,c), bias (c,)); the
+    interleaved input is never materialized. Exact up to one f32 add
+    reassociation.
+    """
+
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, a, b):
+        c = a.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 2, c), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          jnp.float32)
+        a, b, kernel, bias = nn.dtypes.promote_dtype(a, b, kernel, bias,
+                                                     dtype=self.dtype)
+
+        def dw(x, k):  # k (3,3,c) -> depthwise HWIO (3,3,1,c)
+            return jax.lax.conv_general_dilated(
+                x, k[:, :, None, :], window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=c)
+
+        return dw(a, kernel[:, :, 0]) + dw(b, kernel[:, :, 1]) + bias
+
+
 class CrossConCat(nn.Module):
     """ref ChangeVIG.py:315-347."""
 
@@ -168,8 +204,8 @@ class CrossConCat(nn.Module):
     @nn.compact
     def __call__(self, a, b, train=False):
         n, h, w, c = a.shape
-        x = jnp.stack([a, b], axis=-1).reshape(n, h, w, 2 * c)
-        x = nn.relu(_conv_bn(x, c, 3, "diff", train, self.dtype, groups=c))
+        x = _PairGroupedConv(dtype=self.dtype, name="diff_conv")(a, b)
+        x = nn.relu(_bn(train, self.dtype, "diff_bn")(x))
         res = _conv_bn(x, self.out_channels, 3, "conv_res", train, self.dtype)
         o2 = self.out_channels // 2
         y = nn.relu(_conv_bn(x, o2, 1, "conv1", train, self.dtype))
