@@ -92,6 +92,12 @@ def knn_graph(x: jax.Array, y: jax.Array, k: int, dilation: int = 1,
     return idx[:, :, ::dilation][:, :, :k]
 
 
+# Above this one-hot size the MXU contraction stops paying for itself;
+# fall back to the dynamic gather (module-level so tests can exercise
+# both branches on tiny shapes).
+ONEHOT_GATHER_BUDGET_BYTES = 1 << 29  # 512 MB
+
+
 def gather_neighbors(neighbors: jax.Array, idx: jax.Array) -> jax.Array:
     """(B, M, C) table + (B, N, k) indices -> (B, N, k, C) neighbor feats.
 
@@ -108,7 +114,7 @@ def gather_neighbors(neighbors: jax.Array, idx: jax.Array) -> jax.Array:
     """
     b, m, c = neighbors.shape
     _, n, k = idx.shape
-    if b * n * k * m * neighbors.dtype.itemsize > 1 << 29:  # >512 MB one-hot
+    if b * n * k * m * neighbors.dtype.itemsize > ONEHOT_GATHER_BUDGET_BYTES:
         return jnp.take_along_axis(neighbors[:, :, None, :], idx[..., None],
                                    axis=1)
     onehot = jax.nn.one_hot(idx, m, dtype=neighbors.dtype)  # (B, N, k, M)

@@ -124,6 +124,19 @@ def test_knn_graph_correctness(np_rng):
     assert idx[0, 0, 0] == 0  # nearest neighbor of a point is itself
 
 
+def test_gather_neighbors_paths_agree(np_rng, monkeypatch):
+    """The one-hot MXU gather and the take_along_axis fallback must be
+    exact twins (the fallback triggers past ONEHOT_GATHER_BUDGET_BYTES)."""
+    from stcd_tpu.models import gcn_lib
+    neigh = jnp.asarray(np_rng.normal(size=(2, 7, 5)).astype(np.float32))
+    idx = jnp.asarray(np_rng.integers(0, 7, size=(2, 11, 3)))
+    onehot = gcn_lib.gather_neighbors(neigh, idx)
+    monkeypatch.setattr(gcn_lib, "ONEHOT_GATHER_BUDGET_BYTES", 0)
+    fallback = gcn_lib.gather_neighbors(neigh, idx)
+    assert onehot.shape == (2, 11, 3, 5)
+    np.testing.assert_array_equal(np.asarray(onehot), np.asarray(fallback))
+
+
 def test_grapher_shapes(ab):
     from stcd_tpu.models.gcn_lib import Grapher
     a, _ = ab
