@@ -45,8 +45,8 @@ def bench_one(net_g: str, batch: int, size: int = 256) -> dict:
 
     def pick_loss(pred):
         p = pred[-1] if isinstance(pred, (list, tuple)) else pred
-        if p.shape[-1] == 1:  # sigmoid single-channel head (DSIFN)
-            return bce_loss(jax.nn.sigmoid(p.astype(jnp.float32)),
+        if p.shape[-1] == 1:  # DSIFN head already returns sigmoid probs
+            return bce_loss(p.astype(jnp.float32),
                             int_label[..., None].astype(jnp.float32))
         return cross_entropy(p, int_label)
 

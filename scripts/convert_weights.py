@@ -14,6 +14,7 @@ resolves it automatically (stcd_tpu.convert.pretrained).
 
 Covered families (VERDICT r1 item 5 set): resnet18..152 + vgg16
 (torchvision), efficientnet-b0..b7 (efficientnet_pytorch naming),
+timm-efficientnet-b0..b8/l2 + timm-tf_efficientnet_lite0..4 (timm naming),
 mobilenet_v2 (torchvision), timm-mobilenetv3_* (timm naming),
 se_resnet50/101/152 + se_resnext50/101_32x4d + senet154
 (pretrainedmodels naming), densenet121/161/169/201 (torchvision incl.
@@ -33,6 +34,7 @@ from stcd_tpu.convert.torch_to_flax import (
     convert_densenet,
     convert_efficientnet,
     convert_mix_transformer,
+    convert_timm_efficientnet,
     convert_mobilenet_v2,
     convert_mobilenet_v3,
     convert_resnet,
@@ -46,8 +48,10 @@ _LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
            "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
            "resnet152": (3, 8, 36, 3)}
 
-_EFFNETS = [f"efficientnet-b{i}" for i in range(8)] + \
-    [f"timm-efficientnet-b{i}" for i in range(8)]
+_EFFNETS = [f"efficientnet-b{i}" for i in range(8)]
+_TIMM_EFFNETS = [f"timm-efficientnet-b{i}" for i in range(9)] + \
+    ["timm-efficientnet-l2"] + \
+    [f"timm-tf_efficientnet_lite{i}" for i in range(5)]
 _MV3 = [f"timm-mobilenetv3_{m}_{t}" for m in ("large", "small")
         for t in ("075", "100", "minimal_100")]
 _SENETS = ["se_resnet50", "se_resnet101", "se_resnet152",
@@ -68,6 +72,11 @@ def convert(arch: str, sd) -> dict:
         return {"params": params, "batch_stats": stats}
     if arch in _EFFNETS:
         params, stats = convert_efficientnet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _TIMM_EFFNETS:
+        # timm checkpoints use conv_stem/blocks.{s}.{b} naming, NOT the
+        # efficientnet_pytorch _conv_stem/_blocks.N naming
+        params, stats = convert_timm_efficientnet(sd)
         return {"params": params, "batch_stats": stats}
     if arch == "mobilenet_v2":
         params, stats = convert_mobilenet_v2(sd)
@@ -90,7 +99,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("arch", choices=(list(_LAYERS) + ["vgg16"]
                                     + [f"segcd_{n}" for n in _LAYERS]
-                                    + _EFFNETS + ["mobilenet_v2"] + _MV3
+                                    + _EFFNETS + _TIMM_EFFNETS
+                                    + ["mobilenet_v2"] + _MV3
                                     + _SENETS + _DENSENETS + _MITS))
     p.add_argument("torch_path")
     p.add_argument("out_path")

@@ -107,13 +107,22 @@ def apply_encoder_weights(variables: dict, encoder_path: Tuple[str, ...],
         node[path[-1]] = sub
 
     new_params = _merge(_get(variables["params"], encoder_path), params)
-    new_stats = _merge(_get(variables.get("batch_stats", {}), encoder_path), stats)
+    # BatchNorm-free encoders (mit_b0..b5 are LayerNorm-only) create no
+    # batch_stats subtree at encoder_path — tolerate its absence instead
+    # of KeyError'ing the whole graft.
+    stats_tpl = _get_or_none(variables.get("batch_stats", {}), encoder_path)
+    if stats_tpl is None and stats:
+        raise ValueError(
+            f"payload carries batch_stats but the model has none at "
+            f"{'/'.join(encoder_path)} — converted weights for a different "
+            "encoder family?")
     vp = _to_mutable(variables["params"])
     set_at(vp, encoder_path, new_params)
     out = {"params": vp}
     if "batch_stats" in variables:
         vs = _to_mutable(variables["batch_stats"])
-        set_at(vs, encoder_path, new_stats)
+        if stats_tpl is not None:
+            set_at(vs, encoder_path, _merge(stats_tpl, stats))
         out["batch_stats"] = vs
     return out
 
@@ -126,6 +135,15 @@ def _to_mutable(tree):
 
 def _get(tree, path):
     for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _get_or_none(tree, path):
+    """_get, but None (not KeyError) when the path is absent."""
+    for p in path:
+        if not isinstance(tree, dict) or p not in tree:
+            return None
         tree = tree[p]
     return tree
 
@@ -1129,6 +1147,54 @@ def convert_efficientnet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
         bp["project_bn"], bs["project_bn"] = _bn(sd, f"{base}._bn2")
         params[f"block{i}"] = bp
         stats[f"block{i}"] = bs
+    return params, stats
+
+
+def convert_timm_efficientnet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm EfficientNet state_dict (the reference's encoders/
+    timm_efficientnet.py:96-133 EfficientNetBaseEncoder wraps
+    timm.models.efficientnet.EfficientNet: ``conv_stem``/``bn1`` stem +
+    stage-grouped ``blocks.{s}.{b}`` with ``conv_pw/conv_dw/conv_pwl``
+    naming and ``se.conv_reduce/se.conv_expand``) -> EfficientNetEncoder
+    params/batch_stats with the same flat ``block{i}`` layout as
+    convert_efficientnet. Covers timm-efficientnet-b0..b8/l2 and the
+    tf_efficientnet_lite variants (no SE modules). The classifier head
+    (``conv_head``/``bn2``/``classifier``) is dropped.
+
+    NOTE: timm checkpoints are NOT efficientnet_pytorch checkpoints —
+    `efficientnet-b*` names use convert_efficientnet (``_conv_stem``/
+    ``_blocks.N`` naming); `timm-*` names use this converter.
+    """
+    params = {"stem_conv": {"kernel": _conv(sd["conv_stem.weight"])}}
+    stats: dict = {}
+    params["stem_bn"], stats["stem_bn"] = _bn(sd, "bn1")
+    flat = 0
+    for s in _scan_indices(sd, "blocks.{}."):
+        for b in _scan_indices(sd, f"blocks.{s}.{{}}."):
+            base = f"blocks.{s}.{b}"
+            bp, bs = {}, {}
+            if f"{base}.conv_pwl.weight" in sd:  # InvertedResidual
+                bp["expand_conv"] = {"kernel": _conv(sd[f"{base}.conv_pw.weight"])}
+                bp["expand_bn"], bs["expand_bn"] = _bn(sd, f"{base}.bn1")
+                bp["dw_conv"] = {"kernel": _conv(sd[f"{base}.conv_dw.weight"])}
+                bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}.bn2")
+                proj, proj_bn = f"{base}.conv_pwl", f"{base}.bn3"
+            else:  # DepthwiseSeparableConv (first stage): conv_pw projects
+                bp["dw_conv"] = {"kernel": _conv(sd[f"{base}.conv_dw.weight"])}
+                bp["dw_bn"], bs["dw_bn"] = _bn(sd, f"{base}.bn1")
+                proj, proj_bn = f"{base}.conv_pw", f"{base}.bn2"
+            if f"{base}.se.conv_reduce.weight" in sd:  # absent in lite
+                bp["se_reduce"] = {
+                    "kernel": _conv(sd[f"{base}.se.conv_reduce.weight"]),
+                    "bias": np.asarray(sd[f"{base}.se.conv_reduce.bias"])}
+                bp["se_expand"] = {
+                    "kernel": _conv(sd[f"{base}.se.conv_expand.weight"]),
+                    "bias": np.asarray(sd[f"{base}.se.conv_expand.bias"])}
+            bp["project_conv"] = {"kernel": _conv(sd[f"{proj}.weight"])}
+            bp["project_bn"], bs["project_bn"] = _bn(sd, proj_bn)
+            params[f"block{flat}"] = bp
+            stats[f"block{flat}"] = bs
+            flat += 1
     return params, stats
 
 

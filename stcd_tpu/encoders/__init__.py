@@ -202,7 +202,7 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
         # and never silently falls back to random init.
         from stcd_tpu.convert.pretrained import resolve_encoder_weights
         path = resolve_encoder_weights(weights, name)
-        logger.warning(
+        logger.info(
             "encoder %s: pretrained weights resolved to %s; apply them to "
             "the initialized params via stcd_tpu.convert.pretrained."
             "apply_pretrained (create_train_state does this automatically "

@@ -351,12 +351,13 @@ class TrainEpoch(Epoch):
             # Keep Adam moments + step counter when the new tx has the same
             # opt_state structure; re-init only on a structure mismatch
             # (e.g. adam -> sgd), still preserving the step counter.
-            new_opt = self.tx.init(state.params)
-            if (jax.tree_util.tree_structure(new_opt)
-                    == jax.tree_util.tree_structure(state.opt_state)):
+            new_struct = jax.tree_util.tree_structure(
+                jax.eval_shape(self.tx.init, state.params))  # no allocation
+            if new_struct == jax.tree_util.tree_structure(state.opt_state):
                 state = state.replace(tx=self.tx)
             else:
-                state = state.replace(tx=self.tx, opt_state=new_opt)
+                state = state.replace(tx=self.tx,
+                                      opt_state=self.tx.init(state.params))
         return super().run(state, dataloader)
 
     def batch_update(self, state, x, y):

@@ -292,3 +292,45 @@ def test_pretrained_resolution_is_loud(tmp_path, monkeypatch, np_rng):
                          decoder_channels=(32, 24, 16, 12, 8))
     assert model.encoder_weights == str(tmp_path / "resnet18.msgpack")
     get_encoder("resnet18", weights="imagenet")  # resolves, no raise
+
+
+def test_pretrained_graft_bn_free_encoder(tmp_path):
+    """Grafting into an encoder WITHOUT BatchNorm (mit_b0..b5 are
+    LayerNorm-only, so variables['batch_stats'] has no 'encoder' subtree)
+    must not KeyError (round-2 review finding), and a payload that wrongly
+    carries batch_stats for such an encoder must raise a clear ValueError."""
+    import jax
+    import optax
+    import pytest
+    from flax import serialization
+
+    from stcd_tpu.models.factory import create_model
+    from stcd_tpu.train.state import create_train_state
+
+    model = create_model("unet", encoder_name="mit_b0", classes=1,
+                         decoder_channels=(16, 12, 10, 8, 8))
+    ex = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), ex)
+    assert "encoder" not in variables["batch_stats"], (
+        "test premise: mit_b0 must be BatchNorm-free")
+
+    # a converted-mit-style payload: params only, values recognizably scaled
+    enc_params = jax.tree.map(lambda a: np.asarray(a) * 2.0 + 1.0,
+                              variables["params"]["encoder"])
+    path = tmp_path / "mit_b0.msgpack"
+    path.write_bytes(serialization.msgpack_serialize({"params": enc_params}))
+
+    state = create_train_state(model, jax.random.PRNGKey(0), (ex,),
+                               optax.adam(1e-3), encoder_weights=str(path))
+    got = jax.tree.leaves(state.params["encoder"])
+    want = jax.tree.leaves(enc_params)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), w)
+
+    # stats for a stats-free encoder: loud, not a silent mis-graft
+    bad = tmp_path / "mit_b0_bad.msgpack"
+    bad.write_bytes(serialization.msgpack_serialize(
+        {"params": enc_params, "batch_stats": {"bn": {"mean": np.zeros(4)}}}))
+    with pytest.raises(ValueError, match="batch_stats"):
+        create_train_state(model, jax.random.PRNGKey(0), (ex,),
+                           optax.adam(1e-3), encoder_weights=str(bad))

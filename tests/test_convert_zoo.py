@@ -90,6 +90,72 @@ def test_convert_efficientnet_upstream_keys():
     _assert_trees_equal(stats, want_s, "effnet stats")
 
 
+def _timm_effnet_sd(tv, with_se=True):
+    """Emit the twin's weights under REAL timm EfficientNet naming
+    (conv_stem/bn1 stem; stage-grouped blocks.{s}.{b}; InvertedResidual =
+    conv_pw/bn1 + conv_dw/bn2 + se.conv_reduce/expand + conv_pwl/bn3;
+    first-stage DepthwiseSeparableConv = conv_dw/bn1 + se + conv_pw/bn2
+    — ref timm_efficientnet.py:96-133 wraps timm's EfficientNet)."""
+    sd = {}
+    _put_conv(sd, "conv_stem", tv.stem)
+    _put_bn(sd, "bn1", tv.stem_bn)
+    idx_in_stage, prev_stage = 0, None
+    for i, blk in enumerate(tv.blocks):
+        stage = tv.group_of_block[i]
+        idx_in_stage = idx_in_stage + 1 if stage == prev_stage else 0
+        prev_stage = stage
+        b = f"blocks.{stage}.{idx_in_stage}"
+        if blk.expand_conv is not None:  # InvertedResidual
+            _put_conv(sd, f"{b}.conv_pw", blk.expand_conv)
+            _put_bn(sd, f"{b}.bn1", blk.expand_bn)
+            _put_conv(sd, f"{b}.conv_dw", blk.dw)
+            _put_bn(sd, f"{b}.bn2", blk.dw_bn)
+            if with_se:
+                _put_conv(sd, f"{b}.se.conv_reduce", blk.se_reduce)
+                _put_conv(sd, f"{b}.se.conv_expand", blk.se_expand)
+            _put_conv(sd, f"{b}.conv_pwl", blk.project)
+            _put_bn(sd, f"{b}.bn3", blk.project_bn)
+        else:  # DepthwiseSeparableConv
+            _put_conv(sd, f"{b}.conv_dw", blk.dw)
+            _put_bn(sd, f"{b}.bn1", blk.dw_bn)
+            if with_se:
+                _put_conv(sd, f"{b}.se.conv_reduce", blk.se_reduce)
+                _put_conv(sd, f"{b}.se.conv_expand", blk.se_expand)
+            _put_conv(sd, f"{b}.conv_pw", blk.project)
+            _put_bn(sd, f"{b}.bn2", blk.project_bn)
+    # model-level head keys the converter must ignore
+    sd["conv_head.weight"] = np.zeros((1280, 320, 1, 1), np.float32)
+    sd["bn2.weight"] = np.zeros((1280,), np.float32)
+    return sd
+
+
+def test_convert_timm_efficientnet_upstream_keys():
+    """timm-efficientnet-b* checkpoints use timm naming, not
+    efficientnet_pytorch naming (round-2 review finding): the dedicated
+    converter must map it onto the same flat block{i} tree the
+    forward-parity-validated twin conversion produces."""
+    from stcd_tpu.convert.torch_to_flax import convert_timm_efficientnet
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+
+    torch.manual_seed(6)
+    tv = twins.TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    params, stats = convert_timm_efficientnet(_timm_effnet_sd(tv))
+    want_p, want_s = twins._convert_effnet(tv)
+    _assert_trees_equal(params, want_p, "timm effnet params")
+    _assert_trees_equal(stats, want_s, "timm effnet stats")
+
+    # lite variants: no SE modules anywhere
+    params, _ = convert_timm_efficientnet(_timm_effnet_sd(tv, with_se=False))
+    for k in want_p:
+        if k.startswith("block"):
+            want_p[k].pop("se_reduce", None)
+            want_p[k].pop("se_expand", None)
+    _assert_trees_equal(params, want_p, "timm effnet lite params")
+
+
 def test_convert_mobilenet_v2_upstream_keys():
     torch.manual_seed(10)
     tv = twins.TMobileNetV2()
