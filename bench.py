@@ -35,33 +35,14 @@ from stcd_tpu.train.steps import make_cd_steps
 def bench_changeformer():
     """Secondary config (BASELINE.json): ChangeFormerV6 at 512x512, bf16
     train step with the fused Pallas SRA attention path."""
-    from stcd_tpu.models.changeformer import ChangeFormerV6
-    from stcd_tpu.losses.functional import cross_entropy
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "benchmarks"))
+    from cfv6_common import build_step
 
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     size = int(os.environ.get("BENCH_SIZE", "512"))
-    model = ChangeFormerV6(embed_dim=256, dtype=jnp.bfloat16)
-    a = jax.random.normal(jax.random.PRNGKey(0), (batch, size, size, 3))
-    b = jax.random.normal(jax.random.PRNGKey(1), (batch, size, size, 3))
-    label = (jax.random.uniform(jax.random.PRNGKey(2), (batch, size, size)) > 0.8
-             ).astype(jnp.int32)
-    variables = model.init(jax.random.PRNGKey(0), a[:1], b[:1])
-    tx = optax.adamw(1e-4)
-    opt_state = tx.init(variables["params"])
-
-    @jax.jit
-    def step(params, batch_stats, opt_state, a, b, label, rng):
-        def loss_fn(p):
-            preds, mut = model.apply({"params": p, "batch_stats": batch_stats},
-                                     a, b, True, mutable=["batch_stats"],
-                                     rngs={"dropout": rng})
-            return sum(cross_entropy(pr, label) for pr in preds), mut
-        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state2 = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), mut["batch_stats"], \
-            opt_state2, loss
-
-    params, bs = variables["params"], variables.get("batch_stats", {})
+    step, (params, bs, opt_state, a, b, label) = build_step(batch, size)
     params, bs, opt_state, loss = step(params, bs, opt_state, a, b, label,
                                        jax.random.PRNGKey(3))
     float(loss)  # warmup + real sync (see benchmarks/profile_changeformer.py

@@ -6,52 +6,9 @@ Run on the real chip:  nohup python benchmarks/ab_decoder_fusion.py \
     > /tmp/ab_fusion.log 2>&1 &
 """
 
-import json
-import time
-
-import jax
-import jax.numpy as jnp
-import optax
-
-from stcd_tpu.models import SegCD
-from stcd_tpu.train.schedules import poly_schedule
-from stcd_tpu.train.state import create_train_state
-from stcd_tpu.train.steps import make_cd_steps
-
-BATCH, SIZE, ITERS, WARMUP = 64, 256, 20, 3
-
-
-def run(fused: bool) -> float:
-    model = SegCD(encoder_name="resnet50", classes=1,
-                  decoder_channels=(256, 128, 64, 32, 16),
-                  decoder_fused=fused, dtype=jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    a = jax.random.normal(key, (BATCH, SIZE, SIZE, 3), jnp.float32)
-    b = jax.random.normal(jax.random.PRNGKey(1), (BATCH, SIZE, SIZE, 3))
-    label = (jax.random.uniform(jax.random.PRNGKey(2),
-                                (BATCH, SIZE, SIZE, 1)) > 0.8).astype(jnp.float32)
-    tx = optax.adam(poly_schedule(1e-3, 60, 1000))
-    state = create_train_state(model, key, (a[:1], b[:1]), tx)
-    train_step, _ = make_cd_steps(model, augment=True)
-    batch = {"A": a, "B": b, "label": label}
-
-    state, out = train_step(state, batch, jax.random.PRNGKey(3))
-    jax.block_until_ready(out["loss"])
-    for i in range(WARMUP):
-        state, out = train_step(state, batch, jax.random.PRNGKey(4 + i))
-    jax.block_until_ready(out["loss"])
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        state, out = train_step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(out["loss"])
-    dt = time.perf_counter() - t0
-    pairs = BATCH * ITERS / dt
-    print(json.dumps({"fused": fused, "pairs_per_sec": round(pairs, 2),
-                      "ms_per_step": round(1000 * dt / ITERS, 2)}), flush=True)
-    return pairs
-
+from segcd_ab import ab, run_variant
 
 if __name__ == "__main__":
-    base = run(False)
-    fused = run(True)
-    print(json.dumps({"speedup": round(fused / base, 4)}))
+    ab("decoder_fusion",
+       lambda: run_variant({"fused": False}, {"decoder_fused": False}),
+       lambda: run_variant({"fused": True}, {"decoder_fused": True}))

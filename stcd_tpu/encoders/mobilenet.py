@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.encoders.dilation import make_dilated_rates
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 from stcd_tpu.layers.modules import avg_pool_global
 
@@ -130,10 +131,8 @@ class MobileNetV2Encoder(nn.Module):
         features = [x]
         # stage index (3..5) -> dilation rate from the cumulative flags
         flags = self.replace_stride_with_dilation
-        stage_dilation = {}
-        for si in (3, 4, 5):
-            if flags[si - 3]:
-                stage_dilation[si] = 2 ** sum(bool(f) for f in flags[: si - 2])
+        rates = make_dilated_rates(flags)  # smp make_dilated semantics
+        stage_dilation = {si: rates[si - 3] for si in (3, 4, 5) if flags[si - 3]}
         # expand the (t,c,n,s) table into the flat torchvision features list
         blocks = []
         for t, c, n, s in _V2_CFG:
@@ -224,10 +223,8 @@ class MobileNetV3Encoder(nn.Module):
         else:
             groups = [[], [0], [1], [2, 3], [4]]
         flags = self.replace_stride_with_dilation
-        stage_dilation = {}
-        for si in (3, 4, 5):
-            if flags[si - 3]:
-                stage_dilation[si] = 2 ** sum(bool(f) for f in flags[: si - 2])
+        rates = make_dilated_rates(flags)  # smp make_dilated semantics
+        stage_dilation = {si: rates[si - 3] for si in (3, 4, 5) if flags[si - 3]}
         bidx = 0
         for stage, gids in enumerate(groups, start=1):
             if stage > self.depth:

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from stcd_tpu.encoders.dilation import make_dilated_rates
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 from stcd_tpu.layers.modules import avg_pool_global, max_pool
 
@@ -163,7 +164,8 @@ class SENetEncoder(nn.Module):
             # layer3 rate 2, layer4 rate 4 — ref _base.py:34-47)
             flags = self.replace_stride_with_dilation
             this_dilated = i > 0 and flags[i - 1]
-            dilation = 2 ** sum(bool(f) for f in flags[: i]) if this_dilated else 1
+            # smp make_dilated semantics (shared formula)
+            dilation = make_dilated_rates(flags)[i - 1] if this_dilated else 1
             # Cadene: layer1 always uses downsample_kernel_size=1 even for
             # senet154; later layers use the config kernel
             this_dk = 1 if i == 0 else dk
