@@ -188,3 +188,16 @@ def test_dilated_mobilenetv3_large_matches_torch(os_):
                      "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
                     jnp.asarray(x.transpose(0, 2, 3, 1)))
     _compare(got, want, f"mobilenetv3_large os={os_}")
+
+
+def test_make_dilated_rates_formula():
+    """The shared smp make_dilated rate formula (encoders/dilation.py):
+    cumulative doubling INCLUDING the stage's own flag; unflagged stages
+    keep rate 1 (ref _base.py:34-57)."""
+    from stcd_tpu.encoders.dilation import make_dilated_rates
+
+    assert make_dilated_rates((False, False, True)) == (1, 1, 2)   # os=16
+    assert make_dilated_rates((False, True, True)) == (1, 2, 4)    # os=8
+    assert make_dilated_rates((True, True, True)) == (2, 4, 8)     # os=4
+    assert make_dilated_rates((False, False, False)) == (1, 1, 1)
+    assert make_dilated_rates((True, False, True)) == (2, 1, 4)
