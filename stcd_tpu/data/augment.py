@@ -23,7 +23,7 @@ reference burns DataLoader worker processes on this).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,21 +136,28 @@ def gaussian_blur(key: jax.Array, img: jax.Array, p: float = 0.5,
                   sigma_range: Tuple[float, float] = (0.1, 2.0),
                   radius: int = 5) -> jax.Array:
     """PIL GaussianBlur(radius=sigma) approximation: separable Gaussian with
-    a fixed-size kernel (static shapes for XLA; radius=5 covers sigma<=2)."""
+    a fixed-size kernel (static shapes for XLA; radius=5 covers sigma<=2).
+    Edge-replicate padding matches PIL's edge extension — zero padding
+    would darken a radius-wide border on every blurred image."""
     k_apply, k_sigma = jax.random.split(key)
     sigma = jax.random.uniform(k_sigma, (), minval=sigma_range[0], maxval=sigma_range[1])
     kern = _gaussian_kernel_1d(sigma, radius)
     c = img.shape[-1]
     x = img[None] if img.ndim == 3 else img
-    # separable depthwise conv: vertical then horizontal
+    # separable depthwise conv: vertical then horizontal, VALID over an
+    # edge-replicated pad (PIL extends edge pixels; kernel mass must not
+    # fall off the image)
     kv = jnp.tile(kern.reshape(-1, 1, 1, 1), (1, 1, 1, c))
     khz = jnp.tile(kern.reshape(1, -1, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(x.shape, (1, 1, 1, 1), ("NHWC", "HWIO", "NHWC"))
+    padded = jnp.pad(x, ((0, 0), (radius, radius), (0, 0), (0, 0)), mode="edge")
     blurred = jax.lax.conv_general_dilated(
-        x, kv, (1, 1), [(radius, radius), (0, 0)], dimension_numbers=dn,
+        padded, kv, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
         feature_group_count=c)
+    blurred = jnp.pad(blurred, ((0, 0), (0, 0), (radius, radius), (0, 0)),
+                      mode="edge")
     blurred = jax.lax.conv_general_dilated(
-        blurred, khz, (1, 1), [(0, 0), (radius, radius)], dimension_numbers=dn,
+        blurred, khz, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn,
         feature_group_count=c)
     if img.ndim == 3:
         blurred = blurred[0]
@@ -175,11 +182,16 @@ def to_float01(img: jax.Array) -> jax.Array:
     return img
 
 
-def _train_augment_single(key: jax.Array, img: jax.Array,
-                          jitter_p: float) -> jax.Array:
+def _train_augment_single(key: jax.Array, img: jax.Array, jitter_p: float,
+                          jitter_apply: Optional[jax.Array] = None) -> jax.Array:
+    """One image: ColorJitter gated by its own coin (or by a precomputed
+    `jitter_apply` bool when the coin is shared across a temporal pair),
+    then per-image grayscale + blur, then normalize."""
     k1, k1p, k2, k3 = jax.random.split(key, 4)
     jittered = color_jitter(k1, img)
-    img = jnp.where(jax.random.uniform(k1p) < jitter_p, jittered, img)
+    if jitter_apply is None:
+        jitter_apply = jax.random.uniform(k1p) < jitter_p
+    img = jnp.where(jitter_apply, jittered, img)
     img = random_grayscale(k2, img)
     img = gaussian_blur(k3, img)
     return normalize(img)
@@ -201,6 +213,34 @@ def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.
         return jax.vmap(
             lambda k, x: _train_augment_single(k, x, jitter_p))(keys, img)
     return _train_augment_single(key, img, jitter_p)
+
+
+def _train_augment_pair_single(key: jax.Array, a: jax.Array, b: jax.Array,
+                               jitter_p: float):
+    k_shared, ka, kb = jax.random.split(key, 3)
+    apply = jax.random.uniform(k_shared) < jitter_p
+    return (_train_augment_single(ka, a, jitter_p, apply),
+            _train_augment_single(kb, b, jitter_p, apply))
+
+
+@functools.partial(jax.jit, static_argnames=("jitter_p",))
+def train_augment_pair(key: jax.Array, a: jax.Array, b: jax.Array,
+                       jitter_p: float = 0.5):
+    """Bi-temporal pair augmentation: ONE shared ColorJitter apply-coin
+    per pair — the reference jitters both images or neither (independent
+    factors, shared gate: ``if random.random() < 0.5:`` then two separate
+    ColorJitter calls, ref data/dataset.py:241-243/320-322/405-407), so
+    an exactly-one-jittered pair never occurs. Grayscale and blur stay
+    per-image (ref :244-247). The stage-3 synthesized pair (CA, CB) uses
+    jitter_p=0.8 (ref :354-356/525-527). Inputs [0,1] float (or uint8),
+    HWC or NHWC (batched -> per-sample coins via vmap)."""
+    a, b = to_float01(a), to_float01(b)
+    if a.ndim == 4:
+        keys = jax.random.split(key, a.shape[0])
+        return jax.vmap(
+            lambda k, x, y: _train_augment_pair_single(k, x, y, jitter_p)
+        )(keys, a, b)
+    return _train_augment_pair_single(key, a, b, jitter_p)
 
 
 def eval_preprocess(img: jax.Array) -> jax.Array:

@@ -254,7 +254,11 @@ class SyntheticCDDataset(_Base):
         return self.length
 
     def _smooth(self, rng, s):
-        coarse = rng.uniform(0, 1, size=(max(s // 8, 1), max(s // 8, 1), 3))
+        # ceil so the upsampled grid covers s for ANY size (s not a
+        # multiple of 8 previously produced an undersized image and a
+        # broadcast crash in __getitem__ — review finding)
+        g = -(-s // 8)
+        coarse = rng.uniform(0, 1, size=(g, g, 3))
         img = np.repeat(np.repeat(coarse, 8, axis=0), 8, axis=1)[:s, :s]
         return img.astype(np.float32)
 

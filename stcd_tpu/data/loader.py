@@ -52,11 +52,18 @@ class DataLoader:
         self.seed = seed
         self.sharding = sharding
         self.prefetch = prefetch
+        # both-or-neither: an explicit count with a defaulted index would
+        # make every host silently load shard 0 (and vice-versa an explicit
+        # index would be silently discarded) — review finding
+        if (process_index is None) != (process_count is None):
+            raise ValueError(
+                "pass process_index AND process_count together (got "
+                f"process_index={process_index}, process_count={process_count})")
         if process_count is None:
             import jax as _jax
             process_count = _jax.process_count()
             process_index = _jax.process_index()
-        self.process_index = process_index or 0
+        self.process_index = process_index
         self.process_count = max(1, process_count)
         self._epoch = 0
 
@@ -153,7 +160,7 @@ class DataLoader:
 
         for batch in it:
             queue.append(place(batch))
-            if len(queue) > self.prefetch:
+            if len(queue) >= self.prefetch:  # '>' kept prefetch+1 in flight
                 yield queue.popleft()
         while queue:
             yield queue.popleft()

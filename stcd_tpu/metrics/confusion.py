@@ -32,6 +32,13 @@ def confusion_matrix(pred: jax.Array, label: jax.Array, num_classes: int = 2) ->
     """
     p = pred.reshape(-1).astype(jnp.int32)
     l = label.reshape(-1).astype(jnp.int32)
+    if p.size > (1 << 24):
+        # fp32 loses integer exactness past 2^24; a cell count could be
+        # off. Static-shape check -> trace-time error, zero runtime cost.
+        raise ValueError(
+            f"confusion_matrix: {p.size} pixels in one batch exceeds the "
+            "fp32-exact count range (2^24). Split the batch (accum_steps) "
+            "or accumulate per-microbatch counts.")
     oh_l = jax.nn.one_hot(l, num_classes, dtype=jnp.float32)
     oh_p = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
     cm = jnp.dot(oh_l.T, oh_p, preferred_element_type=jnp.float32)

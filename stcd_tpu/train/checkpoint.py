@@ -41,16 +41,31 @@ class CheckpointManager:
             "opt_state": _to_host(state.opt_state),
             "step": int(state.step),
         }
+        # Crash-safe replace (review finding: rmtree-then-save destroyed
+        # the only resume artifact if the process died mid-save): write
+        # the new checkpoint COMPLETELY next to the old one, only then
+        # swap. A crash during save leaves the old checkpoint intact; a
+        # crash between rmtree and rename leaves a complete '.new' that
+        # restore_last falls back to.
         path = os.path.join(self.directory, name)
+        new_path = path + ".new"
+        if os.path.exists(new_path):
+            shutil.rmtree(new_path)  # stale partial from an earlier crash
+        self._ckptr.save(new_path, payload)
         if os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(path, payload)
+        os.rename(new_path, path)
 
     def restore_last(self, state, name: str = "last_ckpt"):
         """Returns (state, epoch_id, best_val_acc, best_epoch_id) or None."""
         path = os.path.join(self.directory, name)
         if not os.path.exists(path):
-            return None
+            # a crash between save_last's rmtree and rename leaves the
+            # complete new checkpoint under '.new' — recover it
+            if os.path.exists(path + ".new"):
+                os.rename(path + ".new", path)
+            else:
+                return None
         restored = self._ckptr.restore(path)
         tmpl = jax.tree_util.tree_structure(state.opt_state)
         opt_state = jax.tree_util.tree_unflatten(
@@ -66,12 +81,17 @@ class CheckpointManager:
 
     # --- live-script best artifacts (ref train_sup.py:175-183) ---
     def save_best(self, state, metric: float):
-        """Keep only the current best, named '%.2f_best_model' (x100)."""
-        for old in glob.glob(os.path.join(self.directory, "*_best_model")):
-            shutil.rmtree(old)
+        """Keep only the current best, named '%.2f_best_model' (x100).
+        The new best is written before the old one is deleted, so a crash
+        mid-save never leaves the run without a best artifact."""
         path = os.path.join(self.directory, "%.2f_best_model" % (metric * 100))
+        if os.path.exists(path):  # same metric value: replace
+            shutil.rmtree(path)
         self._ckptr.save(path, {"params": _to_host(state.params),
                                 "batch_stats": _to_host(state.batch_stats)})
+        for old in glob.glob(os.path.join(self.directory, "*_best_model")):
+            if old != path:
+                shutil.rmtree(old)
         return path
 
     def save_snapshot(self, state, epoch: int):

@@ -39,6 +39,21 @@ def _epoch_metrics(metric: SegmentationMetric) -> Dict[str, float]:
     }
 
 
+
+# int32 per-cell counts wrap past 2^31; flush the device accumulator to the
+# host float64 matrix well before that (2x margin).
+_CM_FLUSH_PIXEL_BUDGET = 1 << 30
+
+
+def _batch_pixels(batch) -> int:
+    """Upper bound on confusion-matrix pixels one step contributes
+    (host-side shape math only — no device sync). The semi-CD train step
+    counts the full concatenated batch, hence the factor 2."""
+    dims = [int(np.prod(v.shape[:3])) for v in batch.values()
+            if hasattr(v, "ndim") and v.ndim >= 3]
+    return 2 * max(dims) if dims else 0
+
+
 def run_training(train_step, eval_step, state, train_loader, eval_loader,
                  n_epochs: int, save_dir: str, rng,
                  log_every: int = 10, eval_key: str = "IoU",
@@ -66,19 +81,20 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
         # float64 matrix only periodically: np.asarray(out["cm"]) every step
         # would block until the step finishes and kill the async-dispatch
         # pipeline (the reference pays this via .cpu() per iteration,
-        # train_pse_cd.py:230-236). int32 counts stay exact for ~2^31
-        # pixels; flushing every 128 steps keeps far under that.
+        # train_pse_cd.py:230-236). int32 cells wrap past 2^31 pixels, so
+        # the flush interval is a PIXEL budget, not a fixed step count
+        # (128 steps overflow at batch>=256 @256^2 — review finding).
         cm_dev = None
-        steps_since_flush = 0
+        px_acc = 0
         for batch in train_loader:
             rng, step_rng = jax.random.split(rng)
             names = batch.pop("name", None)
             state, out = train_step(state, batch, step_rng)
             cm_dev = out["cm"] if cm_dev is None else cm_dev + out["cm"]
-            steps_since_flush += 1
-            if steps_since_flush >= 128:
+            px_acc += _batch_pixels(batch)
+            if px_acc >= _CM_FLUSH_PIXEL_BUDGET:
                 train_metric.confusionMatrix += np.asarray(cm_dev, np.float64)
-                cm_dev, steps_since_flush = None, 0
+                cm_dev, px_acc = None, 0
             bs = next(iter(batch.values())).shape[0]
             meter.update(bs)
             if global_step % log_every == 0:
@@ -112,12 +128,19 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
 def evaluate(eval_step, state, eval_loader) -> Dict[str, float]:
     metric = SegmentationMetric(2)
     cm_dev = None
+    px_acc = 0
     for batch in eval_loader:
         batch = dict(batch)
         batch.pop("name", None)
         out = eval_step(state, batch)
-        # device-side accumulation; single host transfer at the end
+        # device-side accumulation, flushed on the same int32 pixel budget
+        # as the train loop (unbounded eval sets wrapped past 2^31 pixels
+        # — review finding)
         cm_dev = out["cm"] if cm_dev is None else cm_dev + out["cm"]
+        px_acc += _batch_pixels(batch)
+        if px_acc >= _CM_FLUSH_PIXEL_BUDGET:
+            metric.confusionMatrix += np.asarray(cm_dev, np.float64)
+            cm_dev, px_acc = None, 0
     if cm_dev is not None:
         metric.confusionMatrix += np.asarray(cm_dev, np.float64)
     return _epoch_metrics(metric)

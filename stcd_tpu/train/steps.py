@@ -24,17 +24,25 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from stcd_tpu.data.augment import eval_preprocess, train_augment
+from stcd_tpu.data.augment import (eval_preprocess, train_augment,
+                                   train_augment_pair)
 from stcd_tpu.losses.functional import bce_dice, contrastive_loss
 from stcd_tpu.metrics.confusion import confusion_matrix
 
 
-def _augment_pair(key, *imgs, enabled: bool):
-    """Independent augmentation per temporal image (ref data/dataset.py:404-411)."""
+def _augment_pairs(key, pairs, enabled: bool):
+    """Augment a list of (img_a, img_b, jitter_p) temporal pairs: the
+    ColorJitter apply-coin is SHARED within each pair (ref
+    data/dataset.py:241-243 — both images jittered or neither; the
+    synthesized stage-3 pair uses p=0.8, ref :354-356); grayscale/blur
+    stay independent per image."""
     if not enabled:
-        return tuple(eval_preprocess(x) for x in imgs)
-    keys = jax.random.split(key, len(imgs))
-    return tuple(train_augment(k, x) for k, x in zip(keys, imgs))
+        return tuple(eval_preprocess(x) for a, b, _ in pairs for x in (a, b))
+    keys = jax.random.split(key, len(pairs))
+    out = []
+    for k, (a, b, jp) in zip(keys, pairs):
+        out.extend(train_augment_pair(k, a, b, jitter_p=jp))
+    return tuple(out)
 
 
 def _maybe_remat(apply_fn, remat: bool):
@@ -94,7 +102,8 @@ def make_seg_steps(model, augment: bool = True, remat: bool = False,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         aug_key, drop_key = jax.random.split(rng)
-        (image,) = _augment_pair(aug_key, batch["image"], enabled=augment)
+        image = (train_augment(aug_key, batch["image"]) if augment
+                 else eval_preprocess(batch["image"]))
         label = batch["label"].astype(jnp.float32)
 
         if accum_steps > 1:
@@ -162,7 +171,8 @@ def make_cd_steps(model, augment: bool = True, remat: bool = False,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         aug_key, drop_key = jax.random.split(rng)
-        a, b = _augment_pair(aug_key, batch["A"], batch["B"], enabled=augment)
+        a, b = _augment_pairs(aug_key, [(batch["A"], batch["B"], 0.5)],
+                              enabled=augment)
         label = batch["label"].astype(jnp.float32)
 
         if accum_steps > 1:
@@ -230,8 +240,9 @@ def make_semi_cd_steps(model, augment: bool = True, remat: bool = False,
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state, batch, rng):
         aug_key, drop_key = jax.random.split(rng)
-        a, b, ca, cb = _augment_pair(aug_key, batch["A"], batch["B"],
-                                     batch["CA"], batch["CB"], enabled=augment)
+        a, b, ca, cb = _augment_pairs(
+            aug_key, [(batch["A"], batch["B"], 0.5),
+                      (batch["CA"], batch["CB"], 0.8)], enabled=augment)
         n = batch["A"].shape[0]
 
         if accum_steps > 1:
@@ -251,8 +262,10 @@ def make_semi_cd_steps(model, augment: bool = True, remat: bool = False,
                 seg_loss_a = bce_dice(seg_probs[:m], msl)
                 cd_loss_v = bce_dice(cd_probs, lab)
                 ct_loss = contrastive_loss(cd_probs, mcdl, mcl)
-                cm = confusion_matrix((cd_probs[:m] > 0.5).astype(jnp.int32),
-                                      mcdl.astype(jnp.int32), 2)
+                # ref train_stcd.py:436-437: train CM over the FULL
+                # concatenated batch (synthesized + real halves)
+                cm = confusion_matrix((cd_probs > 0.5).astype(jnp.int32),
+                                      lab.astype(jnp.int32), 2)
                 return seg_loss_a + cd_loss_v + ct_loss, (
                     mutated["batch_stats"], cm,
                     (seg_loss_a, cd_loss_v, ct_loss))
@@ -298,8 +311,10 @@ def make_semi_cd_steps(model, augment: bool = True, remat: bool = False,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         mutated, cd_probs, seg_loss_a, cd_loss_v, ct_loss = aux
         state = state.apply_gradients(grads=grads, batch_stats=mutated["batch_stats"])
-        cm = confusion_matrix((cd_probs[:n] > 0.5).astype(jnp.int32),
-                              batch["c_label"].astype(jnp.int32), 2)
+        # ref train_stcd.py:436-437: train CM over the FULL concatenated
+        # batch (synthesized + real halves)
+        cm = confusion_matrix((cd_probs > 0.5).astype(jnp.int32),
+                              labels.astype(jnp.int32), 2)
         return state, {"loss": loss, "seg_loss": seg_loss_a,
                        "cd_loss": cd_loss_v, "ct_loss": ct_loss, "cm": cm}
 

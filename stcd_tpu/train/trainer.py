@@ -130,10 +130,17 @@ class CDTrainer:
                 g = gt[:, ::factor, ::factor]  # nearest downsample
             if cfg.loss == "ce":
                 losses.append(w * L.cross_entropy(pred, g[..., 0].astype(jnp.int32)))
-            elif cfg.loss == "bce":
-                losses.append(w * L.bce_loss(jax.nn.sigmoid(pred.astype(jnp.float32)), g))
-            elif cfg.loss == "cd_loss":
-                losses.append(w * L.cd_loss(jax.nn.sigmoid(pred.astype(jnp.float32)), g))
+            elif cfg.loss in ("bce", "cd_loss"):
+                if pred.shape[-1] != g.shape[-1]:
+                    # torch nn.BCELoss raises on this mismatch; silent
+                    # broadcasting would train every channel toward the
+                    # same 1-channel mask (review finding)
+                    raise ValueError(
+                        f"loss={cfg.loss!r} needs prediction channels == "
+                        f"label channels (got {pred.shape[-1]} vs "
+                        f"{g.shape[-1]}); use n_class=1 or loss='ce'")
+                fn = L.bce_loss if cfg.loss == "bce" else L.cd_loss
+                losses.append(w * fn(jax.nn.sigmoid(pred.astype(jnp.float32)), g))
             elif cfg.loss == "fl":
                 losses.append(w * L.focal_loss(pred, g[..., 0], alpha=self.alpha,
                                                gamma=2.0, smooth=1e-5))
@@ -227,18 +234,29 @@ class CDTrainer:
 
     def _run_epoch(self, state, loader, rng, training: bool):
         metric = SegmentationMetric(self.cfg.n_class)
-        last_loss = 0.0
+        loss_dev = None
+        # device-side accumulation with a periodic flush, like
+        # train/loops.py — a float(loss)/np.asarray(cm) per step blocks
+        # the async dispatch pipeline (review finding)
+        cm_dev, px_acc = None, 0
         for batch in loader:
             a = jnp.asarray(batch["A"])
             b = jnp.asarray(batch["B"])
             label = jnp.asarray(batch["label"]).astype(jnp.float32)
             if training:
                 rng, step_rng = jax.random.split(rng)
-                state, loss, cm = self.train_step(state, a, b, label, step_rng)
-                last_loss = float(loss)
+                state, loss_dev, cm = self.train_step(state, a, b, label,
+                                                      step_rng)
             else:
                 _, cm = self.eval_step(state, a, b, label)
-            metric.confusionMatrix += np.asarray(cm, np.float64)
+            cm_dev = cm if cm_dev is None else cm_dev + cm
+            px_acc += int(np.prod(label.shape[:3]))
+            if px_acc >= (1 << 30):  # int32 cells wrap past 2^31 pixels
+                metric.confusionMatrix += np.asarray(cm_dev, np.float64)
+                cm_dev, px_acc = None, 0
+        if cm_dev is not None:
+            metric.confusionMatrix += np.asarray(cm_dev, np.float64)
+        last_loss = float(loss_dev) if loss_dev is not None else 0.0
         return state, metric, last_loss, rng
 
     def _ensure_alpha(self):

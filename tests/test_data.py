@@ -194,3 +194,71 @@ def test_uint8_transfer_path_matches_float(tmp_path):
     assert dio.read_image(str(p)).dtype == np.float32
     np.testing.assert_array_equal(dio.read_label(str(lp)),
                                   lab_u8.astype(np.float32))
+
+
+def test_gaussian_blur_edge_replicate_preserves_constant():
+    """PIL GaussianBlur extends edge pixels — a constant image must come
+    back EXACTLY constant (zero padding would darken a radius-wide
+    border; round-2 review finding)."""
+    img = jnp.full((16, 16, 3), 0.7, jnp.float32)
+    out = gaussian_blur(jax.random.PRNGKey(3), img, p=1.0)
+    np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-6)
+
+
+def test_train_augment_pair_shares_jitter_coin():
+    """The reference gates ColorJitter with ONE coin per temporal pair
+    (both images jittered or neither, ref data/dataset.py:241-243);
+    exactly-one-jittered must never occur. For each key, the pair output
+    must equal the (gate=True, gate=True) or (gate=False, gate=False)
+    branch — never a mixed one."""
+    from stcd_tpu.data.augment import (_train_augment_single,
+                                       train_augment_pair)
+
+    rng = np.random.default_rng(7)
+    a = jnp.asarray(rng.uniform(size=(12, 12, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(12, 12, 3)).astype(np.float32))
+    gates_seen = set()
+    for seed in range(8):
+        key = jax.random.PRNGKey(seed)
+        out_a, out_b = train_augment_pair(key, a, b, jitter_p=0.5)
+        _, ka, kb = jax.random.split(key, 3)
+        for gate in (False, True):
+            ga = _train_augment_single(ka, a, 0.5, jnp.asarray(gate))
+            gb = _train_augment_single(kb, b, 0.5, jnp.asarray(gate))
+            if np.allclose(np.asarray(out_a), np.asarray(ga), atol=1e-6):
+                # the SAME gate must explain the other image
+                np.testing.assert_allclose(np.asarray(out_b), np.asarray(gb),
+                                           atol=1e-6)
+                gates_seen.add(gate)
+    assert gates_seen == {False, True}, (
+        f"p=0.5 over 8 keys should exercise both branches: {gates_seen}")
+
+
+def test_semi_cd_train_cm_covers_full_concat_batch():
+    """ref train_stcd.py:436-437 accumulates the train confusion matrix
+    over the FULL concatenated batch (synthesized + real halves) — the
+    CM pixel total must be 2*N*H*W, not N*H*W."""
+    import optax
+
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_semi_cd_steps
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 10, 8, 8))
+    n, hw = 2, 32
+    img = lambda s: jnp.asarray(np.random.default_rng(s).uniform(
+        size=(n, hw, hw, 3)).astype(np.float32))
+    lab = lambda s: jnp.asarray((np.random.default_rng(s).uniform(
+        size=(n, hw, hw, 1)) > 0.7).astype(np.float32))
+    batch = {"A": img(0), "B": img(1), "CA": img(2), "CB": img(3),
+             "s_label_A": lab(4), "c_label": lab(5), "CL": lab(6)}
+    for accum in (1, 2):
+        # fresh state per variant: train_step donates its input state
+        state = create_train_state(model, jax.random.PRNGKey(0),
+                                   (batch["A"], batch["B"]), optax.adam(1e-3))
+        train_step, _ = make_semi_cd_steps(model, augment=False,
+                                           accum_steps=accum)
+        _, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+        assert int(np.asarray(metrics["cm"]).sum()) == 2 * n * hw * hw, (
+            f"accum={accum}: CM must cover both halves")
