@@ -116,3 +116,42 @@ def test_export_model_roundtrip(tmp_path):
     want = model.apply(variables, a, b)
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_evaluate_cli(tmp_path):
+    """scripts/evaluate.py end-to-end: best-checkpoint load, val metrics,
+    and the --save_preds prediction dump (the reference's inference
+    entry, SURVEY.md §3.5)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.state import create_train_state
+
+    _make_tree(str(tmp_path))
+    dec = (16, 12, 8, 6, 4)
+    model = SegCD(encoder_name="resnet18", classes=1, decoder_channels=dec)
+    ex = jnp.zeros((1, 32, 32, 3))
+    state = create_train_state(model, jax.random.PRNGKey(0), (ex, ex),
+                               optax.sgd(0.0))
+    mgr = CheckpointManager(str(tmp_path / "run"))
+    mgr.save_best(state, 0.42)
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STCD_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate.py"),
+         "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+         "--split", "val", "--batch_size", "2",
+         "--img_height", "32", "--img_width", "32", "--encoder", "resnet18",
+         "--decoder_channels", ",".join(map(str, dec)),
+         "--load_path", str(tmp_path / "run"),
+         "--save_preds", str(tmp_path / "preds")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "42.00_best_model" in out.stdout
+    assert "F1" in out.stdout and "IoU" in out.stdout
+    dumped = os.listdir(tmp_path / "preds")
+    assert len(dumped) == 4 and all(n.endswith(".png") for n in dumped)
