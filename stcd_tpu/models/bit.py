@@ -134,10 +134,10 @@ class Transformer(nn.Module):
     @nn.compact
     def __call__(self, x, train=False):
         for i in range(self.depth):
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn{i}")(x)
             x = x + Attention(self.heads, self.dim_head, self.dropout,
                               dtype=self.dtype, name=f"attn{i}")(h, train)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff{i}")(x)
             x = x + FeedForward(self.mlp_dim, self.dropout, dtype=self.dtype,
                                 name=f"ff{i}")(h, train)
         return x
@@ -155,11 +155,11 @@ class TransformerDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, m, train=False):
         for i in range(self.depth):
-            norm = nn.LayerNorm(dtype=self.dtype, name=f"norm_attn{i}")
+            norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_attn{i}")
             x = x + CrossAttention(self.heads, self.dim_head, self.dropout,
                                    self.softmax, dtype=self.dtype,
                                    name=f"attn{i}")(norm(x), norm(m), train)
-            h = nn.LayerNorm(dtype=self.dtype, name=f"norm_ff{i}")(x)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"norm_ff{i}")(x)
             x = x + FeedForward(self.mlp_dim, self.dropout, dtype=self.dtype,
                                 name=f"ff{i}")(h, train)
         return x

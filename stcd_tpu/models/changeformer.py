@@ -67,7 +67,9 @@ class OverlapPatchEmbed(nn.Module):
         x = nn.Conv(self.embed_dim, (self.patch_size,) * 2,
                     strides=(self.stride,) * 2, padding=[(p, p)] * 2,
                     dtype=self.dtype, name="proj")(x)
-        return nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        # ref :210 builds this norm as PLAIN nn.LayerNorm (eps 1e-5), not
+        # via the encoder's norm_layer partial (review finding)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class DWConv(nn.Module):
@@ -115,7 +117,8 @@ class SRAttention(nn.Module):
         if self.sr_ratio > 1:
             kv_in = nn.Conv(c, (self.sr_ratio,) * 2, strides=(self.sr_ratio,) * 2,
                             dtype=self.dtype, name="sr")(x)
-            kv_in = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(kv_in)
+            # plain nn.LayerNorm in the ref (:317), eps 1e-5
+            kv_in = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(kv_in)
         else:
             kv_in = x
         m = kv_in.shape[1] * kv_in.shape[2]
@@ -146,16 +149,17 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6  # the encoder's norm_layer partial; V4 uses 1e-5
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, train=False):
         c = x.shape[-1]
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm1")(x)
         h = SRAttention(self.num_heads, self.sr_ratio, self.qkv_bias,
                         self.attn_drop, self.drop, dtype=self.dtype, name="attn")(h, train)
         x = x + DropPath(self.drop_path_rate, name="dp1")(h, train)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype, name="norm2")(x)
         h = MixFFN(c * self.mlp_ratio, self.drop, dtype=self.dtype, name="mlp")(h, train)
         return x + DropPath(self.drop_path_rate, name="dp2")(h, train)
 
@@ -177,6 +181,8 @@ class SegFormerEncoder(nn.Module):
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
     drop_path_rate: float = 0.0
+    norm_eps: float = 1e-6  # Tenc/V5/V6 pass partial(LayerNorm, eps=1e-6);
+    # V4's EncoderTransformer_x2 defaults to nn.LayerNorm (1e-5)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -193,9 +199,10 @@ class SegFormerEncoder(nn.Module):
             for i in range(depth):
                 x = Block(self.num_heads[s], self.mlp_ratios[s], self.sr_ratios[s],
                           self.qkv_bias, self.drop_rate, self.attn_drop_rate,
-                          dpr[cur + i], dtype=self.dtype,
+                          dpr[cur + i], norm_eps=self.norm_eps, dtype=self.dtype,
                           name=f"block{s + 1}_{i}")(x, train)
-            x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name=f"norm{s + 1}")(x)
+            x = nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                             name=f"norm{s + 1}")(x)
             outs.append(x)
             cur += depth
         return outs
@@ -213,7 +220,9 @@ class ConvDiff(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2,
                         dtype=self.dtype, name=f"conv{i}")(x)
             alpha = self.param(f"prelu{i}", nn.initializers.constant(0.25), (1,))
-            x = jnp.where(x >= 0, x, alpha * x)
+            # keep the compute dtype: fp32 alpha would promote bf16
+            # activations through the PReLU/BN/Dropout chain
+            x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
             x = MPBatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=jnp.float32, name=f"bn{i}")(x)
             x = nn.Dropout(0.6, deterministic=not train, name=f"do{i}")(x)
@@ -483,8 +492,14 @@ class ChangeFormerV2(_SiamBase):
     def __call__(self, x1, x2, train=False):
         f1, f2 = self.encode_pair(_tenc(self.dtype), x1, x2, train)
         di = [jnp.abs(a - b) for a, b in zip(f1, f2)]
-        return TDec(32, self.output_nc, self.decoder_softmax, dtype=self.dtype,
-                    name="TDec")(di, train)
+        cp = TDec(32, self.output_nc, self.decoder_softmax, dtype=self.dtype,
+                  name="TDec")(di, train)
+        if self.decoder_softmax:
+            # ref quirk MATCHED: softmax applied inside TDec (:787-788)
+            # AND again in ChangeFormerV2.forward (:945-946) —
+            # softmax(softmax(logits))
+            cp = jax.nn.softmax(cp, axis=-1)
+        return cp
 
 
 class ChangeFormerV3(_SiamBase):
@@ -506,7 +521,7 @@ class ChangeFormerV4(_SiamBase):
             embed_dims=(32, 64, 128, 320, 512), depths=(3, 3, 4, 12, 3),
             num_heads=(2, 2, 4, 8, 16), mlp_ratios=(2, 2, 2, 2, 2),
             sr_ratios=(8, 4, 2, 1, 1), first_patch=7, first_stride=2,
-            qkv_bias=False, dtype=self.dtype, name="Tenc_x2")
+            qkv_bias=False, norm_eps=1e-5, dtype=self.dtype, name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerX2(256, self.output_nc, self.decoder_softmax,
                                     dtype=self.dtype, name="TDec_x2")(f1, f2, train)

@@ -39,6 +39,7 @@ from stcd_tpu.models.changeformer import (
     MakePrediction,
     ResidualBlock,
     UpsampleConvLayer,
+    drop_path,
 )
 from stcd_tpu.models.gcn_lib import Grapher, act_layer
 
@@ -100,10 +101,7 @@ class FFN(nn.Module):
         h = act_layer(self.act)(h)
         h = _conv_bn(h, c, 1, "fc2", train, self.dtype)
         if train and self.drop_path > 0:
-            keep = 1.0 - self.drop_path
-            mask = jax.random.bernoulli(self.make_rng("dropout"), keep,
-                                        (x.shape[0], 1, 1, 1))
-            h = h * mask / keep
+            h = drop_path(h, self.drop_path, False, self.make_rng("dropout"))
         return h + shortcut
 
 

@@ -74,7 +74,8 @@ class Conv2dBN(nn.Module):
         x = nn.Conv(self.features, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
                     name="conv")(x)
         alpha = self.param("prelu", nn.initializers.constant(0.25), (1,))
-        x = jnp.where(x >= 0, x, alpha * x)
+        # keep the compute dtype: fp32 alpha would promote bf16 activations
+        x = jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
         x = _bn(train, self.dtype, "bn")(x)
         return nn.Dropout(0.6, deterministic=not train, name="do")(x)
 

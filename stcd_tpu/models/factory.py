@@ -35,6 +35,21 @@ def create_model(arch: str, encoder_name: str = "resnet34", encoder_weights=None
     arch_l = arch.lower()
     if arch_l not in _ARCHS:
         raise KeyError(f"Wrong architecture `{arch}`. Available: {sorted(_ARCHS)}")
+    if in_channels != 3:
+        # flax infers conv input channels from the first input, so models
+        # here accept any channel count at init — but silently accepting
+        # the kwarg would skip smp's pretrained first-conv adaptation
+        # (review finding). Loud until that path is wired end-to-end.
+        if encoder_weights is not None:
+            raise NotImplementedError(
+                f"in_channels={in_channels} with pretrained weights needs the "
+                "first-conv adaptation: load via convert.pretrained and apply "
+                "convert.torch_to_flax.patch_first_conv to the payload first.")
+        import logging
+        logging.getLogger(__name__).info(
+            "create_model(in_channels=%d): flax infers input channels from "
+            "the first forward — build your example inputs with %d channels.",
+            in_channels, in_channels)
     if encoder_weights is not None:
         # Resolve eagerly so a bad path fails HERE (the reference loads —
         # or 404s — inside get_encoder, ref encoders/__init__.py:83-86;
@@ -79,20 +94,23 @@ def define_G(net_G: str, n_class: int = 2, embed_dim: int = 64,
         from stcd_tpu.models.snunet import SNUNetECAM
         return SNUNetECAM(out_ch=n_class, dtype=dtype)
 
+    # the reference HARDCODES output_nc=2 for the BIT family regardless of
+    # n_class (ref networks.py:171-184) — matched, so converted reference
+    # checkpoints always fit (review finding)
     if net_G == "base_resnet18":
         from stcd_tpu.models.bit import ResNetCD
-        return ResNetCD(output_nc=n_class, output_sigmoid=False, dtype=dtype)
+        return ResNetCD(output_nc=2, output_sigmoid=False, dtype=dtype)
     if net_G == "base_transformer_pos_s4":
         from stcd_tpu.models.bit import BASETransformer
-        return BASETransformer(output_nc=n_class, token_len=4, resnet_stages_num=4,
+        return BASETransformer(output_nc=2, token_len=4, resnet_stages_num=4,
                                with_pos="learned", dtype=dtype)
     if net_G == "base_transformer_pos_s4_dd8":
         from stcd_tpu.models.bit import BASETransformer
-        return BASETransformer(output_nc=n_class, token_len=4, resnet_stages_num=4,
+        return BASETransformer(output_nc=2, token_len=4, resnet_stages_num=4,
                                with_pos="learned", enc_depth=1, dec_depth=8, dtype=dtype)
     if net_G == "base_transformer_pos_s4_dd8_dedim8":
         from stcd_tpu.models.bit import BASETransformer
-        return BASETransformer(output_nc=n_class, token_len=4, resnet_stages_num=4,
+        return BASETransformer(output_nc=2, token_len=4, resnet_stages_num=4,
                                with_pos="learned", enc_depth=1, dec_depth=8,
                                decoder_dim_head=8, dtype=dtype)
 

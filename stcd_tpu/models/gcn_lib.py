@@ -76,11 +76,17 @@ def knn_graph(x: jax.Array, y: jax.Array, k: int, dilation: int = 1,
               rel_pos: Optional[jax.Array] = None) -> jax.Array:
     """Dense dilated KNN: indices (B, N, k) of each x-node's neighbors in y.
 
-    Similarity = -||x_i - y_j||^2 (+ relative-pos bias), computed as one
-    MXU matmul; top (k*dilation) then stride-dilation selection.
+    Similarity = -||x_i - y_j||^2 over L2-NORMALIZED features (public
+    gcn_lib DenseDilatedKnnGraph applies F.normalize(x, p=2, dim=1) to
+    both node sets before the distance — review finding; the ranking is
+    not scale-invariant without it) + relative-pos bias, computed as one
+    MXU matmul; top (k*dilation) then stride-dilation selection. Only
+    neighbor SELECTION is normalized; gathered features stay raw.
     """
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
+    xf = xf / jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), 1e-12)
+    yf = yf / jnp.maximum(jnp.linalg.norm(yf, axis=-1, keepdims=True), 1e-12)
     x2 = jnp.sum(xf * xf, axis=-1, keepdims=True)  # (B, N, 1)
     y2 = jnp.sum(yf * yf, axis=-1)[:, None, :]  # (B, 1, M)
     sim = 2.0 * jnp.einsum("bnc,bmc->bnm", xf, yf,
@@ -217,7 +223,6 @@ class Grapher(nn.Module):
         out = MPBatchNorm(use_running_average=not train, momentum=0.9,
                            epsilon=1e-5, dtype=jnp.float32, name="fc2_bn")(out)
         if train and self.drop_path > 0:
-            keep = 1.0 - self.drop_path
-            mask = jax.random.bernoulli(self.make_rng("dropout"), keep, (b, 1, 1, 1))
-            out = out * mask / keep
+            from stcd_tpu.models.changeformer import drop_path
+            out = drop_path(out, self.drop_path, False, self.make_rng("dropout"))
         return out + shortcut

@@ -16,12 +16,26 @@ from flax import traverse_util
 
 
 def init_weights(params: Any, rng: jax.Array, init_type: str = "normal",
-                 init_gain: float = 0.02) -> Any:
+                 init_gain: float = 0.02, batch_stats: Any = None) -> Any:
+    """Pass ``batch_stats`` to restrict the N(1, gain) scale perturbation
+    to true BatchNorm gammas: the reference's init_func matches classname
+    'BatchNorm2d' only (networks.py:111-113), leaving LayerNorm weights at
+    exactly 1.0 — but flax LayerNorm params are ALSO named 'scale', so
+    without the batch_stats discriminator every transformer LayerNorm
+    would get noised (review finding)."""
     flat = traverse_util.flatten_dict(params)
+    bn_prefixes = None
+    if batch_stats is not None:
+        # a BN's params at (..., 'bn', 'scale') pair with batch_stats at
+        # (..., 'bn', 'mean'/'var')
+        bn_prefixes = {path[:-1]
+                       for path in traverse_util.flatten_dict(batch_stats)}
     out = {}
     keys = jax.random.split(rng, len(flat))
     for k_rng, (path, value) in zip(keys, sorted(flat.items())):
         name = path[-1]
+        is_bn_scale = (name == "scale"
+                       and (bn_prefixes is None or path[:-1] in bn_prefixes))
         v = value
         if name == "kernel" and hasattr(value, "ndim") and value.ndim >= 2:
             if init_type == "normal":
@@ -40,7 +54,8 @@ def init_weights(params: Any, rng: jax.Array, init_type: str = "normal",
             else:
                 raise NotImplementedError(
                     f"initialization method [{init_type}] is not implemented")
-        elif name == "scale":  # BatchNorm gamma ~ N(1, gain) (ref :106-108)
+        elif is_bn_scale:  # BatchNorm gamma ~ N(1, gain) (ref :111-113);
+            # LayerNorm scales stay exactly 1 like the reference
             v = 1.0 + init_gain * jax.random.normal(k_rng, value.shape, value.dtype)
         elif name == "bias":
             v = jnp.zeros_like(value)

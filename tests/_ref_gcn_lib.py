@@ -63,7 +63,10 @@ class Grapher(nn.Module):
             self.relative_pos = None
 
     def _knn(self, x, y):
-        # x (B,N,C), y (B,M,C) -> (B,N,k') neighbor indices
+        # x (B,N,C), y (B,M,C) -> (B,N,k') neighbor indices; public
+        # gcn_lib L2-normalizes both node sets before the distance
+        x = F.normalize(x, p=2.0, dim=-1)
+        y = F.normalize(y, p=2.0, dim=-1)
         x2 = (x * x).sum(-1, keepdim=True)
         y2 = (y * y).sum(-1).unsqueeze(1)
         sim = 2.0 * torch.bmm(x, y.transpose(1, 2)) - x2 - y2

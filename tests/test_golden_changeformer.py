@@ -94,8 +94,11 @@ def test_reference_changeformer_v5_is_broken_but_ours_runs():
     assert outs[-1].shape == (1, 64, 64, 2)
 
 
-@pytest.mark.parametrize("variant", [1, 2, 3])
-def test_changeformer_v1_v2_v3_forward_parity(variant):
+@pytest.mark.parametrize("variant,softmax", [(1, False), (2, False),
+                                             (3, False), (2, True)])
+def test_changeformer_v1_v2_v3_forward_parity(variant, softmax):
+    """(2, True) pins the ref quirk of applying softmax TWICE in V2:
+    once inside TDec (:787-788), again in forward (:945-946)."""
     from _ref_stubs import load_ref_model_module
     from stcd_tpu.convert import torch_to_flax as conv
     from stcd_tpu.models import changeformer as cf
@@ -103,7 +106,7 @@ def test_changeformer_v1_v2_v3_forward_parity(variant):
     mod = load_ref_model_module("ChangeFormer")
     torch.manual_seed(20 + variant)
     ref = getattr(mod, f"ChangeFormerV{variant}")(
-        input_nc=3, output_nc=2, decoder_softmax=False).eval()
+        input_nc=3, output_nc=2, decoder_softmax=softmax).eval()
 
     rng = np.random.default_rng(20 + variant)
     a = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
@@ -117,7 +120,7 @@ def test_changeformer_v1_v2_v3_forward_parity(variant):
     converter = getattr(conv, f"convert_changeformer_v{variant}")
     params, stats = converter({k: v.numpy() for k, v in ref.state_dict().items()})
     model = getattr(cf, f"ChangeFormerV{variant}")(output_nc=2,
-                                                   decoder_softmax=False)
+                                                   decoder_softmax=softmax)
     ja = jnp.asarray(a.transpose(0, 2, 3, 1))
     jb = jnp.asarray(b.transpose(0, 2, 3, 1))
     template = model.init(jax.random.PRNGKey(0), ja, jb)

@@ -212,3 +212,31 @@ def test_bce_grad_finite_at_saturation():
     # torch-parity: the value clamp is -100 per element
     np.testing.assert_allclose(float(L.bce_loss(jnp.array([0.0]), jnp.array([1.0]))),
                                100.0, atol=1e-4)
+
+
+def test_init_weights_leaves_layernorm_scales_alone():
+    """ref networks.py:111-113 perturbs only BatchNorm2d weights; flax
+    LayerNorm params are also named 'scale', so init_weights must use the
+    batch_stats tree to tell them apart (review finding)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from stcd_tpu.models.init import init_weights
+
+    class Toy(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            x = nn.Dense(4, name="fc")(x)
+            x = nn.LayerNorm(name="ln")(x)
+            x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+            return x
+
+    m = Toy()
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 4)))
+    out = init_weights(v["params"], jax.random.PRNGKey(1), "normal",
+                       batch_stats=v["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(out["ln"]["scale"]), 1.0)
+    assert not np.allclose(np.asarray(out["bn"]["scale"]), 1.0)
+    assert not np.allclose(np.asarray(out["fc"]["kernel"]),
+                           np.asarray(v["params"]["fc"]["kernel"]))

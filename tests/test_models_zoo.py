@@ -199,3 +199,16 @@ def test_define_g_covers_all_reference_keys():
     for k in keys:
         m = define_G(k, n_class=2, embed_dim=64, img_size=64)
         assert m is not None, k
+
+
+def test_bit_family_hardcodes_two_output_channels():
+    """ref networks.py:171-184 passes output_nc=2 for base_resnet18 and
+    every base_transformer_pos_s4* key REGARDLESS of n_class — matched,
+    so converted reference checkpoints always fit (review finding)."""
+    from stcd_tpu.models.factory import define_G
+    m = define_G("base_transformer_pos_s4_dd8", n_class=5)
+    a = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), a, a)
+    out = m.apply(v, a, a)
+    out = out[-1] if isinstance(out, (list, tuple)) else out
+    assert out.shape[-1] == 2
