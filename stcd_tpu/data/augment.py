@@ -91,34 +91,47 @@ def adjust_hue(img, shift):
     return _hsv_to_rgb(hsv)
 
 
-def color_jitter(key: jax.Array, img: jax.Array, brightness: float = 0.5,
-                 contrast: float = 0.5, saturation: float = 0.5,
-                 hue: float = 0.25) -> jax.Array:
-    """torchvision ColorJitter parity: random order, independent factors."""
+def _sample_jitter_params(key: jax.Array, brightness: float = 0.5,
+                          contrast: float = 0.5, saturation: float = 0.5,
+                          hue: float = 0.25):
+    """The ColorJitter random draws (order permutation + four factors)."""
     k_order, kb, kc, ks, kh = jax.random.split(key, 5)
     fb = jax.random.uniform(kb, (), minval=max(0.0, 1 - brightness), maxval=1 + brightness)
     fc = jax.random.uniform(kc, (), minval=max(0.0, 1 - contrast), maxval=1 + contrast)
     fs = jax.random.uniform(ks, (), minval=max(0.0, 1 - saturation), maxval=1 + saturation)
     fh = jax.random.uniform(kh, (), minval=-hue, maxval=hue)
+    perm = jax.random.permutation(k_order, 4)
+    return perm, fb, fc, fs, fh
 
+
+def _apply_color_jitter(img, perm, fb, fc, fs, fh):
     ops = [
         lambda x: adjust_brightness(x, fb),
         lambda x: adjust_contrast(x, fc),
         lambda x: adjust_saturation(x, fs),
         lambda x: adjust_hue(x, fh),
     ]
-    perm = jax.random.permutation(k_order, 4)
 
     # lax.scan over the order (becomes a while loop under vmap). Measured
     # on chip: this form costs ~7.8 ms in the bs=64 SegCD step; UNROLLING
     # the 4 slots was tried in round 2 and is SLOWER (~12.8 ms — the
     # unrolled all-branch selects quadruple the hue evaluations without
-    # the loop's memory locality), so the scan stays.
+    # the loop's memory locality), so the scan stays. (The Pallas fused
+    # path in stcd_tpu.ops.augment_kernel replaces this entirely on TPU.)
     def apply_op(x, idx):
         return jax.lax.switch(idx, ops, x), None
 
     out, _ = jax.lax.scan(apply_op, img, perm)
     return out
+
+
+def color_jitter(key: jax.Array, img: jax.Array, brightness: float = 0.5,
+                 contrast: float = 0.5, saturation: float = 0.5,
+                 hue: float = 0.25) -> jax.Array:
+    """torchvision ColorJitter parity: random order, independent factors."""
+    perm, fb, fc, fs, fh = _sample_jitter_params(
+        key, brightness, contrast, saturation, hue)
+    return _apply_color_jitter(img, perm, fb, fc, fs, fh)
 
 
 def random_grayscale(key: jax.Array, img: jax.Array, p: float = 0.2) -> jax.Array:
@@ -132,16 +145,9 @@ def _gaussian_kernel_1d(sigma: jax.Array, radius: int) -> jax.Array:
     return k / jnp.sum(k)
 
 
-def gaussian_blur(key: jax.Array, img: jax.Array, p: float = 0.5,
-                  sigma_range: Tuple[float, float] = (0.1, 2.0),
-                  radius: int = 5) -> jax.Array:
-    """PIL GaussianBlur(radius=sigma) approximation: separable Gaussian with
-    a fixed-size kernel (static shapes for XLA; radius=5 covers sigma<=2).
-    Edge-replicate padding matches PIL's edge extension — zero padding
-    would darken a radius-wide border on every blurred image."""
-    k_apply, k_sigma = jax.random.split(key)
-    sigma = jax.random.uniform(k_sigma, (), minval=sigma_range[0], maxval=sigma_range[1])
-    kern = _gaussian_kernel_1d(sigma, radius)
+def _apply_gaussian_blur(img: jax.Array, kern: jax.Array) -> jax.Array:
+    """Separable blur by a precomputed (2r+1,) kernel; edge-replicate pad."""
+    radius = kern.shape[0] // 2
     c = img.shape[-1]
     x = img[None] if img.ndim == 3 else img
     # separable depthwise conv: vertical then horizontal, VALID over an
@@ -161,6 +167,20 @@ def gaussian_blur(key: jax.Array, img: jax.Array, p: float = 0.5,
         feature_group_count=c)
     if img.ndim == 3:
         blurred = blurred[0]
+    return blurred
+
+
+def gaussian_blur(key: jax.Array, img: jax.Array, p: float = 0.5,
+                  sigma_range: Tuple[float, float] = (0.1, 2.0),
+                  radius: int = 5) -> jax.Array:
+    """PIL GaussianBlur(radius=sigma) approximation: separable Gaussian with
+    a fixed-size kernel (static shapes for XLA; radius=5 covers sigma<=2).
+    Edge-replicate padding matches PIL's edge extension — zero padding
+    would darken a radius-wide border on every blurred image."""
+    k_apply, k_sigma = jax.random.split(key)
+    sigma = jax.random.uniform(k_sigma, (), minval=sigma_range[0], maxval=sigma_range[1])
+    kern = _gaussian_kernel_1d(sigma, radius)
+    blurred = _apply_gaussian_blur(img, kern)
     return jnp.where(jax.random.uniform(k_apply) < p, blurred, img)
 
 
@@ -182,22 +202,102 @@ def to_float01(img: jax.Array) -> jax.Array:
     return img
 
 
+def sample_augment_params(key: jax.Array, jitter_p: float,
+                          jitter_apply: Optional[jax.Array] = None,
+                          blur_radius: int = 5) -> dict:
+    """All random draws for one image's train-time pipeline, with the exact
+    key-split structure of the fused application paths so the jnp and
+    Pallas backends consume identical parameters."""
+    k1, k1p, k2, k3 = jax.random.split(key, 4)
+    perm, fb, fc, fs, fh = _sample_jitter_params(k1)
+    if jitter_apply is None:
+        jitter_apply = jax.random.uniform(k1p) < jitter_p
+    gray_apply = jax.random.uniform(k2) < 0.2
+    k_apply, k_sigma = jax.random.split(k3)
+    sigma = jax.random.uniform(k_sigma, (), minval=0.1, maxval=2.0)
+    return {
+        "perm": perm,
+        "factors": jnp.stack([fb, fc, fs, fh]),
+        "jitter_apply": jitter_apply,
+        "gray_apply": gray_apply,
+        "blur_apply": jax.random.uniform(k_apply) < 0.5,
+        "blur_kern": _gaussian_kernel_1d(sigma, blur_radius),
+    }
+
+
+def apply_augment_reference(img: jax.Array, p: dict) -> jax.Array:
+    """Pure-jnp application of sampled params (HWC). Bit-identical to the
+    historical inline pipeline; the golden reference for the Pallas path."""
+    f = p["factors"]
+    jittered = _apply_color_jitter(img, p["perm"], f[0], f[1], f[2], f[3])
+    img = jnp.where(p["jitter_apply"], jittered, img)
+    gray = jnp.broadcast_to(_grayscale(img), img.shape)
+    img = jnp.where(p["gray_apply"], gray, img)
+    img = jnp.where(p["blur_apply"], _apply_gaussian_blur(img, p["blur_kern"]),
+                    img)
+    return normalize(img)
+
+
 def _train_augment_single(key: jax.Array, img: jax.Array, jitter_p: float,
                           jitter_apply: Optional[jax.Array] = None) -> jax.Array:
     """One image: ColorJitter gated by its own coin (or by a precomputed
     `jitter_apply` bool when the coin is shared across a temporal pair),
     then per-image grayscale + blur, then normalize."""
-    k1, k1p, k2, k3 = jax.random.split(key, 4)
-    jittered = color_jitter(k1, img)
+    return apply_augment_reference(
+        img, sample_augment_params(key, jitter_p, jitter_apply))
+
+
+# --- backend dispatch -------------------------------------------------------
+# "auto" uses the fused Pallas kernel (stcd_tpu.ops.augment_kernel) for
+# batched NHWC inputs on TPU — one HBM pass instead of the scan/switch
+# chain (~7.8 ms of the bs=64 SegCD step) — and the pure-jnp path
+# everywhere else. set_pallas_augment("on"/"off") overrides.
+_PALLAS_MODE = "auto"
+
+
+def set_pallas_augment(mode: str) -> None:
+    global _PALLAS_MODE
+    assert mode in ("auto", "on", "off"), mode
+    _PALLAS_MODE = mode
+
+
+def _use_pallas(img: jax.Array) -> bool:
+    if _PALLAS_MODE == "off":
+        return False
+    if img.ndim != 4 or img.shape[-1] != 3:
+        return False
+    if _PALLAS_MODE == "on":
+        return True
+    # auto: TPU only, and whole-image VMEM blocks up to 512x512.
+    return (jax.default_backend() == "tpu"
+            and img.shape[1] * img.shape[2] <= 512 * 512)
+
+
+def _batched_params(keys: jax.Array, jitter_p: float,
+                    jitter_apply: Optional[jax.Array] = None) -> dict:
     if jitter_apply is None:
-        jitter_apply = jax.random.uniform(k1p) < jitter_p
-    img = jnp.where(jitter_apply, jittered, img)
-    img = random_grayscale(k2, img)
-    img = gaussian_blur(k3, img)
-    return normalize(img)
+        return jax.vmap(lambda k: sample_augment_params(k, jitter_p))(keys)
+    return jax.vmap(
+        lambda k, ja: sample_augment_params(k, jitter_p, ja)
+    )(keys, jitter_apply)
 
 
-@functools.partial(jax.jit, static_argnames=("jitter_p",))
+def _apply_batch(imgs: jax.Array, params: dict, use_pallas: bool) -> jax.Array:
+    if use_pallas:
+        from stcd_tpu.ops.augment_kernel import apply_augment_batch
+        return apply_augment_batch(
+            imgs, params, interpret=jax.default_backend() != "tpu")
+    return jax.vmap(apply_augment_reference)(to_float01(imgs), params)
+
+
+@functools.partial(jax.jit, static_argnames=("jitter_p", "use_pallas"))
+def _train_augment_impl(key, img, jitter_p, use_pallas):
+    if img.ndim == 4:
+        keys = jax.random.split(key, img.shape[0])
+        return _apply_batch(img, _batched_params(keys, jitter_p), use_pallas)
+    return _train_augment_single(key, to_float01(img), jitter_p)
+
+
 def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.Array:
     """The reference's train-time pipeline (ref data/dataset.py:404-411):
     ColorJitter p=0.5 -> RandomGrayscale p=0.2 -> blur p=0.5 ->
@@ -207,12 +307,7 @@ def train_augment(key: jax.Array, img: jax.Array, jitter_p: float = 0.5) -> jax.
     coins/factors. A batched input is therefore vmapped over per-sample
     keys (one shared draw per batch would collapse augmentation diversity
     by the batch size)."""
-    img = to_float01(img)
-    if img.ndim == 4:
-        keys = jax.random.split(key, img.shape[0])
-        return jax.vmap(
-            lambda k, x: _train_augment_single(k, x, jitter_p))(keys, img)
-    return _train_augment_single(key, img, jitter_p)
+    return _train_augment_impl(key, img, jitter_p, _use_pallas(img))
 
 
 def _train_augment_pair_single(key: jax.Array, a: jax.Array, b: jax.Array,
@@ -223,7 +318,25 @@ def _train_augment_pair_single(key: jax.Array, a: jax.Array, b: jax.Array,
             _train_augment_single(kb, b, jitter_p, apply))
 
 
-@functools.partial(jax.jit, static_argnames=("jitter_p",))
+@functools.partial(jax.jit, static_argnames=("jitter_p", "use_pallas"))
+def _train_augment_pair_impl(key, a, b, jitter_p, use_pallas):
+    if a.ndim == 4:
+        keys = jax.random.split(key, a.shape[0])
+        k_shared = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+        shared_coin = jax.vmap(
+            lambda k: jax.random.uniform(k[0]) < jitter_p)(k_shared)
+        pa = _batched_params(k_shared[:, 1], jitter_p, shared_coin)
+        pb = _batched_params(k_shared[:, 2], jitter_p, shared_coin)
+        n = a.shape[0]
+        both = _apply_batch(
+            jnp.concatenate([a, b], axis=0),
+            jax.tree.map(lambda x, y: jnp.concatenate([x, y], axis=0), pa, pb),
+            use_pallas)
+        return both[:n], both[n:]
+    return _train_augment_pair_single(key, to_float01(a), to_float01(b),
+                                      jitter_p)
+
+
 def train_augment_pair(key: jax.Array, a: jax.Array, b: jax.Array,
                        jitter_p: float = 0.5):
     """Bi-temporal pair augmentation: ONE shared ColorJitter apply-coin
@@ -234,13 +347,7 @@ def train_augment_pair(key: jax.Array, a: jax.Array, b: jax.Array,
     per-image (ref :244-247). The stage-3 synthesized pair (CA, CB) uses
     jitter_p=0.8 (ref :354-356/525-527). Inputs [0,1] float (or uint8),
     HWC or NHWC (batched -> per-sample coins via vmap)."""
-    a, b = to_float01(a), to_float01(b)
-    if a.ndim == 4:
-        keys = jax.random.split(key, a.shape[0])
-        return jax.vmap(
-            lambda k, x, y: _train_augment_pair_single(k, x, y, jitter_p)
-        )(keys, a, b)
-    return _train_augment_pair_single(key, a, b, jitter_p)
+    return _train_augment_pair_impl(key, a, b, jitter_p, _use_pallas(a))
 
 
 def eval_preprocess(img: jax.Array) -> jax.Array:
