@@ -37,16 +37,25 @@ from stcd_tpu.convert.torch_to_flax import (
     convert_timm_efficientnet,
     convert_mobilenet_v2,
     convert_mobilenet_v3,
+    convert_mobileone,
     convert_resnet,
     convert_senet,
     convert_unetseg,
+    convert_vgg,
     convert_vgg16_features,
     load_torch_state_dict,
 )
 
 _LAYERS = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
            "resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
-           "resnet152": (3, 8, 36, 3)}
+           "resnet152": (3, 8, 36, 3),
+           # resnext (torchvision/Instagram-WSL): identical key layout —
+           # convert_resnet is shape-driven, kernels carry the group widths
+           "resnext50_32x4d": (3, 4, 6, 3), "resnext101_32x4d": (3, 4, 23, 3),
+           "resnext101_32x8d": (3, 4, 23, 3),
+           "resnext101_32x16d": (3, 4, 23, 3),
+           "resnext101_32x32d": (3, 4, 23, 3),
+           "resnext101_32x48d": (3, 4, 23, 3)}
 
 _EFFNETS = [f"efficientnet-b{i}" for i in range(8)]
 _TIMM_EFFNETS = [f"timm-efficientnet-b{i}" for i in range(9)] + \
@@ -58,12 +67,18 @@ _SENETS = ["se_resnet50", "se_resnet101", "se_resnet152",
            "se_resnext50_32x4d", "se_resnext101_32x4d", "senet154"]
 _DENSENETS = ["densenet121", "densenet161", "densenet169", "densenet201"]
 _MITS = [f"mit_b{i}" for i in range(6)]
+_MOBILEONES = [f"mobileone_s{i}" for i in range(5)]
+_VGGS = [f"vgg{n}{sfx}" for n in (11, 13, 16, 19) for sfx in ("", "_bn")]
 
 
 def convert(arch: str, sd) -> dict:
     """Dispatch an arch name to its converter; returns the msgpack payload."""
-    if arch == "vgg16":
+    if arch == "vgg16_features":
+        # DSIFN's vgg16_base tap extractor (NOT the smp encoder tree)
         return {"params": convert_vgg16_features(sd)}
+    if arch in _VGGS:
+        params, stats = convert_vgg(sd)
+        return {"params": params, "batch_stats": stats}
     if arch.startswith("segcd_"):
         params, stats = convert_unetseg(sd, _LAYERS[arch[len("segcd_"):]])
         return {"params": params, "batch_stats": stats}
@@ -92,16 +107,21 @@ def convert(arch: str, sd) -> dict:
         return {"params": params, "batch_stats": stats}
     if arch in _MITS:
         return {"params": convert_mix_transformer(sd)}
+    if arch in _MOBILEONES:
+        params, stats = convert_mobileone(sd)
+        return {"params": params, "batch_stats": stats}
     raise KeyError(arch)
 
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("arch", choices=(list(_LAYERS) + ["vgg16"]
+    p.add_argument("arch", choices=(list(_LAYERS) + ["vgg16_features"]
+                                    + _VGGS
                                     + [f"segcd_{n}" for n in _LAYERS]
                                     + _EFFNETS + _TIMM_EFFNETS
                                     + ["mobilenet_v2"] + _MV3
-                                    + _SENETS + _DENSENETS + _MITS))
+                                    + _SENETS + _DENSENETS + _MITS
+                                    + _MOBILEONES))
     p.add_argument("torch_path")
     p.add_argument("out_path")
     args = p.parse_args()

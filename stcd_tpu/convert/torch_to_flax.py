@@ -1397,3 +1397,81 @@ def convert_mix_transformer(sd: Dict[str, Any]) -> dict:
             }
         mit[f"norm{i}"] = _ln(sd, f"norm{i}")
     return {"mit": mit}
+
+
+def _mobileone_block(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """One train-form (unfused) MobileOneBlock: rbr_conv branches +
+    optional rbr_scale / rbr_skip / SE (ref encoders/mobileone.py:75-153).
+    Branch/scale/skip presence is inferred from the keys themselves."""
+    p: dict = {}
+    s: dict = {}
+    i = 0
+    while f"{prefix}.rbr_conv.{i}.conv.weight" in sd:
+        p[f"branch{i}_conv"] = {
+            "kernel": _conv(sd[f"{prefix}.rbr_conv.{i}.conv.weight"])}
+        p[f"branch{i}_bn"], s[f"branch{i}_bn"] = _bn(
+            sd, f"{prefix}.rbr_conv.{i}.bn")
+        i += 1
+    if f"{prefix}.rbr_scale.conv.weight" in sd:
+        p["scale_conv"] = {"kernel": _conv(sd[f"{prefix}.rbr_scale.conv.weight"])}
+        p["scale_bn"], s["scale_bn"] = _bn(sd, f"{prefix}.rbr_scale.bn")
+    if f"{prefix}.rbr_skip.weight" in sd:
+        p["identity_bn"], s["identity_bn"] = _bn(sd, f"{prefix}.rbr_skip")
+    if f"{prefix}.se.reduce.weight" in sd:
+        p["se_fc1"] = {"kernel": _conv(sd[f"{prefix}.se.reduce.weight"]),
+                       "bias": np.asarray(sd[f"{prefix}.se.reduce.bias"])}
+        p["se_fc2"] = {"kernel": _conv(sd[f"{prefix}.se.expand.weight"]),
+                       "bias": np.asarray(sd[f"{prefix}.se.expand.bias"])}
+    return p, s
+
+
+def convert_mobileone(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """Official/smp-vendored MobileOne TRAIN-form (unfused) state_dict ->
+    MobileOneEncoder params/batch_stats (ref encoders/mobileone.py:
+    stage0 stem + stage1..4 alternating depthwise/pointwise block pairs).
+    Fused inference-form checkpoints (reparam_conv.* keys) are rejected:
+    the encoder trains with the over-parameterized branches."""
+    if any(k.endswith("reparam_conv.weight") for k in sd):
+        raise ValueError(
+            "fused (inference-form) MobileOne checkpoint: convert the "
+            "unfused train-form weights instead (reparam_conv.* found)")
+    params: dict = {}
+    stats: dict = {}
+    params["stem"], stats["stem"] = _mobileone_block(sd, "stage0")
+    for si in range(1, 5):
+        b = 0
+        while f"stage{si}.{2 * b}.rbr_conv.0.conv.weight" in sd:
+            bp: dict = {}
+            bs: dict = {}
+            for part, idx in (("dw", 2 * b), ("pw", 2 * b + 1)):
+                bp[part], bs[part] = _mobileone_block(sd, f"stage{si}.{idx}")
+            params[f"stage{si}_block{b}"] = bp
+            stats[f"stage{si}_block{b}"] = bs
+            b += 1
+    return params, stats
+
+
+def convert_vgg(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """torchvision VGG11/13/16/19 (+_bn) state_dict -> VGGEncoder
+    params/batch_stats (ref encoders/vgg.py wraps torchvision make_layers;
+    our encoder numbers convs sequentially as conv0.. with optional bnN).
+    Walks features.* in index order: 4D weights are convs; a following
+    features.{i+1}.running_mean marks the _bn variant. classifier.* keys
+    (absent from the encoder) are ignored."""
+    params: dict = {}
+    stats: dict = {}
+    conv_idx = 0
+    idxs = sorted({int(k.split(".")[1]) for k in sd
+                   if k.startswith("features.")})
+    for i in idxs:
+        w = sd.get(f"features.{i}.weight")
+        if w is None or np.asarray(w).ndim != 4:
+            continue
+        params[f"conv{conv_idx}"] = {
+            "kernel": _conv(w),
+            "bias": np.asarray(sd[f"features.{i}.bias"])}
+        if f"features.{i + 1}.running_mean" in sd:
+            params[f"bn{conv_idx}"], stats[f"bn{conv_idx}"] = _bn(
+                sd, f"features.{i + 1}")
+        conv_idx += 1
+    return params, stats

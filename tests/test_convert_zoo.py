@@ -373,3 +373,108 @@ def test_convert_mit_b0_golden_vs_reference():
         np.testing.assert_allclose(
             np.asarray(got[i + 2]).transpose(0, 3, 1, 2), w.numpy(),
             atol=5e-4, rtol=1e-3, err_msg=f"stage {i}")
+
+
+@pytest.mark.parametrize("arch", ["mobileone_s0", "mobileone_s4"])
+def test_convert_mobileone_reference_state_dict(arch):
+    """Strongest converter golden in the zoo: the reference's own vendored
+    MobileOne (encoders/mobileone.py, torch-only, loads standalone)
+    provides BOTH the real state_dict keys and the golden forward."""
+    import os
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    from _ref_stubs import load_ref_smp_file
+    from stcd_tpu.convert.torch_to_flax import convert_mobileone
+    from stcd_tpu.encoders import get_encoder
+
+    mod = load_ref_smp_file("encoders.mobileone")
+    cfg = {"mobileone_s0": dict(width_multipliers=(0.75, 1.0, 1.0, 2.0),
+                                num_conv_branches=4, use_se=False),
+           "mobileone_s4": dict(width_multipliers=(3.0, 3.5, 3.5, 4.0),
+                                num_conv_branches=1, use_se=True)}[arch]
+    torch.manual_seed(23)
+    ref = mod.MobileOne(out_channels=(3, 0, 0, 0, 0, 0), depth=5, **cfg)
+    twins._randomize_bn(ref)
+    ref.eval()
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    params, stats = convert_mobileone(sd)
+    rng = np.random.default_rng(24)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    enc, _ = get_encoder(arch)
+    got = enc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    for g, w in zip(got[1:], want[1:]):
+        np.testing.assert_allclose(np.asarray(g),
+                                   w.detach().numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-2, rtol=1e-3)
+
+
+def test_convert_mobileone_rejects_fused():
+    from stcd_tpu.convert.torch_to_flax import convert_mobileone
+    with pytest.raises(ValueError, match="reparam_conv"):
+        convert_mobileone({"stage0.reparam_conv.weight": np.zeros((8, 3, 3, 3))})
+
+
+_VGG_CFGS = {
+    "vgg11": (64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"),
+    "vgg13": (64, 64, "M", 128, 128, "M", 256, 256, "M", 512, 512, "M",
+              512, 512, "M"),
+}
+
+
+@pytest.mark.parametrize("arch,bn", [("vgg11", False), ("vgg13", True)])
+def test_convert_vgg_upstream_keys(arch, bn):
+    """torchvision make_layers twin (mechanical: Conv/BN/ReLU/MaxPool per
+    cfg letter) emitted under the real `features.N` indices -> convert_vgg
+    -> forward parity with our VGGEncoder at every pyramid level."""
+    import torch.nn as tnn
+    from stcd_tpu.convert.torch_to_flax import convert_vgg
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(31)
+    layers = []
+    in_c = 3
+    for v in _VGG_CFGS[arch]:
+        if v == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            layers.append(tnn.Conv2d(in_c, v, 3, padding=1))
+            if bn:
+                layers.append(tnn.BatchNorm2d(v))
+            layers.append(tnn.ReLU(inplace=True))
+            in_c = v
+    feats = tnn.Sequential(*layers)
+    twins._randomize_bn(feats)
+    feats.eval()
+
+    sd = {f"features.{k}": v.numpy() for k, v in feats.state_dict().items()}
+    params, stats = convert_vgg(sd)
+
+    rng = np.random.default_rng(32)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    want = []
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        for m in feats:
+            if isinstance(m, tnn.MaxPool2d):
+                want.append(h)
+            h = m(h)
+        want.append(h)  # after the final pool
+
+    enc, _ = get_encoder(arch + ("_bn" if bn else ""))
+    variables = {"params": jax.tree_util.tree_map(jnp.asarray, params)}
+    if stats:
+        variables["batch_stats"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    got = enc.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                    train=False)
+    assert len(got) == len(want) == 6
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g),
+                                   w.numpy().transpose(0, 2, 3, 1),
+                                   atol=1e-4, rtol=1e-4,
+                                   err_msg=f"{arch} stage {i}")
