@@ -12,14 +12,23 @@ $STCD_PRETRAINED_DIR/{encoder_name}.msgpack and every training script's
 --encoder_weights imagenet (or create_model(encoder_weights="imagenet"))
 resolves it automatically (stcd_tpu.convert.pretrained).
 
-Covered families (VERDICT r1 item 5 set): resnet18..152 + vgg16
-(torchvision), efficientnet-b0..b7 (efficientnet_pytorch naming),
-timm-efficientnet-b0..b8/l2 + timm-tf_efficientnet_lite0..4 (timm naming),
-mobilenet_v2 (torchvision), timm-mobilenetv3_* (timm naming),
-se_resnet50/101/152 + se_resnext50/101_32x4d + senet154
-(pretrainedmodels naming), densenet121/161/169/201 (torchvision incl.
-legacy key renames), mit_b0..b5 (SegFormer naming), plus full
-reference-trained segcd_* checkpoints.
+Covered families: resnet18..152 + resnext50/101 (torchvision/Instagram
+naming), vgg11/13/16/19 ± _bn (torchvision; `vgg16_features` emits the
+DSIFN tap-extractor tree instead), efficientnet-b0..b7
+(efficientnet_pytorch naming), timm-efficientnet-b0..b8/l2 +
+timm-tf_efficientnet_lite0..4 (timm naming), mobilenet_v2 (torchvision),
+timm-mobilenetv3_* (timm naming), se_resnet50/101/152 +
+se_resnext50/101_32x4d + senet154 (pretrainedmodels naming),
+densenet121/161/169/201 (torchvision incl. legacy key renames),
+mit_b0..b5 (SegFormer naming), mobileone_s0..s4 (official train-form,
+golden vs the reference's own vendored code), timm-res2net*/res2next50,
+timm-resnest*, timm-skresnet18/34 + timm-skresnext50_32x4d,
+timm-regnetx/y_002..320, timm-gernet_s/m/l (timm 0.6.x naming),
+dpn68..131 (pretrainedmodels naming), plus full reference-trained
+segcd_* checkpoints. Not covered: xception, inceptionv4,
+inceptionresnetv2 (no forward-parity twin exists to validate a converter
+against on this zero-egress host — get_encoder raises loudly on weights
+for them).
 """
 
 import argparse
@@ -35,9 +44,15 @@ from stcd_tpu.convert.torch_to_flax import (
     convert_efficientnet,
     convert_mix_transformer,
     convert_timm_efficientnet,
+    convert_dpn,
     convert_mobilenet_v2,
     convert_mobilenet_v3,
     convert_mobileone,
+    convert_timm_gernet,
+    convert_timm_regnet,
+    convert_timm_res2net,
+    convert_timm_resnest,
+    convert_timm_sknet,
     convert_resnet,
     convert_senet,
     convert_unetseg,
@@ -69,6 +84,17 @@ _DENSENETS = ["densenet121", "densenet161", "densenet169", "densenet201"]
 _MITS = [f"mit_b{i}" for i in range(6)]
 _MOBILEONES = [f"mobileone_s{i}" for i in range(5)]
 _VGGS = [f"vgg{n}{sfx}" for n in (11, 13, 16, 19) for sfx in ("", "_bn")]
+_RES2NETS = (["timm-res2net50_" + v for v in
+              ("14w_8s", "26w_4s", "26w_6s", "26w_8s", "48w_2s")]
+             + ["timm-res2net101_26w_4s", "timm-res2next50"])
+_RESNESTS = (["timm-resnest" + v for v in
+              ("14d", "26d", "50d", "101e", "200e", "269e")]
+             + ["timm-resnest50d_1s4x24d", "timm-resnest50d_4s2x40d"])
+_SKNETS = ["timm-skresnet18", "timm-skresnet34", "timm-skresnext50_32x4d"]
+_REGNETS = [f"timm-regnet{xy}_{w:03d}" for xy in "xy"
+            for w in (2, 4, 6, 8, 16, 32, 40, 64, 80, 120, 160, 320)]
+_GERNETS = ["timm-gernet_s", "timm-gernet_m", "timm-gernet_l"]
+_DPNS = ["dpn68", "dpn68b", "dpn92", "dpn98", "dpn107", "dpn131"]
 
 
 def convert(arch: str, sd) -> dict:
@@ -110,6 +136,24 @@ def convert(arch: str, sd) -> dict:
     if arch in _MOBILEONES:
         params, stats = convert_mobileone(sd)
         return {"params": params, "batch_stats": stats}
+    if arch in _RES2NETS:
+        params, stats = convert_timm_res2net(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _RESNESTS:
+        params, stats = convert_timm_resnest(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _SKNETS:
+        params, stats = convert_timm_sknet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _REGNETS:
+        params, stats = convert_timm_regnet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _GERNETS:
+        params, stats = convert_timm_gernet(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch in _DPNS:
+        params, stats = convert_dpn(sd)
+        return {"params": params, "batch_stats": stats}
     raise KeyError(arch)
 
 
@@ -121,7 +165,8 @@ def main():
                                     + _EFFNETS + _TIMM_EFFNETS
                                     + ["mobilenet_v2"] + _MV3
                                     + _SENETS + _DENSENETS + _MITS
-                                    + _MOBILEONES))
+                                    + _MOBILEONES + _RES2NETS + _RESNESTS
+                                    + _SKNETS + _REGNETS + _GERNETS + _DPNS))
     p.add_argument("torch_path")
     p.add_argument("out_path")
     args = p.parse_args()

@@ -1475,3 +1475,255 @@ def convert_vgg(sd: Dict[str, Any]) -> Tuple[dict, dict]:
                 sd, f"features.{i + 1}")
         conv_idx += 1
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# timm / pretrainedmodels encoder families (round-2 zoo completion).
+# Naming follows the upstream checkpoints the reference's
+# pretrained_settings URL tables serve (timm 0.6.x / Cadene
+# pretrainedmodels); validated structurally against the forward-parity
+# twins in tests/test_convert_zoo.py (timm itself is absent on this host).
+# ---------------------------------------------------------------------------
+
+
+def _conv_entry(sd, key, bias_key=None):
+    e = {"kernel": _conv(sd[key])}
+    if bias_key is not None and bias_key in sd:
+        e["bias"] = np.asarray(sd[bias_key])
+    return e
+
+
+def _conv_bias(sd, prefix, out_if_missing=True):
+    """Conv with a bias our flax module declares; upstream variants that
+    drop the bias are mapped to zeros (mathematically identical)."""
+    e = {"kernel": _conv(sd[prefix + ".weight"])}
+    if prefix + ".bias" in sd:
+        e["bias"] = np.asarray(sd[prefix + ".bias"])
+    elif out_if_missing:
+        e["bias"] = np.zeros(e["kernel"].shape[-1], np.float32)
+    return e
+
+
+def convert_timm_res2net(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm res2net50/101_26w_*s + res2next50 -> TimmResNetEncoder
+    (Bottle2neck: conv1/bn1, convs.N/bns.N hierarchy, conv3/bn3,
+    Sequential downsample)."""
+    p: dict = {"stem_conv1": _conv_entry(sd, "conv1.weight")}
+    s: dict = {}
+    p["stem_bn1"], s["stem_bn1"] = _bn(sd, "bn1")
+    for li in range(1, 5):
+        b = 0
+        while f"layer{li}.{b}.conv1.weight" in sd:
+            base = f"layer{li}.{b}"
+            bp = {"conv1": _conv_entry(sd, f"{base}.conv1.weight"),
+                  "conv3": _conv_entry(sd, f"{base}.conv3.weight")}
+            bs: dict = {}
+            bp["bn1"], bs["bn1"] = _bn(sd, f"{base}.bn1")
+            bp["bn3"], bs["bn3"] = _bn(sd, f"{base}.bn3")
+            i = 0
+            while f"{base}.convs.{i}.weight" in sd:
+                bp[f"conv2_{i}"] = _conv_entry(sd, f"{base}.convs.{i}.weight")
+                bp[f"bn2_{i}"], bs[f"bn2_{i}"] = _bn(sd, f"{base}.bns.{i}")
+                i += 1
+            if f"{base}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv_entry(
+                    sd, f"{base}.downsample.0.weight")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{base}.downsample.1")
+            p[f"layer{li}_block{b}"] = bp
+            s[f"layer{li}_block{b}"] = bs
+            b += 1
+    return p, s
+
+
+def convert_timm_resnest(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm resnest14d..269e (+4s2x40d/1s4x24d) -> TimmResNetEncoder
+    (deep 3-conv stem under conv1.{0,3,6}+bn1; SplAtConv2d conv2 subtree;
+    avg_down downsample at Sequential indices 1/2)."""
+    p: dict = {}
+    s: dict = {}
+    for i, (ck, bk) in enumerate((("conv1.0", "conv1.1"),
+                                  ("conv1.3", "conv1.4"),
+                                  ("conv1.6", "bn1"))):
+        p[f"stem_conv{i + 1}"] = _conv_entry(sd, ck + ".weight")
+        p[f"stem_bn{i + 1}"], s[f"stem_bn{i + 1}"] = _bn(sd, bk)
+    for li in range(1, 5):
+        b = 0
+        while f"layer{li}.{b}.conv1.weight" in sd:
+            base = f"layer{li}.{b}"
+            bp = {"conv1": _conv_entry(sd, f"{base}.conv1.weight"),
+                  "conv3": _conv_entry(sd, f"{base}.conv3.weight")}
+            bs: dict = {}
+            bp["bn1"], bs["bn1"] = _bn(sd, f"{base}.bn1")
+            bp["bn3"], bs["bn3"] = _bn(sd, f"{base}.bn3")
+            c2p = {"conv": _conv_entry(sd, f"{base}.conv2.conv.weight"),
+                   "fc1": _conv_bias(sd, f"{base}.conv2.fc1"),
+                   "fc2": _conv_bias(sd, f"{base}.conv2.fc2")}
+            c2s: dict = {}
+            c2p["bn0"], c2s["bn0"] = _bn(sd, f"{base}.conv2.bn0")
+            c2p["bn1"], c2s["bn1"] = _bn(sd, f"{base}.conv2.bn1")
+            bp["conv2"], bs["conv2"] = c2p, c2s
+            if f"{base}.downsample.1.weight" in sd:
+                bp["downsample_conv"] = _conv_entry(
+                    sd, f"{base}.downsample.1.weight")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{base}.downsample.2")
+            p[f"layer{li}_block{b}"] = bp
+            s[f"layer{li}_block{b}"] = bs
+            b += 1
+    return p, s
+
+
+def _sk_subtree(sd: Dict[str, Any], base: str) -> Tuple[dict, dict]:
+    """timm SelectiveKernel (paths.N ConvNormAct + SelectiveKernelAttn)."""
+    p: dict = {}
+    s: dict = {}
+    for i in (0, 1):
+        p[f"path{i}_conv"] = _conv_entry(sd, f"{base}.paths.{i}.conv.weight")
+        p[f"path{i}_bn"], s[f"path{i}_bn"] = _bn(sd, f"{base}.paths.{i}.bn")
+    p["attn_fc1"] = _conv_entry(sd, f"{base}.attn.fc_reduce.weight")
+    p["attn_bn"], s["attn_bn"] = _bn(sd, f"{base}.attn.bn")
+    p["attn_fc2"] = _conv_bias(sd, f"{base}.attn.fc_select")
+    return p, s
+
+
+def convert_timm_sknet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm skresnet18/34 (SelectiveKernelBasic: SK at conv1, ConvNormAct
+    conv2) and skresnext50_32x4d (SelectiveKernelBottleneck: ConvNormAct
+    conv1/conv3, SK at conv2) -> TimmResNetEncoder."""
+    p: dict = {"stem_conv1": _conv_entry(sd, "conv1.weight")}
+    s: dict = {}
+    p["stem_bn1"], s["stem_bn1"] = _bn(sd, "bn1")
+    bottleneck = "layer1.0.conv3.conv.weight" in sd
+    for li in range(1, 5):
+        b = 0
+        while (f"layer{li}.{b}.conv1.conv.weight" in sd
+               or f"layer{li}.{b}.conv1.paths.0.conv.weight" in sd):
+            base = f"layer{li}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            if bottleneck:
+                bp["conv1"] = _conv_entry(sd, f"{base}.conv1.conv.weight")
+                bp["bn1"], bs["bn1"] = _bn(sd, f"{base}.conv1.bn")
+                bp["sk"], bs["sk"] = _sk_subtree(sd, f"{base}.conv2")
+                bp["conv3"] = _conv_entry(sd, f"{base}.conv3.conv.weight")
+                bp["bn3"], bs["bn3"] = _bn(sd, f"{base}.conv3.bn")
+            else:
+                bp["sk"], bs["sk"] = _sk_subtree(sd, f"{base}.conv1")
+                bp["conv2"] = _conv_entry(sd, f"{base}.conv2.conv.weight")
+                bp["bn2"], bs["bn2"] = _bn(sd, f"{base}.conv2.bn")
+            if f"{base}.downsample.0.weight" in sd:
+                bp["downsample_conv"] = _conv_entry(
+                    sd, f"{base}.downsample.0.weight")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{base}.downsample.1")
+            p[f"layer{li}_block{b}"] = bp
+            s[f"layer{li}_block{b}"] = bs
+            b += 1
+    return p, s
+
+
+def convert_timm_regnet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm regnetx/y_002..320 -> RegNetEncoder (stages s1..s4, blocks
+    b1.. 1-indexed; ConvNormAct conv1/2/3; SEModule fc1/fc2 in regnety;
+    ConvNormAct downsample)."""
+    p: dict = {"stem_conv": _conv_entry(sd, "stem.conv.weight")}
+    s: dict = {}
+    p["stem_bn"], s["stem_bn"] = _bn(sd, "stem.bn")
+    for si in range(1, 5):
+        b = 1
+        while f"s{si}.b{b}.conv1.conv.weight" in sd:
+            base = f"s{si}.b{b}"
+            bp: dict = {}
+            bs: dict = {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = _conv_entry(sd, f"{base}.conv{ci}.conv.weight")
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = _bn(sd, f"{base}.conv{ci}.bn")
+            if f"{base}.se.fc1.weight" in sd:
+                bp["se_fc1"] = _conv_bias(sd, f"{base}.se.fc1")
+                bp["se_fc2"] = _conv_bias(sd, f"{base}.se.fc2")
+            if f"{base}.downsample.conv.weight" in sd:
+                bp["downsample_conv"] = _conv_entry(
+                    sd, f"{base}.downsample.conv.weight")
+                bp["downsample_bn"], bs["downsample_bn"] = _bn(
+                    sd, f"{base}.downsample.bn")
+            p[f"stage{si}_block{b - 1}"] = bp
+            s[f"stage{si}_block{b - 1}"] = bs
+            b += 1
+    return p, s
+
+
+def convert_timm_gernet(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """timm gernet_s/m/l (ByobNet: ConvNormAct stem/final_conv; stages.S.B
+    basic blocks conv1_kxk/conv2_kxk or bottle blocks
+    conv1_1x1/conv2_kxk/conv3_1x1; ConvNormAct shortcut)."""
+    p: dict = {"stem_conv": _conv_entry(sd, "stem.conv.weight")}
+    s: dict = {}
+    p["stem_bn"], s["stem_bn"] = _bn(sd, "stem.bn")
+    for si in range(5):
+        b = 0
+        while (f"stages.{si}.{b}.conv1_kxk.conv.weight" in sd
+               or f"stages.{si}.{b}.conv1_1x1.conv.weight" in sd):
+            base = f"stages.{si}.{b}"
+            bp: dict = {}
+            bs: dict = {}
+            if f"{base}.conv1_1x1.conv.weight" in sd:  # bottle
+                names = (("conv1", "conv1_1x1"), ("conv2", "conv2_kxk"),
+                         ("conv3", "conv3_1x1"))
+            else:  # basic
+                names = (("conv1", "conv1_kxk"), ("conv2", "conv2_kxk"))
+            for ours, theirs in names:
+                bp[ours] = _conv_entry(sd, f"{base}.{theirs}.conv.weight")
+                bn_name = "bn" + ours[-1]
+                bp[bn_name], bs[bn_name] = _bn(sd, f"{base}.{theirs}.bn")
+            if f"{base}.shortcut.conv.weight" in sd:
+                bp["shortcut_conv"] = _conv_entry(
+                    sd, f"{base}.shortcut.conv.weight")
+                bp["shortcut_bn"], bs["shortcut_bn"] = _bn(
+                    sd, f"{base}.shortcut.bn")
+            p[f"stage{si}_block{b}"] = bp
+            s[f"stage{si}_block{b}"] = bs
+            b += 1
+    p["final_conv"] = _conv_entry(sd, "final_conv.conv.weight")
+    p["final_bn"], s["final_bn"] = _bn(sd, "final_conv.bn")
+    return p, s
+
+
+def convert_dpn(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """Cadene pretrainedmodels dpn68/68b/92/98/107/131 -> DPNEncoder.
+    Upstream: features.conv1_1 InputBlock; features.convS_J DualPathBlock
+    with BnActConv2d submodules (c1x1_w_s1/_s2, c1x1_a, c3x3_b, c1x1_c) or
+    the b-variant CatBnAct + twin plain convs (c1x1_c1/c1x1_c2); final
+    features.conv5_bn_ac CatBnAct."""
+    sd = {k[len("features."):] if k.startswith("features.") else k: v
+          for k, v in sd.items()}
+    p: dict = {"stem_conv": _conv_entry(sd, "conv1_1.conv.weight")}
+    s: dict = {}
+    p["stem_bn"], s["stem_bn"] = _bn(sd, "conv1_1.bn")
+    for si in range(2, 6):
+        j = 1
+        while f"conv{si}_{j}.c1x1_a.conv.weight" in sd:
+            base = f"conv{si}_{j}"
+            bp: dict = {}
+            bs: dict = {}
+            for wname in ("c1x1_w_s1", "c1x1_w_s2"):
+                if f"{base}.{wname}.conv.weight" in sd:
+                    bp["c1x1_w"] = _conv_entry(sd, f"{base}.{wname}.conv.weight")
+                    bp["c1x1_w_bn"], bs["c1x1_w_bn"] = _bn(
+                        sd, f"{base}.{wname}.bn")
+            for cname in ("c1x1_a", "c3x3_b"):
+                bp[cname] = _conv_entry(sd, f"{base}.{cname}.conv.weight")
+                bp[f"{cname}_bn"], bs[f"{cname}_bn"] = _bn(
+                    sd, f"{base}.{cname}.bn")
+            if f"{base}.c1x1_c.conv.weight" in sd:
+                bp["c1x1_c"] = _conv_entry(sd, f"{base}.c1x1_c.conv.weight")
+                bp["c1x1_c_bn"], bs["c1x1_c_bn"] = _bn(sd, f"{base}.c1x1_c.bn")
+            else:  # b-variant: CatBnAct + two plain convs
+                bp["c1x1_c_bn"], bs["c1x1_c_bn"] = _bn(sd, f"{base}.c1x1_c.bn")
+                bp["c1x1_c1"] = _conv_entry(sd, f"{base}.c1x1_c1.weight")
+                bp["c1x1_c2"] = _conv_entry(sd, f"{base}.c1x1_c2.weight")
+            p[base] = bp
+            s[base] = bs
+            j += 1
+    p["final_bn"], s["final_bn"] = _bn(sd, "conv5_bn_ac.bn")
+    return p, s

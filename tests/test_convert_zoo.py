@@ -478,3 +478,280 @@ def test_convert_vgg_upstream_keys(arch, bn):
                                    w.numpy().transpose(0, 2, 3, 1),
                                    atol=1e-4, rtol=1e-4,
                                    err_msg=f"{arch} stage {i}")
+
+
+def test_convert_timm_res2net_upstream_keys():
+    """timm res2net naming: layerL.B.{conv1,bn1,convs.N,bns.N,conv3,bn3,
+    downsample.0/1} over the forward-parity-validated Bottle2neck twin."""
+    from stcd_tpu.convert.torch_to_flax import convert_timm_res2net
+
+    torch.manual_seed(12)
+    tv = twins.TRes2Net50()
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "conv1", tv.conv1)
+    _put_bn(sd, "bn1", tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            b = f"layer{li}.{bi}"
+            _put_conv(sd, f"{b}.conv1", blk.conv1)
+            _put_bn(sd, f"{b}.bn1", blk.bn1)
+            for i, (conv, bn) in enumerate(zip(blk.convs, blk.bns)):
+                _put_conv(sd, f"{b}.convs.{i}", conv)
+                _put_bn(sd, f"{b}.bns.{i}", bn)
+            _put_conv(sd, f"{b}.conv3", blk.conv3)
+            _put_bn(sd, f"{b}.bn3", blk.bn3)
+            if blk.down is not None:
+                _put_conv(sd, f"{b}.downsample.0", blk.down[0])
+                _put_bn(sd, f"{b}.downsample.1", blk.down[1])
+    sd["fc.weight"] = np.zeros((1000, 2048), np.float32)  # head: ignored
+
+    params, stats = convert_timm_res2net(sd)
+    want_p, want_s = twins._convert_res2net(tv)
+    _assert_trees_equal(params, want_p, "res2net params")
+    _assert_trees_equal(stats, want_s, "res2net stats")
+
+
+def test_convert_timm_resnest_upstream_keys():
+    """timm resnest naming: deep stem conv1.{0,1,3,4,6}+bn1, SplAtConv2d
+    conv2.{conv,bn0,fc1,bn1,fc2}, avg_down downsample.{1,2}."""
+    from stcd_tpu.convert.torch_to_flax import convert_timm_resnest
+
+    torch.manual_seed(18)
+    tv = twins.TResNest(layers=(1, 1, 1, 1), stem_w=32, radix=2, groups=1,
+                        base_width=64, avd_first=False)
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    for (ck, bk), stem in zip((("conv1.0", "conv1.1"), ("conv1.3", "conv1.4"),
+                               ("conv1.6", "bn1")), tv.stem):
+        _put_conv(sd, ck, stem[0])
+        _put_bn(sd, bk, stem[1])
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            b = f"layer{li}.{bi}"
+            _put_conv(sd, f"{b}.conv1", blk.conv1)
+            _put_bn(sd, f"{b}.bn1", blk.bn1)
+            _put_conv(sd, f"{b}.conv2.conv", blk.attn.conv)
+            _put_bn(sd, f"{b}.conv2.bn0", blk.attn.bn0)
+            _put_conv(sd, f"{b}.conv2.fc1", blk.attn.fc1)
+            _put_bn(sd, f"{b}.conv2.bn1", blk.attn.bn1)
+            _put_conv(sd, f"{b}.conv2.fc2", blk.attn.fc2)
+            _put_conv(sd, f"{b}.conv3", blk.conv3)
+            _put_bn(sd, f"{b}.bn3", blk.bn3)
+            if blk.down:
+                _put_conv(sd, f"{b}.downsample.1", blk.down_conv)
+                _put_bn(sd, f"{b}.downsample.2", blk.down_bn)
+
+    params, stats = convert_timm_resnest(sd)
+    want_p, want_s = twins._convert_resnest(tv)
+    _assert_trees_equal(params, want_p, "resnest params")
+    _assert_trees_equal(stats, want_s, "resnest stats")
+
+
+@pytest.mark.parametrize("bottleneck,layers", [(False, (2, 2, 2, 2)),
+                                               (True, (3, 4, 6, 3))])
+def test_convert_timm_sknet_upstream_keys(bottleneck, layers):
+    """timm sknet naming: SelectiveKernel at conv1 (basic) / conv2
+    (bottleneck) with paths.N ConvNormAct + attn.{fc_reduce,bn,fc_select};
+    plain ConvNormAct for the other convs."""
+    from stcd_tpu.convert.torch_to_flax import convert_timm_sknet
+
+    torch.manual_seed(20)
+    tv = twins.TSKNet(bottleneck, layers)
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "conv1", tv.conv1)
+    _put_bn(sd, "bn1", tv.bn1)
+    for li, layer in enumerate(tv.layers, start=1):
+        for bi, blk in enumerate(layer):
+            b = f"layer{li}.{bi}"
+            sk_base = f"{b}.conv2" if bottleneck else f"{b}.conv1"
+            for i, path in enumerate(blk.sk.paths):
+                _put_conv(sd, f"{sk_base}.paths.{i}.conv", path[0])
+                _put_bn(sd, f"{sk_base}.paths.{i}.bn", path[1])
+            _put_conv(sd, f"{sk_base}.attn.fc_reduce", blk.sk.fc_reduce)
+            _put_bn(sd, f"{sk_base}.attn.bn", blk.sk.bn)
+            _put_conv(sd, f"{sk_base}.attn.fc_select", blk.sk.fc_select)
+            if bottleneck:
+                _put_conv(sd, f"{b}.conv1.conv", blk.conv1)
+                _put_bn(sd, f"{b}.conv1.bn", blk.bn1)
+                _put_conv(sd, f"{b}.conv3.conv", blk.conv3)
+                _put_bn(sd, f"{b}.conv3.bn", blk.bn3)
+            else:
+                _put_conv(sd, f"{b}.conv2.conv", blk.conv2)
+                _put_bn(sd, f"{b}.conv2.bn", blk.bn2)
+            if blk.down is not None:
+                _put_conv(sd, f"{b}.downsample.0", blk.down[0])
+                _put_bn(sd, f"{b}.downsample.1", blk.down[1])
+
+    params, stats = convert_timm_sknet(sd)
+    want_p, want_s = twins._convert_sk(tv, bottleneck)
+    _assert_trees_equal(params, want_p, "sknet params")
+    _assert_trees_equal(stats, want_s, "sknet stats")
+
+
+def test_convert_timm_regnet_upstream_keys():
+    """timm regnet naming: stem.{conv,bn}; sS.bB (1-indexed) blocks of
+    ConvNormAct conv1/2/3 + SEModule se.fc1/fc2 + ConvNormAct downsample."""
+    import torch.nn.functional as F  # noqa: F401 (twin forward)
+    from stcd_tpu.convert.torch_to_flax import convert_timm_regnet
+    from stcd_tpu.encoders.regnet import generate_regnet
+
+    widths, depths, group_sizes = generate_regnet("regnety_002")
+    torch.manual_seed(22)
+    stages, in_c = [], 32
+    for w, d, g in zip(widths, depths, group_sizes):
+        blocks = []
+        for b in range(d):
+            blocks.append(twins.TRegNetBlock(in_c, w, g,
+                                             stride=2 if b == 0 else 1,
+                                             se_ratio=0.25))
+            in_c = w
+        stages.append(blocks)
+    import torch.nn as tnn
+    stem = tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
+    stem_bn = tnn.BatchNorm2d(32)
+    for m in [stem_bn] + [blk for st in stages for blk in st]:
+        twins._randomize_bn(m)
+
+    sd = {}
+    _put_conv(sd, "stem.conv", stem)
+    _put_bn(sd, "stem.bn", stem_bn)
+    want_p = {"stem_conv": {"kernel": twins._conv_w(stem.weight)}}
+    want_s = {}
+    want_p["stem_bn"], want_s["stem_bn"] = twins._bn_params(stem_bn)
+    for si, blocks in enumerate(stages, start=1):
+        for bi, blk in enumerate(blocks):
+            b = f"s{si}.b{bi + 1}"
+            bp, bs = {}, {}
+            for n in (1, 2, 3):
+                conv = getattr(blk, f"conv{n}")
+                bn = getattr(blk, f"bn{n}")
+                _put_conv(sd, f"{b}.conv{n}.conv", conv)
+                _put_bn(sd, f"{b}.conv{n}.bn", bn)
+                bp[f"conv{n}"] = {"kernel": twins._conv_w(conv.weight)}
+                bp[f"bn{n}"], bs[f"bn{n}"] = twins._bn_params(bn)
+            _put_conv(sd, f"{b}.se.fc1", blk.se_fc1)
+            _put_conv(sd, f"{b}.se.fc2", blk.se_fc2)
+            bp["se_fc1"] = {"kernel": twins._conv_w(blk.se_fc1.weight),
+                            "bias": blk.se_fc1.bias.detach().numpy()}
+            bp["se_fc2"] = {"kernel": twins._conv_w(blk.se_fc2.weight),
+                            "bias": blk.se_fc2.bias.detach().numpy()}
+            if blk.down is not None:
+                _put_conv(sd, f"{b}.downsample.conv", blk.down[0])
+                _put_bn(sd, f"{b}.downsample.bn", blk.down[1])
+                bp["downsample_conv"] = {"kernel": twins._conv_w(blk.down[0].weight)}
+                bp["downsample_bn"], bs["downsample_bn"] = twins._bn_params(blk.down[1])
+            want_p[f"stage{si}_block{bi}"] = bp
+            want_s[f"stage{si}_block{bi}"] = bs
+
+    params, stats = convert_timm_regnet(sd)
+    _assert_trees_equal(params, want_p, "regnet params")
+    _assert_trees_equal(stats, want_s, "regnet stats")
+
+
+def test_convert_timm_gernet_upstream_keys():
+    """timm ByobNet naming for gernet: stem/final_conv ConvNormAct;
+    stages.S.B blocks conv1_kxk+conv2_kxk (basic) or
+    conv1_1x1+conv2_kxk+conv3_1x1 (bottle); ConvNormAct shortcut."""
+    import torch.nn as tnn
+    from stcd_tpu.convert.torch_to_flax import convert_timm_gernet
+    from stcd_tpu.encoders.gernet import _GERNET_CFGS
+
+    cfg = _GERNET_CFGS["gernet_s"]
+    torch.manual_seed(24)
+    stem = tnn.Conv2d(3, cfg["stem"], 3, stride=2, padding=1, bias=False)
+    stem_bn = tnn.BatchNorm2d(cfg["stem"])
+    stages, in_c = [], cfg["stem"]
+    for kind, d, c, s, gs, br in cfg["blocks"]:
+        blocks = []
+        for b in range(d):
+            blocks.append(twins.TGERBlock(in_c, kind, c,
+                                          stride=s if b == 0 else 1,
+                                          group_size=gs, bottle_ratio=br))
+            in_c = c
+        stages.append((kind, blocks))
+    final = tnn.Conv2d(in_c, cfg["features"], 1, bias=False)
+    final_bn = tnn.BatchNorm2d(cfg["features"])
+    for m in [stem_bn, final_bn] + [blk for _, st in stages for blk in st]:
+        twins._randomize_bn(m)
+
+    sd = {}
+    _put_conv(sd, "stem.conv", stem)
+    _put_bn(sd, "stem.bn", stem_bn)
+    want_p = {"stem_conv": {"kernel": twins._conv_w(stem.weight)},
+              "final_conv": {"kernel": twins._conv_w(final.weight)}}
+    want_s = {}
+    want_p["stem_bn"], want_s["stem_bn"] = twins._bn_params(stem_bn)
+    want_p["final_bn"], want_s["final_bn"] = twins._bn_params(final_bn)
+    for si, (kind, blocks) in enumerate(stages):
+        for bi, blk in enumerate(blocks):
+            b = f"stages.{si}.{bi}"
+            bp, bs = {}, {}
+            if kind == "basic":
+                pairs = (("conv1", "conv1_kxk"), ("conv2", "conv2_kxk"))
+            else:
+                pairs = (("conv1", "conv1_1x1"), ("conv2", "conv2_kxk"),
+                         ("conv3", "conv3_1x1"))
+            for ours, theirs in pairs:
+                conv = getattr(blk, ours)
+                bn = getattr(blk, "bn" + ours[-1])
+                _put_conv(sd, f"{b}.{theirs}.conv", conv)
+                _put_bn(sd, f"{b}.{theirs}.bn", bn)
+                bp[ours] = {"kernel": twins._conv_w(conv.weight)}
+                bp["bn" + ours[-1]], bs["bn" + ours[-1]] = twins._bn_params(bn)
+            if blk.down is not None:
+                _put_conv(sd, f"{b}.shortcut.conv", blk.down[0])
+                _put_bn(sd, f"{b}.shortcut.bn", blk.down[1])
+                bp["shortcut_conv"] = {"kernel": twins._conv_w(blk.down[0].weight)}
+                bp["shortcut_bn"], bs["shortcut_bn"] = twins._bn_params(blk.down[1])
+            want_p[f"stage{si}_block{bi}"] = bp
+            want_s[f"stage{si}_block{bi}"] = bs
+    _put_conv(sd, "final_conv.conv", final)
+    _put_bn(sd, "final_conv.bn", final_bn)
+
+    params, stats = convert_timm_gernet(sd)
+    _assert_trees_equal(params, want_p, "gernet params")
+    _assert_trees_equal(stats, want_s, "gernet stats")
+
+
+def test_convert_dpn_upstream_keys():
+    """Cadene pretrainedmodels dpn naming: features.conv1_1 InputBlock,
+    features.convS_J DualPathBlocks (BnActConv2d: .bn + .conv, proj convs
+    suffixed _s1/_s2 by stride), final features.conv5_bn_ac CatBnAct."""
+    from stcd_tpu.convert.torch_to_flax import convert_dpn
+
+    torch.manual_seed(14)
+    tv = twins.TDPN68()
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {}
+    _put_conv(sd, "features.conv1_1.conv", tv.stem)
+    _put_bn(sd, "features.conv1_1.bn", tv.stem_bn)
+    for i, blocks in enumerate(tv.groups_list):
+        for j, blk in enumerate(blocks, start=1):
+            b = f"features.conv{i + 2}_{j}"
+            if blk.proj:
+                w_name = "c1x1_w_s2" if blk.stride == 2 else "c1x1_w_s1"
+                _put_conv(sd, f"{b}.{w_name}.conv", blk.w)
+                _put_bn(sd, f"{b}.{w_name}.bn", blk.w_bn.bn)
+            _put_conv(sd, f"{b}.c1x1_a.conv", blk.a)
+            _put_bn(sd, f"{b}.c1x1_a.bn", blk.a_bn.bn)
+            _put_conv(sd, f"{b}.c3x3_b.conv", blk.b)
+            _put_bn(sd, f"{b}.c3x3_b.bn", blk.b_bn.bn)
+            _put_conv(sd, f"{b}.c1x1_c.conv", blk.c)
+            _put_bn(sd, f"{b}.c1x1_c.bn", blk.c_bn.bn)
+    _put_bn(sd, "features.conv5_bn_ac.bn", tv.final_bn)
+    sd["last_linear.weight"] = np.zeros((1000, 832, 1, 1), np.float32)
+
+    params, stats = convert_dpn(sd)
+    want_p, want_s = twins._convert_dpn68(tv)
+    _assert_trees_equal(params, want_p, "dpn params")
+    _assert_trees_equal(stats, want_s, "dpn stats")
