@@ -24,11 +24,9 @@ mit_b0..b5 (SegFormer naming), mobileone_s0..s4 (official train-form,
 golden vs the reference's own vendored code), timm-res2net*/res2next50,
 timm-resnest*, timm-skresnet18/34 + timm-skresnext50_32x4d,
 timm-regnetx/y_002..320, timm-gernet_s/m/l (timm 0.6.x naming),
-dpn68..131 (pretrainedmodels naming), plus full reference-trained
-segcd_* checkpoints. Not covered: xception, inceptionv4,
-inceptionresnetv2 (no forward-parity twin exists to validate a converter
-against on this zero-egress host — get_encoder raises loudly on weights
-for them).
+dpn68..131 + xception + inceptionv4 + inceptionresnetv2
+(pretrainedmodels naming), plus full reference-trained segcd_*
+checkpoints. Every encoder family in the registry now has a converter.
 """
 
 import argparse
@@ -45,6 +43,8 @@ from stcd_tpu.convert.torch_to_flax import (
     convert_mix_transformer,
     convert_timm_efficientnet,
     convert_dpn,
+    convert_inceptionresnetv2,
+    convert_inceptionv4,
     convert_mobilenet_v2,
     convert_mobilenet_v3,
     convert_mobileone,
@@ -57,6 +57,7 @@ from stcd_tpu.convert.torch_to_flax import (
     convert_senet,
     convert_unetseg,
     convert_vgg,
+    convert_xception,
     convert_vgg16_features,
     load_torch_state_dict,
 )
@@ -95,6 +96,7 @@ _REGNETS = [f"timm-regnet{xy}_{w:03d}" for xy in "xy"
             for w in (2, 4, 6, 8, 16, 32, 40, 64, 80, 120, 160, 320)]
 _GERNETS = ["timm-gernet_s", "timm-gernet_m", "timm-gernet_l"]
 _DPNS = ["dpn68", "dpn68b", "dpn92", "dpn98", "dpn107", "dpn131"]
+_CADENE_MISC = ["xception", "inceptionv4", "inceptionresnetv2"]
 
 
 def convert(arch: str, sd) -> dict:
@@ -154,6 +156,15 @@ def convert(arch: str, sd) -> dict:
     if arch in _DPNS:
         params, stats = convert_dpn(sd)
         return {"params": params, "batch_stats": stats}
+    if arch == "xception":
+        params, stats = convert_xception(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch == "inceptionv4":
+        params, stats = convert_inceptionv4(sd)
+        return {"params": params, "batch_stats": stats}
+    if arch == "inceptionresnetv2":
+        params, stats = convert_inceptionresnetv2(sd)
+        return {"params": params, "batch_stats": stats}
     raise KeyError(arch)
 
 
@@ -166,7 +177,8 @@ def main():
                                     + ["mobilenet_v2"] + _MV3
                                     + _SENETS + _DENSENETS + _MITS
                                     + _MOBILEONES + _RES2NETS + _RESNESTS
-                                    + _SKNETS + _REGNETS + _GERNETS + _DPNS))
+                                    + _SKNETS + _REGNETS + _GERNETS + _DPNS
+                                    + _CADENE_MISC))
     p.add_argument("torch_path")
     p.add_argument("out_path")
     args = p.parse_args()

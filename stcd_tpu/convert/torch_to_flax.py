@@ -1727,3 +1727,155 @@ def convert_dpn(sd: Dict[str, Any]) -> Tuple[dict, dict]:
             j += 1
     p["final_bn"], s["final_bn"] = _bn(sd, "conv5_bn_ac.bn")
     return p, s
+
+
+def convert_xception(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """Cadene pretrainedmodels xception -> XceptionEncoder. Upstream:
+    conv1/bn1/conv2/bn2 stem, block{1..12}.rep Sequential mixing ReLU /
+    SeparableConv2d (.conv1 depthwise + .pointwise) / BatchNorm2d (+ an
+    optional parameterless MaxPool), block skip/skipbn, then conv3/bn3 +
+    conv4/bn4 SeparableConvs. rep indices shift with start_with_relu, so
+    sepconvs/bns are taken in Sequential-index order rather than at fixed
+    positions. NOTE our stem uses SAME padding (documented deviation,
+    encoders/xception.py) — weights transfer unchanged."""
+    p: dict = {}
+    s: dict = {}
+    for c, b in (("conv1", "bn1"), ("conv2", "bn2")):
+        p[c] = {"kernel": _conv(sd[f"{c}.weight"])}
+        p[b], s[b] = _bn(sd, b)
+    for blk in range(1, 13):
+        bp: dict = {}
+        bs: dict = {}
+        rep = f"block{blk}.rep"
+        sep_idx = sorted(int(k.split(".")[2]) for k in sd
+                         if k.startswith(rep + ".") and k.endswith(".conv1.weight"))
+        bn_idx = sorted(int(k.split(".")[2]) for k in sd
+                        if k.startswith(rep + ".") and k.endswith(".running_mean")
+                        and len(k.split(".")) == 4)
+        for n, i in enumerate(sep_idx, start=1):
+            bp[f"sepconv{n}"] = {
+                "depthwise": {"kernel": _conv(sd[f"{rep}.{i}.conv1.weight"])},
+                "pointwise": {"kernel": _conv(sd[f"{rep}.{i}.pointwise.weight"])}}
+        for n, i in enumerate(bn_idx, start=1):
+            bp[f"bn{n}"], bs[f"bn{n}"] = _bn(sd, f"{rep}.{i}")
+        if f"block{blk}.skip.weight" in sd:
+            bp["skip_conv"] = {"kernel": _conv(sd[f"block{blk}.skip.weight"])}
+            bp["skip_bn"], bs["skip_bn"] = _bn(sd, f"block{blk}.skipbn")
+        p[f"block{blk}"] = bp
+        s[f"block{blk}"] = bs
+    for c, b in (("conv3", "bn3"), ("conv4", "bn4")):
+        p[c] = {"depthwise": {"kernel": _conv(sd[f"{c}.conv1.weight"])},
+                "pointwise": {"kernel": _conv(sd[f"{c}.pointwise.weight"])}}
+        p[b], s[b] = _bn(sd, b)
+    return p, s
+
+
+def _basic_conv(sd: Dict[str, Any], prefix: str) -> Tuple[dict, dict]:
+    """Cadene BasicConv2d (.conv + .bn) -> our BasicConv subtree."""
+    bnp, bns = _bn(sd, prefix + ".bn")
+    return ({"conv": {"kernel": _conv(sd[prefix + ".conv.weight"])}, "bn": bnp},
+            {"bn": bns})
+
+
+def convert_inceptionv4(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """Cadene pretrainedmodels inceptionv4 -> InceptionV4Encoder. Upstream
+    is features.{0..21} (BasicConv2d stem, Mixed_3a/4a/5a, 4x Inception_A,
+    Reduction_A, 7x Inception_B, Reduction_B, 3x Inception_C with
+    branchN[_Ma/b] submodules). NOTE our padding deviation is documented
+    in encoders/inception.py; weights transfer unchanged."""
+    pairs = [("conv1", "features.0"), ("conv2", "features.1"),
+             ("conv3", "features.2"), ("mixed3a_conv", "features.3.conv"),
+             ("mixed5a_conv", "features.5.conv")]
+    for i in range(2):
+        pairs.append((f"mixed4a_b0_{i}", f"features.4.branch0.{i}"))
+    for i in range(4):
+        pairs.append((f"mixed4a_b1_{i}", f"features.4.branch1.{i}"))
+    for a in range(4):  # Inception_A x4 at features.6..9
+        base = f"features.{6 + a}"
+        pairs += [(f"inceptionA{a}_b0", f"{base}.branch0"),
+                  (f"inceptionA{a}_b3", f"{base}.branch3.1")]
+        pairs += [(f"inceptionA{a}_b1_{i}", f"{base}.branch1.{i}")
+                  for i in range(2)]
+        pairs += [(f"inceptionA{a}_b2_{i}", f"{base}.branch2.{i}")
+                  for i in range(3)]
+    pairs.append(("redA_b0", "features.10.branch0"))
+    pairs += [(f"redA_b1_{i}", f"features.10.branch1.{i}") for i in range(3)]
+    for b in range(7):  # Inception_B x7 at features.11..17
+        base = f"features.{11 + b}"
+        pairs += [(f"inceptionB{b}_b0", f"{base}.branch0"),
+                  (f"inceptionB{b}_b3", f"{base}.branch3.1")]
+        pairs += [(f"inceptionB{b}_b1_{i}", f"{base}.branch1.{i}")
+                  for i in range(3)]
+        pairs += [(f"inceptionB{b}_b2_{i}", f"{base}.branch2.{i}")
+                  for i in range(5)]
+    pairs += [(f"redB_b0_{i}", f"features.18.branch0.{i}") for i in range(2)]
+    pairs += [(f"redB_b1_{i}", f"features.18.branch1.{i}") for i in range(4)]
+    for c in range(3):  # Inception_C x3 at features.19..21
+        base = f"features.{19 + c}"
+        pairs += [(f"inceptionC{c}_b0", f"{base}.branch0"),
+                  (f"inceptionC{c}_b1_0", f"{base}.branch1_0"),
+                  (f"inceptionC{c}_b1_1a", f"{base}.branch1_1a"),
+                  (f"inceptionC{c}_b1_1b", f"{base}.branch1_1b"),
+                  (f"inceptionC{c}_b2_0", f"{base}.branch2_0"),
+                  (f"inceptionC{c}_b2_1", f"{base}.branch2_1"),
+                  (f"inceptionC{c}_b2_2", f"{base}.branch2_2"),
+                  (f"inceptionC{c}_b2_3a", f"{base}.branch2_3a"),
+                  (f"inceptionC{c}_b2_3b", f"{base}.branch2_3b"),
+                  (f"inceptionC{c}_b3", f"{base}.branch3.1")]
+    params: dict = {}
+    stats: dict = {}
+    for ours, theirs in pairs:
+        params[ours], stats[ours] = _basic_conv(sd, theirs)
+    return params, stats
+
+
+def convert_inceptionresnetv2(sd: Dict[str, Any]) -> Tuple[dict, dict]:
+    """Cadene pretrainedmodels inceptionresnetv2 -> InceptionResNetV2Encoder
+    (named stem convs, mixed_5b/6a/7a, repeat/repeat_1/repeat_2 residual
+    stacks whose .conv2d up-projections carry a bias, final block8 +
+    conv2d_7b)."""
+    pairs = [("conv1a", "conv2d_1a"), ("conv2a", "conv2d_2a"),
+             ("conv2b", "conv2d_2b"), ("conv3b", "conv2d_3b"),
+             ("conv4a", "conv2d_4a"), ("conv7b", "conv2d_7b"),
+             ("m5b_b0", "mixed_5b.branch0"), ("m5b_b3", "mixed_5b.branch3.1")]
+    pairs += [(f"m5b_b1_{i}", f"mixed_5b.branch1.{i}") for i in range(2)]
+    pairs += [(f"m5b_b2_{i}", f"mixed_5b.branch2.{i}") for i in range(3)]
+    pairs += [("m6a_b0", "mixed_6a.branch0")]
+    pairs += [(f"m6a_b1_{i}", f"mixed_6a.branch1.{i}") for i in range(3)]
+    pairs += [(f"m7a_b0_{i}", f"mixed_7a.branch0.{i}") for i in range(2)]
+    pairs += [(f"m7a_b1_{i}", f"mixed_7a.branch1.{i}") for i in range(2)]
+    pairs += [(f"m7a_b2_{i}", f"mixed_7a.branch2.{i}") for i in range(3)]
+    up_convs = []
+    for i in range(10):  # Block35 stack
+        base = f"repeat.{i}"
+        pairs += [(f"block35_{i}_b0", f"{base}.branch0")]
+        pairs += [(f"block35_{i}_b1_{j}", f"{base}.branch1.{j}")
+                  for j in range(2)]
+        pairs += [(f"block35_{i}_b2_{j}", f"{base}.branch2.{j}")
+                  for j in range(3)]
+        up_convs.append((f"block35_{i}_up", f"{base}.conv2d"))
+    for i in range(20):  # Block17 stack
+        base = f"repeat_1.{i}"
+        pairs += [(f"block17_{i}_b0", f"{base}.branch0")]
+        pairs += [(f"block17_{i}_b1_{j}", f"{base}.branch1.{j}")
+                  for j in range(3)]
+        up_convs.append((f"block17_{i}_up", f"{base}.conv2d"))
+    for i in range(9):  # Block8 stack
+        base = f"repeat_2.{i}"
+        pairs += [(f"block8_{i}_b0", f"{base}.branch0")]
+        pairs += [(f"block8_{i}_b1_{j}", f"{base}.branch1.{j}")
+                  for j in range(3)]
+        up_convs.append((f"block8_{i}_up", f"{base}.conv2d"))
+    pairs += [("block8_final_b0", "block8.branch0")]
+    pairs += [(f"block8_final_b1_{j}", f"block8.branch1.{j}")
+              for j in range(3)]
+    up_convs.append(("block8_final_up", "block8.conv2d"))
+
+    params: dict = {}
+    stats: dict = {}
+    for ours, theirs in pairs:
+        params[ours], stats[ours] = _basic_conv(sd, theirs)
+    for ours, theirs in up_convs:
+        params[ours] = {"kernel": _conv(sd[theirs + ".weight"]),
+                        "bias": np.asarray(sd[theirs + ".bias"])}
+    return params, stats

@@ -4,14 +4,17 @@ encoders/inceptionresnetv2.py, Cadene pretrainedmodels).
 Stage splits match the reference:
 - V4 (ref inceptionv4.py:57-65, stage_idxs (3, 5, 9, 15)): stem convs
   (64 /2), Mixed_3a+4a (192 /4), Mixed_5a + 3xInceptionA (384 /8),
-  A+ReductionA+5xB (1024 /16), 2xB+ReductionB+3xC (1536 /32).
+  A+ReductionA+4xB (1024 /16; features[9:15]), 3xB+ReductionB+3xC
+  (1536 /32).
 - ResNetV2 (ref inceptionresnetv2.py:58-66): conv1a-2b (64 /2),
   pool+conv3b+4a (192 /4), pool+Mixed5b+10xBlock35 (320 /8),
   Mixed6a+20xBlock17 (1088 /16), Mixed7a+9xBlock8+Block8+conv7b (1536 /32).
 
-Deliberate deviation: Cadene uses several valid-padding (padding=0) convs
-that break the exact 2x pyramid; we use SAME padding throughout so the smp
-stage contract holds at any input size (as for the Xception encoder).
+Padding parity: the smp reference PATCHES Cadene's valid-padding 3x3
+convs and maxpools to padding=(1,1) in the encoder __init__ ("correct
+paddings", ref inceptionv4.py:42-47 / inceptionresnetv2.py:41-47); our
+symmetric k//2 padding on every conv/pool reproduces that exactly (NOT a
+deviation; TF-SAME would misalign the stride-2 kernels).
 """
 
 from __future__ import annotations
@@ -46,8 +49,13 @@ class BasicConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # symmetric k//2 padding (torch-style): identical to SAME for the
+        # stride-1 odd kernels; for the stride-2 reductions it keeps the
+        # kernel alignment converted torch weights were trained with
+        # (TF-SAME would pad (0,1) instead of (1,1)).
+        pad = [(k // 2, k // 2) for k in self.kernel]
         h = nn.Conv(self.features, self.kernel, strides=self.stride,
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=pad, use_bias=False, dtype=self.dtype,
                     name="conv")(x)
         h = MPBatchNorm(use_running_average=not train, momentum=0.9,
                         epsilon=1e-3, dtype=jnp.float32, name="bn")(h)
@@ -136,7 +144,7 @@ class InceptionV4Encoder(nn.Module):
             for i in range(3):
                 h = self._mixed_a(h, train, f"inceptionA{i}")
             features.append(h)
-        if self.depth >= 4:  # InceptionA + ReductionA + 5x InceptionB
+        if self.depth >= 4:  # InceptionA + ReductionA + 4x InceptionB
             h = self._mixed_a(h, train, "inceptionA3")
             b0 = BasicConv(384, stride=2, dtype=self.dtype, name="redA_b0")(h, train)
             b1 = BasicConv(192, (1, 1), dtype=self.dtype, name="redA_b1_0")(h, train)
@@ -144,11 +152,11 @@ class InceptionV4Encoder(nn.Module):
             b1 = BasicConv(256, stride=2, dtype=self.dtype, name="redA_b1_2")(b1, train)
             p = max_pool(h, window=3, stride=2, padding=1)
             h = jnp.concatenate([b0, b1, p], -1)  # 1024
-            for i in range(5):
+            for i in range(4):
                 h = self._mixed_b(h, train, f"inceptionB{i}")
             features.append(h)
-        if self.depth >= 5:  # 2x InceptionB + ReductionB + 3x InceptionC
-            for i in range(5, 7):
+        if self.depth >= 5:  # 3x InceptionB + ReductionB + 3x InceptionC
+            for i in range(4, 7):
                 h = self._mixed_b(h, train, f"inceptionB{i}")
             b0 = BasicConv(192, (1, 1), dtype=self.dtype, name="redB_b0_0")(h, train)
             b0 = BasicConv(192, stride=2, dtype=self.dtype, name="redB_b0_1")(b0, train)

@@ -9,9 +9,10 @@ Separable conv = depthwise kxk + pointwise 1x1 (Cadene SeparableConv2d);
 each Xception block is [relu ->] sepconv-bn x2-3 with an optional strided
 maxpool and a 1x1-conv shortcut.
 
-Deliberate deviation: Cadene's stem convs use padding=0 which breaks the
-exact power-of-two pyramid; we use SAME padding so the smp stage contract
-(each level exactly 2x smaller) holds for any input size.
+Padding parity: the smp reference PATCHES the Cadene stem's padding=0
+convs to padding=(1,1) in __init__ ("modify padding to maintain output
+shape", ref xception.py:19-21); our symmetric padding=1 reproduces that
+exactly (TF-SAME would misalign the stride-2 conv1).
 """
 
 from __future__ import annotations
@@ -93,11 +94,11 @@ class XceptionEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         features = [x]
         if self.depth >= 1:
-            h = nn.Conv(32, (3, 3), strides=2, use_bias=False,
+            h = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
                         dtype=self.dtype, name="conv1")(x)
             h = nn.relu(_bn(train, "bn1")(h))
-            h = nn.Conv(64, (3, 3), use_bias=False, dtype=self.dtype,
-                        name="conv2")(h)
+            h = nn.Conv(64, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name="conv2")(h)
             h = nn.relu(_bn(train, "bn2")(h))
             features.append(h)
         if self.depth >= 2:
@@ -121,6 +122,8 @@ class XceptionEncoder(nn.Module):
             h = SeparableConv(1536, dtype=self.dtype, name="conv3")(h)
             h = nn.relu(_bn(train, "bn3")(h))
             h = SeparableConv(2048, dtype=self.dtype, name="conv4")(h)
-            h = nn.relu(_bn(train, "bn4")(h))
+            # smp's stage 5 Sequential ENDS at bn4 — no trailing relu
+            # (ref xception.py:46: [block12, conv3, bn3, relu, conv4, bn4])
+            h = _bn(train, "bn4")(h)
             features.append(h)
         return features

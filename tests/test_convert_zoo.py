@@ -755,3 +755,449 @@ def test_convert_dpn_upstream_keys():
     want_p, want_s = twins._convert_dpn68(tv)
     _assert_trees_equal(params, want_p, "dpn params")
     _assert_trees_equal(stats, want_s, "dpn stats")
+
+
+class _TXSeparable(torch.nn.Module):
+    """Cadene SeparableConv2d: depthwise .conv1 + .pointwise."""
+
+    def __init__(self, in_c, out_c, k=3, stride=1, padding=1):
+        super().__init__()
+        import torch.nn as tnn
+        self.conv1 = tnn.Conv2d(in_c, in_c, k, stride, padding, groups=in_c,
+                                bias=False)
+        self.pointwise = tnn.Conv2d(in_c, out_c, 1, bias=False)
+
+    def forward(self, x):
+        return self.pointwise(self.conv1(x))
+
+
+class _TXBlock(torch.nn.Module):
+    """Cadene xception Block: rep Sequential (ReLU/Separable/BN [+pool]),
+    skip/skipbn 1x1 shortcut — attribute names give the REAL upstream
+    state_dict keys."""
+
+    def __init__(self, in_c, out_c, reps, strides=1, start_with_relu=True,
+                 grow_first=True):
+        super().__init__()
+        import torch.nn as tnn
+        rep = []
+        filters = in_c
+        if grow_first:
+            rep += [tnn.ReLU(), _TXSeparable(in_c, out_c), tnn.BatchNorm2d(out_c)]
+            filters = out_c
+        for _ in range(reps - 1):
+            rep += [tnn.ReLU(), _TXSeparable(filters, filters),
+                    tnn.BatchNorm2d(filters)]
+        if not grow_first:
+            rep += [tnn.ReLU(), _TXSeparable(in_c, out_c), tnn.BatchNorm2d(out_c)]
+        if not start_with_relu:
+            rep = rep[1:]
+        if strides != 1:
+            rep.append(tnn.MaxPool2d(3, strides, 1))
+        self.rep = tnn.Sequential(*rep)
+        self.skip, self.skipbn = None, None
+        if out_c != in_c or strides != 1:
+            self.skip = tnn.Conv2d(in_c, out_c, 1, stride=strides, bias=False)
+            self.skipbn = tnn.BatchNorm2d(out_c)
+
+    def forward(self, x):
+        h = self.rep(x)
+        skip = self.skipbn(self.skip(x)) if self.skip is not None else x
+        return h + skip
+
+
+class _TXception(torch.nn.Module):
+    """Cadene xception with OUR documented stem deviation (SAME padding on
+    conv1/conv2 so the pyramid halves exactly; upstream uses padding=0)."""
+
+    def __init__(self):
+        super().__init__()
+        import torch.nn as tnn
+        self.conv1 = tnn.Conv2d(3, 32, 3, 2, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(32)
+        self.conv2 = tnn.Conv2d(32, 64, 3, 1, 1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(64)
+        self.block1 = _TXBlock(64, 128, 2, 2, start_with_relu=False)
+        self.block2 = _TXBlock(128, 256, 2, 2)
+        self.block3 = _TXBlock(256, 728, 2, 2)
+        for i in range(4, 12):
+            setattr(self, f"block{i}", _TXBlock(728, 728, 3, 1))
+        self.block12 = _TXBlock(728, 1024, 2, 2, grow_first=False)
+        self.conv3 = _TXSeparable(1024, 1536)
+        self.bn3 = torch.nn.BatchNorm2d(1536)
+        self.conv4 = _TXSeparable(1536, 2048)
+        self.bn4 = torch.nn.BatchNorm2d(2048)
+
+    def forward(self, x):
+        import torch.nn.functional as F
+        feats = [x]
+        h = F.relu(self.bn1(self.conv1(x)))
+        h = F.relu(self.bn2(self.conv2(h)))
+        feats.append(h)
+        h = self.block1(h)
+        feats.append(h)
+        h = self.block2(h)
+        feats.append(h)
+        h = self.block3(h)
+        for i in range(4, 12):
+            h = getattr(self, f"block{i}")(h)
+        feats.append(h)
+        h = self.block12(h)
+        h = F.relu(self.bn3(self.conv3(h)))
+        h = self.bn4(self.conv4(h))  # smp stage 5 ends at bn4 (no relu)
+        feats.append(h)
+        return feats
+
+
+def test_convert_xception_upstream_keys_and_forward():
+    """First numeric golden for the xception family: the Cadene-faithful
+    twin provides real state_dict keys AND the forward reference, so this
+    validates the converter and the encoder architecture in one shot."""
+    from stcd_tpu.convert.torch_to_flax import convert_xception
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(40)
+    tv = _TXception()
+    twins._randomize_bn(tv)
+    tv.eval()
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()
+          if "num_batches" not in k}
+
+    params, stats = convert_xception(sd)
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+    enc, ch = get_encoder("xception")
+    got = enc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert tuple(g.shape[-1] for g in got) == tuple(ch)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
+
+
+def _bc2d(in_c, out_c, k=3, stride=1):
+    """Cadene BasicConv2d with OUR documented symmetric k//2 padding
+    (upstream pads 0 on several convs; encoders/inception.py deviation).
+    Attribute names (.conv/.bn) give the real upstream keys."""
+    import torch.nn as tnn
+
+    class _BC(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            kk = (k, k) if isinstance(k, int) else k
+            self.conv = tnn.Conv2d(in_c, out_c, kk, stride,
+                                   (kk[0] // 2, kk[1] // 2), bias=False)
+            self.bn = tnn.BatchNorm2d(out_c, eps=1e-3)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+            return F.relu(self.bn(self.conv(x)))
+
+    return _BC()
+
+
+def _avgp(x):
+    import torch.nn.functional as F
+    return F.avg_pool2d(x, 3, 1, 1, count_include_pad=False)
+
+
+def _maxp(x):
+    import torch.nn.functional as F
+    return F.max_pool2d(x, 3, 2, 1)
+
+
+def test_convert_inceptionv4_upstream_keys_and_forward():
+    """First numeric golden for inceptionv4: Cadene-faithful twin (real
+    features.N/branchN key layout) -> convert_inceptionv4 -> forward parity
+    at all 6 pyramid taps."""
+    import torch.nn as tnn
+    from stcd_tpu.convert.torch_to_flax import convert_inceptionv4
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(50)
+
+    class MixedA(tnn.Module):
+        def __init__(self, in_c=384):
+            super().__init__()
+            self.branch0 = _bc2d(in_c, 96, 1)
+            self.branch1 = tnn.Sequential(_bc2d(in_c, 64, 1), _bc2d(64, 96, 3))
+            self.branch2 = tnn.Sequential(_bc2d(in_c, 64, 1), _bc2d(64, 96, 3),
+                                          _bc2d(96, 96, 3))
+            self.branch3 = tnn.Sequential(tnn.Identity(), _bc2d(in_c, 96, 1))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x),
+                              self.branch2(x), self.branch3[1](_avgp(x))], 1)
+
+    class MixedB(tnn.Module):
+        def __init__(self, in_c=1024):
+            super().__init__()
+            self.branch0 = _bc2d(in_c, 384, 1)
+            self.branch1 = tnn.Sequential(_bc2d(in_c, 192, 1),
+                                          _bc2d(192, 224, (1, 7)),
+                                          _bc2d(224, 256, (7, 1)))
+            self.branch2 = tnn.Sequential(_bc2d(in_c, 192, 1),
+                                          _bc2d(192, 192, (7, 1)),
+                                          _bc2d(192, 224, (1, 7)),
+                                          _bc2d(224, 224, (7, 1)),
+                                          _bc2d(224, 256, (1, 7)))
+            self.branch3 = tnn.Sequential(tnn.Identity(), _bc2d(in_c, 128, 1))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x),
+                              self.branch2(x), self.branch3[1](_avgp(x))], 1)
+
+    class MixedC(tnn.Module):
+        def __init__(self, in_c=1536):
+            super().__init__()
+            self.branch0 = _bc2d(in_c, 256, 1)
+            self.branch1_0 = _bc2d(in_c, 384, 1)
+            self.branch1_1a = _bc2d(384, 256, (1, 3))
+            self.branch1_1b = _bc2d(384, 256, (3, 1))
+            self.branch2_0 = _bc2d(in_c, 384, 1)
+            self.branch2_1 = _bc2d(384, 448, (3, 1))
+            self.branch2_2 = _bc2d(448, 512, (1, 3))
+            self.branch2_3a = _bc2d(512, 256, (1, 3))
+            self.branch2_3b = _bc2d(512, 256, (3, 1))
+            self.branch3 = tnn.Sequential(tnn.Identity(), _bc2d(in_c, 256, 1))
+
+        def forward(self, x):
+            b1 = self.branch1_0(x)
+            b2 = self.branch2_2(self.branch2_1(self.branch2_0(x)))
+            return torch.cat([
+                self.branch0(x), self.branch1_1a(b1), self.branch1_1b(b1),
+                self.branch2_3a(b2), self.branch2_3b(b2),
+                self.branch3[1](_avgp(x))], 1)
+
+    class Mixed3a(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = _bc2d(64, 96, 3, 2)
+
+        def forward(self, x):
+            return torch.cat([_maxp(x), self.conv(x)], 1)
+
+    class Mixed4a(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = tnn.Sequential(_bc2d(160, 64, 1), _bc2d(64, 96, 3))
+            self.branch1 = tnn.Sequential(_bc2d(160, 64, 1),
+                                          _bc2d(64, 64, (1, 7)),
+                                          _bc2d(64, 64, (7, 1)),
+                                          _bc2d(64, 96, 3))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x)], 1)
+
+    class Mixed5a(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = _bc2d(192, 192, 3, 2)
+
+        def forward(self, x):
+            return torch.cat([self.conv(x), _maxp(x)], 1)
+
+    class RedA(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = _bc2d(384, 384, 3, 2)
+            self.branch1 = tnn.Sequential(_bc2d(384, 192, 1),
+                                          _bc2d(192, 224, 3),
+                                          _bc2d(224, 256, 3, 2))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x), _maxp(x)], 1)
+
+    class RedB(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = tnn.Sequential(_bc2d(1024, 192, 1),
+                                          _bc2d(192, 192, 3, 2))
+            self.branch1 = tnn.Sequential(_bc2d(1024, 256, 1),
+                                          _bc2d(256, 256, (1, 7)),
+                                          _bc2d(256, 320, (7, 1)),
+                                          _bc2d(320, 320, 3, 2))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x), _maxp(x)], 1)
+
+    feats = [_bc2d(3, 32, 3, 2), _bc2d(32, 32, 3), _bc2d(32, 64, 3),
+             Mixed3a(), Mixed4a(), Mixed5a(),
+             MixedA(), MixedA(), MixedA(), MixedA(), RedA()]
+    feats += [MixedB() for _ in range(7)] + [RedB()]
+    feats += [MixedC() for _ in range(3)]
+    tv = torch.nn.Module()
+    tv.features = torch.nn.Sequential(*feats)
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_inceptionv4(sd)
+
+    rng = np.random.default_rng(51)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    taps, want = {2, 4, 8, 14, 21}, []
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        want.append(h)
+        for i, m in enumerate(tv.features):
+            h = m(h)
+            if i in taps:
+                want.append(h)
+    enc, ch = get_encoder("inceptionv4")
+    got = enc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert tuple(g.shape[-1] for g in got) == tuple(ch)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
+
+
+def test_convert_inceptionresnetv2_upstream_keys_and_forward():
+    """First numeric golden for inceptionresnetv2: Cadene-faithful twin
+    (real named-attribute key layout incl. the biased residual up-convs)
+    -> convert_inceptionresnetv2 -> forward parity at all 6 taps."""
+    import torch.nn as tnn
+    import torch.nn.functional as F
+    from stcd_tpu.convert.torch_to_flax import convert_inceptionresnetv2
+    from stcd_tpu.encoders import get_encoder
+
+    torch.manual_seed(52)
+
+    class Mixed5b(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = _bc2d(192, 96, 1)
+            self.branch1 = tnn.Sequential(_bc2d(192, 48, 1), _bc2d(48, 64, 5))
+            self.branch2 = tnn.Sequential(_bc2d(192, 64, 1), _bc2d(64, 96, 3),
+                                          _bc2d(96, 96, 3))
+            self.branch3 = tnn.Sequential(tnn.Identity(), _bc2d(192, 64, 1))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x),
+                              self.branch2(x), self.branch3[1](_avgp(x))], 1)
+
+    class Block35(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = _bc2d(320, 32, 1)
+            self.branch1 = tnn.Sequential(_bc2d(320, 32, 1), _bc2d(32, 32, 3))
+            self.branch2 = tnn.Sequential(_bc2d(320, 32, 1), _bc2d(32, 48, 3),
+                                          _bc2d(48, 64, 3))
+            self.conv2d = tnn.Conv2d(128, 320, 1)
+
+        def forward(self, x):
+            up = self.conv2d(torch.cat([self.branch0(x), self.branch1(x),
+                                        self.branch2(x)], 1))
+            return F.relu(x + 0.17 * up)
+
+    class Mixed6a(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = _bc2d(320, 384, 3, 2)
+            self.branch1 = tnn.Sequential(_bc2d(320, 256, 1),
+                                          _bc2d(256, 256, 3),
+                                          _bc2d(256, 384, 3, 2))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x), _maxp(x)], 1)
+
+    class Block17(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = _bc2d(1088, 192, 1)
+            self.branch1 = tnn.Sequential(_bc2d(1088, 128, 1),
+                                          _bc2d(128, 160, (1, 7)),
+                                          _bc2d(160, 192, (7, 1)))
+            self.conv2d = tnn.Conv2d(384, 1088, 1)
+
+        def forward(self, x):
+            up = self.conv2d(torch.cat([self.branch0(x), self.branch1(x)], 1))
+            return F.relu(x + 0.10 * up)
+
+    class Mixed7a(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.branch0 = tnn.Sequential(_bc2d(1088, 256, 1),
+                                          _bc2d(256, 384, 3, 2))
+            self.branch1 = tnn.Sequential(_bc2d(1088, 256, 1),
+                                          _bc2d(256, 288, 3, 2))
+            self.branch2 = tnn.Sequential(_bc2d(1088, 256, 1),
+                                          _bc2d(256, 288, 3),
+                                          _bc2d(288, 320, 3, 2))
+
+        def forward(self, x):
+            return torch.cat([self.branch0(x), self.branch1(x),
+                              self.branch2(x), _maxp(x)], 1)
+
+    class Block8(tnn.Module):
+        def __init__(self, scale=0.20, relu=True):
+            super().__init__()
+            self.scale, self.relu = scale, relu
+            self.branch0 = _bc2d(2080, 192, 1)
+            self.branch1 = tnn.Sequential(_bc2d(2080, 192, 1),
+                                          _bc2d(192, 224, (1, 3)),
+                                          _bc2d(224, 256, (3, 1)))
+            self.conv2d = tnn.Conv2d(448, 2080, 1)
+
+        def forward(self, x):
+            up = self.conv2d(torch.cat([self.branch0(x), self.branch1(x)], 1))
+            out = x + self.scale * up
+            return F.relu(out) if self.relu else out
+
+    tv = tnn.Module()
+    tv.conv2d_1a = _bc2d(3, 32, 3, 2)
+    tv.conv2d_2a = _bc2d(32, 32, 3)
+    tv.conv2d_2b = _bc2d(32, 64, 3)
+    tv.conv2d_3b = _bc2d(64, 80, 1)
+    tv.conv2d_4a = _bc2d(80, 192, 3)
+    tv.mixed_5b = Mixed5b()
+    tv.repeat = tnn.Sequential(*[Block35() for _ in range(10)])
+    tv.mixed_6a = Mixed6a()
+    tv.repeat_1 = tnn.Sequential(*[Block17() for _ in range(20)])
+    tv.mixed_7a = Mixed7a()
+    tv.repeat_2 = tnn.Sequential(*[Block8() for _ in range(9)])
+    tv.block8 = Block8(scale=1.0, relu=False)
+    tv.conv2d_7b = _bc2d(2080, 1536, 1)
+    twins._randomize_bn(tv)
+    tv.eval()
+
+    sd = {k: v.numpy() for k, v in tv.state_dict().items()
+          if "num_batches" not in k}
+    params, stats = convert_inceptionresnetv2(sd)
+
+    rng = np.random.default_rng(53)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        h = torch.from_numpy(x)
+        want = [h]
+        h = tv.conv2d_2b(tv.conv2d_2a(tv.conv2d_1a(h)))
+        want.append(h)
+        h = tv.conv2d_4a(tv.conv2d_3b(_maxp(h)))
+        want.append(h)
+        h = tv.repeat(tv.mixed_5b(_maxp(h)))
+        want.append(h)
+        h = tv.repeat_1(tv.mixed_6a(h))
+        want.append(h)
+        h = tv.conv2d_7b(tv.block8(tv.repeat_2(tv.mixed_7a(h))))
+        want.append(h)
+
+    enc, ch = get_encoder("inceptionresnetv2")
+    got = enc.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, params),
+         "batch_stats": jax.tree_util.tree_map(jnp.asarray, stats)},
+        jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    assert tuple(g.shape[-1] for g in got) == tuple(ch)
+    for i, (g, w) in enumerate(zip(got, want)):
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   w.numpy(), atol=5e-4, rtol=1e-3,
+                                   err_msg=f"stage {i}")
