@@ -1,0 +1,294 @@
+"""End-to-end convergence parity: the reference's own SegCD vs stcd_tpu.
+
+VERDICT r1 weak #5: the +-0.1 F1 accuracy contract (BASELINE.json) has
+never been exercised end-to-end — no LEVIR/WHU data or weights exist on
+this host. This harness is the strongest substitute available: train the
+REFERENCE'S OWN SegCD (its actual decoders/unet/model.py:286-332 +
+decoder.py + base/, loaded via tests/_ref_stubs; only the encoder is a
+torchvision-faithful twin since torchvision is absent) and our SegCD
+from IDENTICAL initial weights on IDENTICAL batches of a learnable
+synthetic change-detection task, with the reference's stage-2 training
+semantics (Adam lr=1e-3, per-iter Poly(0.9) — ref train_pse_cd.py:385-402,
+BCE_DICE on sigmoid(diff) — :451-462, eval threshold 0.5 best-by-IoU —
+:269-301), and compare the converged val F1/IoU.
+
+Three sides are trained:
+  torch       — the reference code path (sequential encoder(A), encoder(B):
+                per-image train-mode BN batch stats)
+  jax_seq     — our SegCD(siamese_batched=False), the bit-faithful mode
+  jax_folded  — our TPU-first 2N-batched Siamese default (joint BN stats)
+
+Each side runs in its own subprocess: torch training corrupts XLA:CPU
+conv precision process-wide on this host (CLAUDE.md), and separate
+processes also guarantee no accidental state sharing.
+
+Run:  python benchmarks/convergence_parity.py [--epochs 10 --n-train 48]
+Prints one JSON line with per-side best F1/IoU and the deltas.
+tests/test_convergence_parity.py runs a reduced configuration under the
+slow marker.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------------------------------------------------------- data
+
+def _gen_pair(rng, size):
+    """One learnable CD pair: shared textured background, bright
+    'building' rectangles; change = rects removed from A or added in B
+    (the synthetic analogue of the WHU pseudo-change pairs, ref
+    data/dataset.py:299-313)."""
+    base = rng.uniform(0.25, 0.5) + rng.normal(0.0, 0.04, (size, size, 1))
+    bg = np.clip(np.broadcast_to(base, (size, size, 3)).copy()
+                 + rng.normal(0.0, 0.02, (size, size, 3)), 0, 1)
+    a = bg + rng.normal(0.0, 0.01, bg.shape)
+    b = bg + rng.normal(0.0, 0.01, bg.shape)
+    label = np.zeros((size, size), np.float32)
+
+    def rect():
+        h, w = rng.integers(8, 22, 2)
+        return (rng.integers(0, size - h), rng.integers(0, size - w), h, w)
+
+    def paint(img, r, color):
+        y, x, h, w = r
+        img[y:y + h, x:x + w] = color + rng.normal(0.0, 0.02, (h, w, 3))
+
+    for _ in range(rng.integers(1, 4)):
+        r, color = rect(), rng.uniform(0.65, 0.95, 3)
+        paint(a, r, color)
+        if rng.uniform() < 0.5:
+            paint(b, r, color)
+        else:
+            label[r[0]:r[0] + r[2], r[1]:r[1] + r[3]] = 1.0
+    for _ in range(rng.integers(0, 3)):
+        r, color = rect(), rng.uniform(0.65, 0.95, 3)
+        paint(b, r, color)
+        label[r[0]:r[0] + r[2], r[1]:r[1] + r[3]] = 1.0
+
+    return (np.clip(a, 0, 1).astype(np.float32).transpose(2, 0, 1),
+            np.clip(b, 0, 1).astype(np.float32).transpose(2, 0, 1),
+            label[None])
+
+
+def gen_data(path, n_train, n_val, size, epochs, bs, seed):
+    rng = np.random.default_rng(seed)
+    def batch(n):
+        trip = [_gen_pair(rng, size) for _ in range(n)]
+        return tuple(np.stack([t[i] for t in trip]) for i in range(3))
+    tr_a, tr_b, tr_l = batch(n_train)
+    va_a, va_b, va_l = batch(n_val)
+    iters = n_train // bs
+    order = np.stack([rng.permutation(n_train)[:iters * bs].reshape(iters, bs)
+                      for _ in range(epochs)])
+    np.savez(path, train_A=tr_a, train_B=tr_b, train_label=tr_l,
+             val_A=va_a, val_B=va_b, val_label=va_l,
+             order=order.astype(np.int32))
+
+
+# ------------------------------------------------------------- metrics
+
+def _f1_iou(tp, fp, fn):
+    """Class-1 F1/IoU — same formulas the ref SegmentationMetric derives
+    from its confusion matrix (train_pse_cd.py:276-277)."""
+    f1 = 2.0 * tp / max(2.0 * tp + fp + fn, 1e-12)
+    iou = tp / max(tp + fp + fn, 1e-12)
+    return f1, iou
+
+
+def _poly_lr(step, total, base=1e-3, power=0.9):
+    # ref Poly per-iteration factor (train_pse_cd.py:385-402); proven
+    # equal to train.state.adam_poly in test_golden_training_dynamics.
+    return base * max(1.0 - step / total, 0.0) ** power
+
+
+DEC_CHANNELS = (64, 32, 24, 16, 8)
+
+
+# ----------------------------------------------------------- torch side
+
+def run_torch(data_path, init_path, out_path, epochs):
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _ref_stubs import load_ref_star_models
+
+    torch.manual_seed(1337)
+    ref_unet = load_ref_star_models()
+    model = ref_unet.SegCD(encoder_name="resnet18", encoder_weights=None,
+                           decoder_channels=DEC_CHANNELS, classes=1)
+    np.savez(init_path,
+             **{k: v.numpy() for k, v in model.state_dict().items()})
+
+    d = np.load(data_path)
+    order = d["order"]
+    total = order.shape[0] * order.shape[1]
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def norm(x):
+        return (torch.from_numpy(x) - mean) / std
+
+    def bce_dice(probs, label):
+        bce = torch.nn.functional.binary_cross_entropy(probs, label)
+        m1, m2 = probs.reshape(-1), label.reshape(-1)
+        inter = (m1 * m2).sum()
+        return bce + 1 - (2.0 * inter + 1.0) / (m1.sum() + m2.sum() + 1.0)
+
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    step, curve = 0, []
+    for ep in range(epochs):
+        model.train()
+        for idx in order[ep]:
+            for g in opt.param_groups:
+                g["lr"] = _poly_lr(step, total)
+            opt.zero_grad()
+            _, _, diff = model(norm(d["train_A"][idx]), norm(d["train_B"][idx]))
+            probs = torch.sigmoid(diff)
+            loss = bce_dice(probs, torch.from_numpy(d["train_label"][idx]))
+            loss.backward()
+            opt.step()
+            step += 1
+        model.eval()
+        tp = fp = fn = 0.0
+        with torch.no_grad():
+            for s in range(0, d["val_A"].shape[0], 8):
+                sl = slice(s, s + 8)
+                _, _, diff = model(norm(d["val_A"][sl]), norm(d["val_B"][sl]))
+                pred = (torch.sigmoid(diff) > 0.5).numpy()
+                lab = d["val_label"][sl] > 0.5
+                tp += float(np.sum(pred & lab))
+                fp += float(np.sum(pred & ~lab))
+                fn += float(np.sum(~pred & lab))
+        f1, iou = _f1_iou(tp, fp, fn)
+        curve.append({"epoch": ep + 1, "f1": round(f1, 4), "iou": round(iou, 4),
+                      "loss": round(float(loss.detach()), 4)})
+    best = max(curve, key=lambda c: c["iou"])
+    json.dump({"side": "torch", "curve": curve, "best_f1": best["f1"],
+               "best_iou": best["iou"]}, open(out_path, "w"))
+
+
+# ------------------------------------------------------------- jax side
+
+def run_jax(data_path, init_path, out_path, epochs):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from stcd_tpu.convert.torch_to_flax import convert_unetseg
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import TrainState, adam_poly
+    from stcd_tpu.train.steps import make_cd_steps
+
+    d = np.load(data_path)
+    init = dict(np.load(init_path))
+    order = d["order"]
+    epochs_avail, iters = order.shape[0], order.shape[1]
+    assert epochs <= epochs_avail
+
+    def nhwc(x):
+        return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    results = {}
+    for mode, batched in (("jax_folded", True), ("jax_seq", False)):
+        params, stats = convert_unetseg(init, (2, 2, 2, 2))
+        model = SegCD(encoder_name="resnet18", classes=1,
+                      decoder_channels=DEC_CHANNELS, siamese_batched=batched)
+        state = TrainState.create_with_stats(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+            tx=adam_poly(1e-3, num_epochs=epochs, iters_per_epoch=iters))
+        train_step, eval_step = make_cd_steps(model, augment=False)
+        curve, t = [], 0
+        for ep in range(epochs):
+            for idx in order[ep]:
+                batch = {"A": nhwc(d["train_A"][idx]),
+                         "B": nhwc(d["train_B"][idx]),
+                         "label": nhwc(d["train_label"][idx])}
+                state, metrics = train_step(state, batch, jax.random.PRNGKey(t))
+                t += 1
+            cm = np.zeros((2, 2), np.float64)
+            for s in range(0, d["val_A"].shape[0], 8):
+                sl = slice(s, s + 8)
+                out = eval_step(state, {"A": nhwc(d["val_A"][sl]),
+                                        "B": nhwc(d["val_B"][sl]),
+                                        "label": nhwc(d["val_label"][sl])})
+                cm += np.asarray(out["cm"], np.float64)
+            f1, iou = _f1_iou(cm[1, 1], cm[0, 1], cm[1, 0])
+            curve.append({"epoch": ep + 1, "f1": round(f1, 4),
+                          "iou": round(iou, 4),
+                          "loss": round(float(metrics["loss"]), 4)})
+        best = max(curve, key=lambda c: c["iou"])
+        results[mode] = {"side": mode, "curve": curve, "best_f1": best["f1"],
+                         "best_iou": best["iou"]}
+    json.dump(results, open(out_path, "w"))
+
+
+# ------------------------------------------------------------ orchestrate
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--n-train", type=int, default=48)
+    ap.add_argument("--n-val", type=int, default=16)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--bs", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--side", choices=["torch", "jax"], default=None,
+                    help="internal: run one side in this process")
+    args = ap.parse_args(argv)
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="convergence_parity_")
+    os.makedirs(wd, exist_ok=True)
+    data, init = os.path.join(wd, "data.npz"), os.path.join(wd, "init.npz")
+
+    if args.side == "torch":
+        run_torch(data, init, os.path.join(wd, "torch.json"), args.epochs)
+        return None
+    if args.side == "jax":
+        run_jax(data, init, os.path.join(wd, "jax.json"), args.epochs)
+        return None
+
+    gen_data(data, args.n_train, args.n_val, args.size, args.epochs,
+             args.bs, args.seed)
+    env = dict(os.environ,
+               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}")
+    base = [sys.executable, os.path.abspath(__file__), "--workdir", wd,
+            "--epochs", str(args.epochs)]
+    for side in ("torch", "jax"):  # torch first: it writes init.npz
+        subprocess.run(base + ["--side", side], env=env, cwd=REPO, check=True)
+
+    torch_res = json.load(open(os.path.join(wd, "torch.json")))
+    jax_res = json.load(open(os.path.join(wd, "jax.json")))
+    report = {
+        "torch_best_f1": torch_res["best_f1"],
+        "torch_best_iou": torch_res["best_iou"],
+        "jax_seq_best_f1": jax_res["jax_seq"]["best_f1"],
+        "jax_folded_best_f1": jax_res["jax_folded"]["best_f1"],
+        "jax_seq_best_iou": jax_res["jax_seq"]["best_iou"],
+        "jax_folded_best_iou": jax_res["jax_folded"]["best_iou"],
+        "delta_f1_seq": round(abs(torch_res["best_f1"]
+                                  - jax_res["jax_seq"]["best_f1"]), 4),
+        "delta_f1_folded": round(abs(torch_res["best_f1"]
+                                     - jax_res["jax_folded"]["best_f1"]), 4),
+        "contract": 0.1,
+    }
+    report["pass"] = (report["delta_f1_seq"] <= 0.1
+                      and report["delta_f1_folded"] <= 0.1)
+    print(json.dumps(report))
+    return report
+
+
+if __name__ == "__main__":
+    main()

@@ -212,6 +212,32 @@ def convert_unetseg(sd: Dict[str, Any], layers_per_stage,
     return params, stats
 
 
+def convert_cdnet(sd: Dict[str, Any]) -> dict:
+    """smp CDNet head state_dict -> stcd_tpu.models.CDNet params (no BN).
+
+    Ref unet/model.py:174-238: AttBlock = Sequential(conv3x3, ReLU,
+    ChannelSpatialSELayer) then cd1/cd2. The Deconv{1..5} Block params are
+    dead code in the reference (Block.forward returns abs(x1-x2) without
+    touching its conv, :223-238) and are skipped.
+    """
+    def conv(prefix):
+        return {"kernel": _conv(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def fc(prefix):
+        return {"kernel": _dense(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    return {
+        "att_conv": conv("AttBlock.block.0"),
+        "att_se": {"cSE": {"fc1": fc("AttBlock.block.2.cSE.fc1"),
+                           "fc2": fc("AttBlock.block.2.cSE.fc2")},
+                   "sSE": {"conv": conv("AttBlock.block.2.sSE.conv")}},
+        "cd1": conv("cd1"),
+        "cd2": conv("cd2"),
+    }
+
+
 def _convT_2x(w) -> np.ndarray:
     """torch ConvTranspose2d weight (I, O, kH, kW) -> flax
     nn.ConvTranspose(transpose_kernel=True) kernel (kH, kW, O, I)."""

@@ -194,3 +194,55 @@ def load_ref_smp_file(dotted: str):
     sys.modules[mod_name] = mod
     spec.loader.exec_module(mod)
     return mod
+
+
+def install_ref_encoder_stub():
+    """Install a stub ``segmentation_models_pytorch.encoders`` exposing a
+    get_encoder backed by a torchvision-faithful resnet18 twin (torchvision
+    itself is absent on this host), so the reference's OWN modified
+    ``decoders/unet/model.py`` (UnetSeg/CDNet/SegCD/FFCTLCD, SURVEY §2.4 ★)
+    loads and runs — its decoder/heads/init are the reference's real code;
+    only the encoder graph is the twin (same graph torchvision builds,
+    validated by test_convert.py::test_resnet18_forward_parity)."""
+    import torch.nn as nn
+    from test_convert import TVResNet18
+
+    install_ref_stubs()
+    name = "segmentation_models_pytorch.encoders"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    class RefResNet18Encoder(TVResNet18):
+        """torchvision graph + init (kaiming fan_out convs, BN 1/0) with
+        the smp stage-contract attributes (ref encoders/resnet.py:37-70)."""
+
+        out_channels = (3, 64, 64, 128, 256, 512)
+        output_stride = 32
+
+        def __init__(self):
+            super().__init__()
+            for m in self.modules():
+                if isinstance(m, nn.Conv2d):
+                    nn.init.kaiming_normal_(m.weight, mode="fan_out",
+                                            nonlinearity="relu")
+                elif isinstance(m, nn.BatchNorm2d):
+                    nn.init.constant_(m.weight, 1.0)
+                    nn.init.constant_(m.bias, 0.0)
+
+    def get_encoder(name, in_channels=3, depth=5, weights=None, **kw):
+        assert (name, in_channels, depth, weights) == ("resnet18", 3, 5, None), \
+            "encoder stub supports resnet18/in3/depth5/weights=None only"
+        return RefResNet18Encoder()
+
+    mod = types.ModuleType(name)
+    mod._stcd_stub = True
+    mod.get_encoder = get_encoder
+    sys.modules[name] = mod
+    return mod
+
+
+def load_ref_star_models():
+    """The reference's modified decoders/unet/model.py (UnetSeg, CDNet,
+    SegCD, FFCTLCD — the STCD paper's models) with the encoder stub."""
+    install_ref_encoder_stub()
+    return load_ref_smp_file("decoders.unet.model")
