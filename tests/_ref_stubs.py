@@ -236,6 +236,9 @@ def install_ref_encoder_stub():
 
     mod = types.ModuleType(name)
     mod._stcd_stub = True
+    # real __path__ so later load_ref_smp_file("encoders.X") calls (and
+    # their relative imports) still resolve against the reference tree
+    mod.__path__ = ["/root/reference/segmentation_models_pytorch/encoders"]
     mod.get_encoder = get_encoder
     sys.modules[name] = mod
     return mod
