@@ -49,14 +49,25 @@ from stcd_tpu.models.smp_models import (  # noqa: F401  (smp top-level exports)
 )
 
 
-import functools as _functools
+# Keyed on id(model) with the model held strongly for identity checks
+# (NOT lru_cache: flax Modules with dict/list-valued fields like
+# aux_params are unhashable). The jit closure pins the module regardless,
+# so the cache is FIFO-bounded instead of weakref'd.
+_EVAL_CACHE: dict = {}
+_EVAL_CACHE_MAX = 16
 
 
-@_functools.lru_cache(maxsize=None)
 def _jitted_eval_apply(model):
     import jax
 
-    return jax.jit(lambda variables, *inputs: model.apply(variables, *inputs))
+    entry = _EVAL_CACHE.get(id(model))
+    if entry is not None and entry[0] is model:
+        return entry[1]
+    fn = jax.jit(lambda variables, *inputs: model.apply(variables, *inputs))
+    while len(_EVAL_CACHE) >= _EVAL_CACHE_MAX:
+        _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
+    _EVAL_CACHE[id(model)] = (model, fn)
+    return fn
 
 
 def predict(model, variables, *inputs):

@@ -38,6 +38,14 @@ def resolve_encoder_weights(weights: Optional[str],
         return None
     if os.path.isfile(weights):
         return weights
+    if os.sep in weights or weights.endswith(".msgpack"):
+        # Looks like a literal path: never fall back to the pretrained dir
+        # (a mistyped/deleted checkpoint path silently becoming stock
+        # ImageNet weights is exactly the divergence this contract bans).
+        raise FileNotFoundError(
+            f"encoder_weights path {weights!r} does not exist. Literal "
+            "paths are not searched in $STCD_PRETRAINED_DIR; pass a name "
+            "like 'imagenet' for directory resolution.")
     if encoder_name:
         d = pretrained_dir()
         for cand in (os.path.join(d, f"{encoder_name}.msgpack"),

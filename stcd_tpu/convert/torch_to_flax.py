@@ -1762,8 +1762,8 @@ def convert_xception(sd: Dict[str, Any]) -> Tuple[dict, dict]:
     optional parameterless MaxPool), block skip/skipbn, then conv3/bn3 +
     conv4/bn4 SeparableConvs. rep indices shift with start_with_relu, so
     sepconvs/bns are taken in Sequential-index order rather than at fixed
-    positions. NOTE our stem uses SAME padding (documented deviation,
-    encoders/xception.py) — weights transfer unchanged."""
+    positions. Padding matches torch exactly (encoders/xception.py,
+    incl. the smp padding patch; numerically golden-tested)."""
     p: dict = {}
     s: dict = {}
     for c, b in (("conv1", "bn1"), ("conv2", "bn2")):
@@ -1807,8 +1807,8 @@ def convert_inceptionv4(sd: Dict[str, Any]) -> Tuple[dict, dict]:
     """Cadene pretrainedmodels inceptionv4 -> InceptionV4Encoder. Upstream
     is features.{0..21} (BasicConv2d stem, Mixed_3a/4a/5a, 4x Inception_A,
     Reduction_A, 7x Inception_B, Reduction_B, 3x Inception_C with
-    branchN[_Ma/b] submodules). NOTE our padding deviation is documented
-    in encoders/inception.py; weights transfer unchanged."""
+    branchN[_Ma/b] submodules). Padding matches torch exactly
+    (encoders/inception.py, incl. the smp padding patch; golden-tested)."""
     pairs = [("conv1", "features.0"), ("conv2", "features.1"),
              ("conv3", "features.2"), ("mixed3a_conv", "features.3.conv"),
              ("mixed5a_conv", "features.5.conv")]

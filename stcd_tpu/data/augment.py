@@ -268,8 +268,15 @@ def _use_pallas(img: jax.Array) -> bool:
         return False
     if _PALLAS_MODE == "on":
         return True
-    # auto: TPU only, and whole-image VMEM blocks up to 512x512.
+    # auto: TPU only, SINGLE device only, whole-image VMEM blocks up to
+    # 512x512. The pallas_call is not GSPMD-partitionable: under a
+    # multi-device mesh a 'data'-sharded batch would be all-gathered and
+    # augmented fully-replicated on every device (measured: the kernel
+    # output's sharding spec collapses to replicated on an 8-device
+    # mesh). Multi-chip runs take the jnp path, which XLA partitions
+    # cleanly; "on" force-overrides for single-device-per-process setups.
     return (jax.default_backend() == "tpu"
+            and jax.device_count() == 1
             and img.shape[1] * img.shape[2] <= 512 * 512)
 
 

@@ -49,22 +49,32 @@ class CheckpointManager:
         # restore_last falls back to.
         path = os.path.join(self.directory, name)
         new_path = path + ".new"
+        marker = path + ".new.ok"  # written only after save() completes:
+        # distinguishes a COMPLETE .new (crash between rmtree and rename —
+        # recoverable) from a PARTIAL .new (crash during save — garbage)
+        if os.path.exists(marker):
+            os.remove(marker)
         if os.path.exists(new_path):
             shutil.rmtree(new_path)  # stale partial from an earlier crash
         self._ckptr.save(new_path, payload)
+        open(marker, "w").close()
         if os.path.exists(path):
             shutil.rmtree(path)
         os.rename(new_path, path)
+        os.remove(marker)
 
     def restore_last(self, state, name: str = "last_ckpt"):
         """Returns (state, epoch_id, best_val_acc, best_epoch_id) or None."""
         path = os.path.join(self.directory, name)
         if not os.path.exists(path):
-            # a crash between save_last's rmtree and rename leaves the
-            # complete new checkpoint under '.new' — recover it
-            if os.path.exists(path + ".new"):
-                os.rename(path + ".new", path)
+            new_path, marker = path + ".new", path + ".new.ok"
+            if os.path.exists(new_path) and os.path.exists(marker):
+                # complete .new (crash between rmtree and rename): recover
+                os.rename(new_path, path)
+                os.remove(marker)
             else:
+                if os.path.exists(new_path):
+                    shutil.rmtree(new_path)  # partial save: garbage
                 return None
         restored = self._ckptr.restore(path)
         tmpl = jax.tree_util.tree_structure(state.opt_state)
