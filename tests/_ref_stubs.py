@@ -209,8 +209,11 @@ def install_ref_encoder_stub():
 
     install_ref_stubs()
     name = "segmentation_models_pytorch.encoders"
-    if name in sys.modules:
+    if name in sys.modules and hasattr(sys.modules[name], "get_encoder"):
         return sys.modules[name]
+    # The module may already exist as a bare path-stub (load_ref_smp_file
+    # creates one for any "encoders.X" load — test-order dependent): keep
+    # it (its __path__ and loaded submodules) and attach get_encoder.
 
     class RefResNet18Encoder(TVResNet18):
         """torchvision graph + init (kaiming fan_out convs, BN 1/0) with
@@ -234,13 +237,15 @@ def install_ref_encoder_stub():
             "encoder stub supports resnet18/in3/depth5/weights=None only"
         return RefResNet18Encoder()
 
-    mod = types.ModuleType(name)
-    mod._stcd_stub = True
-    # real __path__ so later load_ref_smp_file("encoders.X") calls (and
-    # their relative imports) still resolve against the reference tree
-    mod.__path__ = ["/root/reference/segmentation_models_pytorch/encoders"]
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        mod._stcd_stub = True
+        # real __path__ so later load_ref_smp_file("encoders.X") calls (and
+        # their relative imports) still resolve against the reference tree
+        mod.__path__ = ["/root/reference/segmentation_models_pytorch/encoders"]
+        sys.modules[name] = mod
     mod.get_encoder = get_encoder
-    sys.modules[name] = mod
     return mod
 
 
