@@ -268,15 +268,13 @@ def _use_pallas(img: jax.Array) -> bool:
         return False
     if _PALLAS_MODE == "on":
         return True
-    # auto: TPU only, SINGLE device only, whole-image VMEM blocks up to
-    # 512x512. The pallas_call is not GSPMD-partitionable: under a
-    # multi-device mesh a 'data'-sharded batch would be all-gathered and
-    # augmented fully-replicated on every device (measured: the kernel
-    # output's sharding spec collapses to replicated on an 8-device
-    # mesh). Multi-chip runs take the jnp path, which XLA partitions
-    # cleanly; "on" force-overrides for single-device-per-process setups.
+    # auto: TPU only, whole-image VMEM blocks up to 512x512. Multi-device
+    # meshes are fine: the kernel carries a custom_partitioning batch-map
+    # rule (ops/augment_kernel.py) so a 'data'-sharded batch stays sharded
+    # and each device runs the kernel on its own shard (without the rule a
+    # pallas_call is opaque to GSPMD and the batch would be all-gathered
+    # and processed fully replicated — pinned by tests/test_augment_pallas).
     return (jax.default_backend() == "tpu"
-            and jax.device_count() == 1
             and img.shape[1] * img.shape[2] <= 512 * 512)
 
 

@@ -29,6 +29,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 from jax.experimental.pallas import tpu as pltpu
 
 RADIUS = 5
@@ -160,13 +161,10 @@ def _augment_kernel(perm_ref, fac_ref, flag_ref, kern_ref, img_ref, out_ref,
                       (b - _MEAN[2]) * (1.0 / _STD[2]))
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def apply_augment_planar(img_planar: jax.Array, perm: jax.Array,
-                         factors: jax.Array, flags: jax.Array,
-                         kern: jax.Array, interpret: bool = False) -> jax.Array:
-    """img_planar: (N, 3H, W) uint8 or float in [0,1]; returns normalized
-    float32 of the same planar shape. perm (N,4) i32, factors (N,4) f32,
-    flags (N,3|4) i32 [jitter, gray, blur], kern (N, 11) f32."""
+def _planar_pallas(interpret: bool, perm: jax.Array, factors: jax.Array,
+                   flags: jax.Array, kern: jax.Array,
+                   img_planar: jax.Array) -> jax.Array:
+    """The raw pallas_call over a (possibly per-shard) planar batch."""
     n, h3, w = img_planar.shape
     assert h3 % 3 == 0, img_planar.shape
     is_int = jnp.issubdtype(img_planar.dtype, jnp.integer)
@@ -190,6 +188,62 @@ def apply_augment_planar(img_planar: jax.Array, perm: jax.Array,
         interpret=interpret,
     )(perm.astype(jnp.int32), factors.astype(jnp.float32),
       flags.astype(jnp.int32), kern.astype(jnp.float32), img_planar)
+
+
+# --- GSPMD partitioning --------------------------------------------------
+# A pallas_call is opaque to the partitioner: without this, a
+# 'data'-sharded batch inside a pjit'd train step would be ALL-GATHERED
+# and the kernel run fully replicated on every device. The op is a pure
+# batch map (grid = batch, every operand batch-leading), so partitioning
+# is trivial: shard every operand and the result along dim 0 with
+# whatever spec the batch arrives with, and run the same pallas_call on
+# each per-device shard (tests/test_augment_pallas.py pins behavior on a
+# forced 8-device CPU mesh in interpret mode).
+
+def _batch_spec(arg_infos):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    for info in arg_infos:
+        s = getattr(info, "sharding", None)
+        if s is not None and getattr(s, "spec", None) and s.spec[0] is not None:
+            return s.spec[0], s.mesh
+    return None, None
+
+
+def _cp_infer(interpret, mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch, m = _batch_spec(arg_infos)
+    return NamedSharding(m or mesh, P(batch, None, None))
+
+
+def _cp_partition(interpret, mesh, arg_infos, result_infos):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    batch, m = _batch_spec(arg_infos)
+    m = m or mesh
+    arg_shardings = tuple(
+        NamedSharding(m, P(batch, *([None] * (len(info.shape) - 1))))
+        for info in arg_infos)
+    out_sharding = NamedSharding(m, P(batch, None, None))
+    lower_fn = functools.partial(_planar_pallas, interpret)
+    return m, lower_fn, out_sharding, arg_shardings
+
+
+_planar_cp = custom_partitioning(_planar_pallas, static_argnums=(0,))
+_planar_cp.def_partition(
+    partition=_cp_partition,
+    infer_sharding_from_operands=_cp_infer,
+    # Shardy propagation rule: batch factor shared by every operand and
+    # the result; all other dims independent (unsharded in practice).
+    sharding_rule="b p, b f, b g, b k, b h w -> b h w")
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def apply_augment_planar(img_planar: jax.Array, perm: jax.Array,
+                         factors: jax.Array, flags: jax.Array,
+                         kern: jax.Array, interpret: bool = False) -> jax.Array:
+    """img_planar: (N, 3H, W) uint8 or float in [0,1]; returns normalized
+    float32 of the same planar shape. perm (N,4) i32, factors (N,4) f32,
+    flags (N,3|4) i32 [jitter, gray, blur], kern (N, 11) f32."""
+    return _planar_cp(interpret, perm, factors, flags, kern, img_planar)
 
 
 def apply_augment_batch(imgs: jax.Array, params: dict,

@@ -78,22 +78,31 @@ def test_restore_last_discards_partial_new(tmp_path):
     assert restored is not None and restored[1] == 3
 
 
-def test_pallas_augment_off_on_multidevice(monkeypatch):
-    """The fused Pallas augmentation kernel is not GSPMD-partitionable —
-    auto mode must keep it off when more than one device is visible so a
-    'data'-sharded batch is not all-gathered and processed replicated."""
-    from stcd_tpu.data import augment
+def test_pallas_augment_partitions_on_mesh():
+    """A pallas_call is opaque to GSPMD: without the custom_partitioning
+    batch-map rule on the augment kernel, a 'data'-sharded batch inside a
+    pjit'd step was ALL-GATHERED and augmented fully replicated on every
+    device. Pin that the kernel output keeps the batch sharding on an
+    8-device mesh and matches the jnp reference path."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-    img = jnp.zeros((4, 64, 64, 3))
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    monkeypatch.setattr(jax, "device_count", lambda: 8)
-    assert augment._use_pallas(img) is False
-    monkeypatch.setattr(jax, "device_count", lambda: 1)
-    assert augment._use_pallas(img) is True
-    # explicit "on" remains a force-override
-    monkeypatch.setattr(jax, "device_count", lambda: 8)
-    augment.set_pallas_augment("on")
-    try:
-        assert augment._use_pallas(img) is True
-    finally:
-        augment.set_pallas_augment("auto")
+    from stcd_tpu.data import augment
+    from stcd_tpu.data.augment import _batched_params
+    from stcd_tpu.ops.augment_kernel import apply_augment_batch
+
+    imgs = jax.random.uniform(jax.random.PRNGKey(0), (16, 32, 32, 3))
+    params = _batched_params(jax.random.split(jax.random.PRNGKey(1), 16), 0.5)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+    imgs_sh = jax.device_put(imgs, NamedSharding(mesh, P("data")))
+    params_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+        params)
+
+    out = jax.jit(lambda i, p: apply_augment_batch(i, p, interpret=True))(
+        imgs_sh, params_sh)
+    assert out.sharding.spec[0] == "data", out.sharding
+    ref = jax.vmap(augment.apply_augment_reference)(
+        augment.to_float01(imgs), params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
