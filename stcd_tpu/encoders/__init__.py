@@ -190,6 +190,11 @@ def get_encoder(name: str, in_channels: int = 3, depth: int = 5,
             # ref encoders/_base.py make_dilated raises for stage-less encoders
             raise ValueError(
                 f"{name} encoder does not support dilated mode")
+        check = getattr(spec.cls, "check_dilation_support", None)
+        if check is not None:
+            # per-arch refusals within a shared encoder class (e.g. the
+            # reference refuses res2net/resnest but dilates sknet)
+            check(**kwargs)
         kwargs["replace_stride_with_dilation"] = (
             (False, False, True) if output_stride == 16 else (False, True, True))
     module = spec.cls(depth=depth, dtype=dtype, **kwargs)

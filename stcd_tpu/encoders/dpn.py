@@ -11,7 +11,7 @@ Per-variant config from the reference table (ref dpn.py:75-166):
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 from stcd_tpu.layers.modules import max_pool
+from stcd_tpu.encoders.dilation import make_dilated_rates
 
 Dtype = Any
 
@@ -59,6 +60,7 @@ class DualPathBlock(nn.Module):
     groups: int
     block_type: str = "normal"  # proj | down | normal
     b: bool = False
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -67,7 +69,9 @@ class DualPathBlock(nn.Module):
             x_in = jnp.concatenate(x, -1)
         else:
             x_in = x
-        stride = 2 if self.block_type == "down" else 1
+        d = self.dilation
+        # ref _utils.replace_strides_with_dilation: all strides -> 1
+        stride = 1 if d > 1 else (2 if self.block_type == "down" else 1)
         if self.block_type in ("proj", "down"):
             w = _bn_act(x_in, train, "c1x1_w_bn")
             w = nn.Conv(self.num_1x1_c + 2 * self.inc, (1, 1), strides=stride,
@@ -79,7 +83,8 @@ class DualPathBlock(nn.Module):
         h = nn.Conv(self.num_1x1_a, (1, 1), use_bias=False, dtype=self.dtype,
                     name="c1x1_a")(h)
         h = _bn_act(h, train, "c3x3_b_bn")
-        h = nn.Conv(self.num_3x3_b, (3, 3), strides=stride, padding=1,
+        h = nn.Conv(self.num_3x3_b, (3, 3), strides=stride, padding=d,
+                    kernel_dilation=(d, d),
                     feature_group_count=self.groups, use_bias=False,
                     dtype=self.dtype, name="c3x3_b")(h)
         h = _bn_act(h, train, "c1x1_c_bn")
@@ -104,12 +109,17 @@ class DPNEncoder(nn.Module):
 
     arch: str = "dpn68"
     depth: int = 5
+    # smp make_dilated over stages conv3..conv5 (os=16 -> (F,F,T);
+    # os=8 -> (F,T,T)); conv2 always keeps its pool stride
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         init, k_r, groups, k_sec, inc_sec, small, b = _DPN_CFGS[self.arch]
         bwf = 1 if small else 4
+        flags = self.replace_stride_with_dilation
+        rates = make_dilated_rates(flags)
         features = [x]
         if self.depth >= 1:
             k = 3 if small else 7
@@ -125,12 +135,14 @@ class DPNEncoder(nn.Module):
             bw = 64 * (2 ** i) * bwf
             r = (k_r * bw) // (64 * bwf)
             inc = inc_sec[i]
+            dil = rates[i - 1] if i > 0 and flags[i - 1] else 1
             h = DualPathBlock(r, r, bw, inc, groups,
                               block_type="proj" if i == 0 else "down", b=b,
+                              dilation=dil,
                               dtype=self.dtype, name=f"conv{i + 2}_1")(h, train)
             for j in range(1, k_sec[i]):
                 h = DualPathBlock(r, r, bw, inc, groups, block_type="normal",
-                                  b=b, dtype=self.dtype,
+                                  b=b, dilation=dil, dtype=self.dtype,
                                   name=f"conv{i + 2}_{j + 1}")(h, train)
             out = jnp.concatenate(h, -1)
             if i == 3:  # final CatBnAct

@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 from stcd_tpu.layers.modules import avg_pool_global
+from stcd_tpu.encoders.dilation import make_dilated_rates
 
 Dtype = Any
 
@@ -96,6 +97,7 @@ class MBConv(nn.Module):
     out_channels: int
     expand_ratio: int
     stride: int = 1
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     se_ratio: float = 0.25
     drop_rate: float = 0.0
     lite: bool = False
@@ -112,10 +114,17 @@ class MBConv(nn.Module):
                         name="expand_conv")(h)
             h = act(_bn(train, "expand_bn")(h))
         k = self.kernel
+        d = self.dilation
         # TF SAME padding (efficientnet_pytorch Conv2dStaticSamePadding):
         # asymmetric (0,1)-style pads at stride 2, == symmetric k//2 at
-        # stride 1 with odd kernels
-        h = nn.Conv(exp_c, (k, k), strides=self.stride, padding="SAME",
+        # stride 1 with odd kernels. Dilated stages (smp make_dilated):
+        # strides -> 1 and padding becomes symmetric (k//2)*d in BOTH
+        # reference families (the efficientnet_pytorch patch replaces
+        # static_padding with Identity + torch symmetric padding; timm's
+        # Conv2dSame recomputes SAME at stride 1, which equals it) — SAME
+        # at stride 1 with kernel_dilation d is exactly that.
+        h = nn.Conv(exp_c, (k, k), strides=1 if d > 1 else self.stride,
+                    padding="SAME", kernel_dilation=(d, d),
                     feature_group_count=exp_c, use_bias=False,
                     dtype=self.dtype, name="dw_conv")(h)
         h = act(_bn(train, "dw_bn")(h))
@@ -151,6 +160,10 @@ class EfficientNetEncoder(nn.Module):
     lite: bool = False
     depth: int = 5
     drop_connect_rate: float = 0.2
+    # smp make_dilated over feature stages 3..5 (os=16 -> (F,F,T);
+    # os=8 -> (F,T,T)); the residual-skip condition keys on the ORIGINAL
+    # stride (efficientnet_pytorch id_skip uses block_args.stride)
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -169,6 +182,8 @@ class EfficientNetEncoder(nn.Module):
             r if self.lite and gi in (0, len(_BASE_BLOCKS) - 1)
             else round_repeats(r, depth_c)
             for gi, (_, r, *_rest) in enumerate(_BASE_BLOCKS))
+        flags = self.replace_stride_with_dilation
+        rates = make_dilated_rates(flags)
         bidx, stage = 0, 2
         for gi, (k, r, s, e, _ic, oc, se) in enumerate(_BASE_BLOCKS):
             if stage > self.depth:
@@ -176,8 +191,10 @@ class EfficientNetEncoder(nn.Module):
             reps = r if self.lite and gi in (0, len(_BASE_BLOCKS) - 1) \
                 else round_repeats(r, depth_c)
             oc = round_filters(oc, width)
+            dil = rates[stage - 3] if stage >= 3 and flags[stage - 3] else 1
             for i in range(reps):
-                h = MBConv(k, oc, e, stride=s if i == 0 else 1, se_ratio=se,
+                h = MBConv(k, oc, e, stride=s if i == 0 else 1, dilation=dil,
+                           se_ratio=se,
                            drop_rate=self.drop_connect_rate * bidx / total_blocks,
                            lite=self.lite, dtype=self.dtype,
                            name=f"block{bidx}")(h, train)

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+from stcd_tpu.encoders.dilation import make_dilated_rates
 
 Dtype = Any
 
@@ -58,6 +59,7 @@ class GERBlock(nn.Module):
     kind: str  # basic | bottle
     channels: int
     stride: int = 1
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     group_size: int = 0
     bottle_ratio: float = 1.0
     dtype: Optional[Dtype] = None
@@ -66,12 +68,17 @@ class GERBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_c = x.shape[-1]
         c = self.channels
+        d = self.dilation
+        # ref _utils.replace_strides_with_dilation: all strides -> 1,
+        # every 3x3 conv in the stage gets dilation d + padding d
+        stride = 1 if d > 1 else self.stride
         if self.kind == "basic":
-            h = nn.Conv(c, (3, 3), strides=self.stride, padding=1,
+            h = nn.Conv(c, (3, 3), strides=stride, padding=d,
+                        kernel_dilation=(d, d),
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
             h = nn.relu(_bn(train, "bn1")(h))
-            h = nn.Conv(c, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name="conv2")(h)
+            h = nn.Conv(c, (3, 3), padding=d, kernel_dilation=(d, d),
+                        use_bias=False, dtype=self.dtype, name="conv2")(h)
             h = _bn(train, "bn2")(h)
         else:
             mid = int(round(c * self.bottle_ratio))
@@ -79,7 +86,8 @@ class GERBlock(nn.Module):
             h = nn.Conv(mid, (1, 1), use_bias=False, dtype=self.dtype,
                         name="conv1")(x)
             h = nn.relu(_bn(train, "bn1")(h))
-            h = nn.Conv(mid, (3, 3), strides=self.stride, padding=1,
+            h = nn.Conv(mid, (3, 3), strides=stride, padding=d,
+                        kernel_dilation=(d, d),
                         feature_group_count=groups, use_bias=False,
                         dtype=self.dtype, name="conv2")(h)
             h = nn.relu(_bn(train, "bn2")(h))
@@ -87,7 +95,7 @@ class GERBlock(nn.Module):
                         name="conv3")(h)
             h = _bn(train, "bn3")(h)
         if self.stride != 1 or in_c != c:
-            identity = nn.Conv(c, (1, 1), strides=self.stride, use_bias=False,
+            identity = nn.Conv(c, (1, 1), strides=stride, use_bias=False,
                                dtype=self.dtype, name="shortcut_conv")(x)
             identity = _bn(train, "shortcut_bn")(identity)
         else:
@@ -100,11 +108,16 @@ class GERNetEncoder(nn.Module):
 
     arch: str = "gernet_s"
     depth: int = 5
+    # smp make_dilated over feature stages 3..5; stage 5 covers table
+    # stages 3..4 + the final conv (os=16 -> (F,F,T); os=8 -> (F,T,T))
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         cfg = _GERNET_CFGS[self.arch]
+        flags = self.replace_stride_with_dilation
+        rates = make_dilated_rates(flags)
         features = [x]
         if self.depth >= 1:
             h = nn.Conv(cfg["stem"], (3, 3), strides=2, padding=1,
@@ -115,16 +128,20 @@ class GERNetEncoder(nn.Module):
         for si, (kind, d, c, s, gs, br) in enumerate(cfg["blocks"][:3]):
             if self.depth < 2 + si:
                 return features
+            dil = rates[si - 1] if si > 0 and flags[si - 1] else 1
             for b in range(d):
-                h = GERBlock(kind, c, stride=s if b == 0 else 1, group_size=gs,
+                h = GERBlock(kind, c, stride=s if b == 0 else 1, dilation=dil,
+                             group_size=gs,
                              bottle_ratio=br, dtype=self.dtype,
                              name=f"stage{si}_block{b}")(h, train)
             features.append(h)
         if self.depth >= 5:
+            dil = rates[2] if flags[2] else 1
             for si, (kind, d, c, s, gs, br) in enumerate(cfg["blocks"][3:],
                                                          start=3):
                 for b in range(d):
                     h = GERBlock(kind, c, stride=s if b == 0 else 1,
+                                 dilation=dil,
                                  group_size=gs, bottle_ratio=br,
                                  dtype=self.dtype,
                                  name=f"stage{si}_block{b}")(h, train)

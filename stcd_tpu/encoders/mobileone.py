@@ -13,7 +13,7 @@ min(64, 64*wm0); s0 uses 4 conv branches, s4 adds SE in the later stages.
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 from stcd_tpu.layers.modules import avg_pool_global
+from stcd_tpu.encoders.dilation import make_dilated_rates
 
 Dtype = Any
 
@@ -54,6 +55,7 @@ class MobileOneConv(nn.Module):
     out_channels: int
     kernel: int = 3
     stride: int = 1
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     groups: int = 1
     branches: int = 1
     use_se: bool = False
@@ -63,15 +65,22 @@ class MobileOneConv(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_c = x.shape[-1]
         k = self.kernel
+        d = self.dilation
+        # ref _utils.replace_strides_with_dilation patches convs AFTER
+        # construction: strides -> 1, dilation d, padding (k//2)*d. The
+        # identity-BN branch below keys on the ORIGINAL stride (branch
+        # existence was decided at torch module construction).
+        stride = 1 if d > 1 else self.stride
         out = 0.0
         for b in range(self.branches):
-            h = nn.Conv(self.out_channels, (k, k), strides=self.stride,
-                        padding=k // 2, feature_group_count=self.groups,
+            h = nn.Conv(self.out_channels, (k, k), strides=stride,
+                        padding=(k // 2) * d, kernel_dilation=(d, d),
+                        feature_group_count=self.groups,
                         use_bias=False, dtype=self.dtype,
                         name=f"branch{b}_conv")(x)
             out = out + _bn(train, f"branch{b}_bn")(h)
         if k > 1:  # 1x1 scale branch
-            h = nn.Conv(self.out_channels, (1, 1), strides=self.stride,
+            h = nn.Conv(self.out_channels, (1, 1), strides=stride,
                         feature_group_count=self.groups, use_bias=False,
                         dtype=self.dtype, name="scale_conv")(x)
             out = out + _bn(train, "scale_bn")(h)
@@ -92,6 +101,7 @@ class MobileOneBlock(nn.Module):
 
     out_channels: int
     stride: int = 1
+    dilation: int = 1
     branches: int = 1
     use_se: bool = False
     dtype: Optional[Dtype] = None
@@ -100,9 +110,11 @@ class MobileOneBlock(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_c = x.shape[-1]
         h = MobileOneConv(in_c, kernel=3, stride=self.stride, groups=in_c,
+                          dilation=self.dilation,
                           branches=self.branches, use_se=self.use_se,
                           dtype=self.dtype, name="dw")(x, train)
         return MobileOneConv(self.out_channels, kernel=1,
+                             dilation=self.dilation,
                              branches=self.branches, use_se=self.use_se,
                              dtype=self.dtype, name="pw")(h, train)
 
@@ -112,11 +124,15 @@ class MobileOneEncoder(nn.Module):
 
     arch: str = "mobileone_s0"
     depth: int = 5
+    # smp make_dilated over stages 2..4 (os=16 -> (F,F,T); os=8 -> (F,T,T))
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         wms, branches, use_se = _MOBILEONE_CFGS[self.arch]
+        flags = self.replace_stride_with_dilation
+        rates = make_dilated_rates(flags)
         features = [x]
         if self.depth >= 1:
             stem_c = min(64, int(64 * wms[0]))
@@ -131,9 +147,10 @@ class MobileOneEncoder(nn.Module):
             c = int(_BASE_WIDTHS[i] * wms[i])
             # SE only in the deepest stages of s4 (last stage + second half
             # of stage 3, per the reference model)
+            dil = rates[i - 1] if i > 0 and flags[i - 1] else 1
             for b in range(_DEPTHS[i]):
                 se = use_se and (i == 3 or (i == 2 and b >= _DEPTHS[i] // 2))
-                h = MobileOneBlock(c, stride=2 if b == 0 else 1,
+                h = MobileOneBlock(c, stride=2 if b == 0 else 1, dilation=dil,
                                    branches=branches, use_se=se,
                                    dtype=self.dtype,
                                    name=f"stage{i + 1}_block{b}")(h, train)

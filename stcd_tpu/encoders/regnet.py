@@ -12,7 +12,7 @@ downsample; Y-variants add SE (ratio relative to block input width).
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -21,6 +21,7 @@ from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
 from stcd_tpu.layers.modules import avg_pool_global
+from stcd_tpu.encoders.dilation import make_dilated_rates
 
 Dtype = Any
 
@@ -81,16 +82,21 @@ class RegNetBlock(nn.Module):
     width: int
     groups: int
     stride: int = 1
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     se_ratio: float = 0.0
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         in_c = x.shape[-1]
+        d = self.dilation
+        # ref _utils.replace_strides_with_dilation: all strides -> 1
+        stride = 1 if d > 1 else self.stride
         h = nn.Conv(self.width, (1, 1), use_bias=False, dtype=self.dtype,
                     name="conv1")(x)
         h = nn.relu(_bn(train, "bn1")(h))
-        h = nn.Conv(self.width, (3, 3), strides=self.stride, padding=1,
+        h = nn.Conv(self.width, (3, 3), strides=stride, padding=d,
+                    kernel_dilation=(d, d),
                     feature_group_count=self.width // self.groups,
                     use_bias=False, dtype=self.dtype, name="conv2")(h)
         h = nn.relu(_bn(train, "bn2")(h))
@@ -105,7 +111,7 @@ class RegNetBlock(nn.Module):
                     name="conv3")(h)
         h = _bn(train, "bn3")(h)
         if self.stride != 1 or in_c != self.width:
-            identity = nn.Conv(self.width, (1, 1), strides=self.stride,
+            identity = nn.Conv(self.width, (1, 1), strides=stride,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
             identity = _bn(train, "downsample_bn")(identity)
@@ -119,12 +125,16 @@ class RegNetEncoder(nn.Module):
 
     arch: str = "regnetx_002"
     depth: int = 5
+    # smp make_dilated semantics over stages 2..4 (os=16 -> (F,F,T);
+    # os=8 -> (F,T,T)); stage 1 always keeps its stride
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         widths, depths, groups = generate_regnet(self.arch)
         se_ratio = _REGNET_CFGS[self.arch][5]
+        flags = self.replace_stride_with_dilation
         features = [x]
         if self.depth >= 1:
             h = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
@@ -134,10 +144,12 @@ class RegNetEncoder(nn.Module):
         for i in range(len(widths)):
             if self.depth < 2 + i:
                 break
+            dil = (make_dilated_rates(flags)[i - 1]
+                   if i > 0 and flags[i - 1] else 1)
             for b in range(depths[i]):
                 h = RegNetBlock(int(widths[i]), int(groups[i]),
-                                stride=2 if b == 0 else 1, se_ratio=se_ratio,
-                                dtype=self.dtype,
+                                stride=2 if b == 0 else 1, dilation=dil,
+                                se_ratio=se_ratio, dtype=self.dtype,
                                 name=f"stage{i + 1}_block{b}")(h, train)
             features.append(h)
         return features

@@ -17,13 +17,14 @@ cardinality, radix/scale, stem type).
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from stcd_tpu.layers.norm import BatchNorm as MPBatchNorm
+from stcd_tpu.encoders.dilation import make_dilated_rates
 from stcd_tpu.layers.modules import avg_pool_global, max_pool
 
 Dtype = Any
@@ -224,6 +225,7 @@ class SelectiveKernel(nn.Module):
 
     out_channels: int
     stride: int = 1
+    dilation: int = 1  # smp make_dilated stage-uniform override
     groups: int = 1
     split_input: bool = True
     rd_ratio: float = 1 / 8
@@ -236,7 +238,14 @@ class SelectiveKernel(nn.Module):
         g = min(self.out_channels, self.groups)
         feats = []
         for i, (p, d) in enumerate(zip(paths, (1, 2))):
-            f = nn.Conv(self.out_channels, (3, 3), strides=self.stride,
+            if self.dilation > 1:
+                # ref _utils.replace_strides_with_dilation patches EVERY
+                # conv in the stage: both SK paths collapse to the SAME
+                # dilation/padding (the reference's crude patch overrides
+                # timm's per-path 1/2 dilations) and strides become 1
+                d = self.dilation
+            stride = 1 if self.dilation > 1 else self.stride
+            f = nn.Conv(self.out_channels, (3, 3), strides=stride,
                         padding=d, kernel_dilation=d,
                         feature_group_count=max(g, 1), use_bias=False,
                         dtype=self.dtype, name=f"path{i}_conv")(p)
@@ -264,11 +273,13 @@ class SelectiveKernelBlock(nn.Module):
     base_width: int = 64
     cardinality: int = 1
     stride: int = 1
+    dilation: int = 1  # smp make_dilated semantics: stage-uniform rate
     downsample: bool = False
     dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        dd = self.dilation
         if self.bottleneck:
             width = int(self.planes * (self.base_width / 64.0)) * self.cardinality
             out_c = self.planes * 4
@@ -277,7 +288,7 @@ class SelectiveKernelBlock(nn.Module):
             h = nn.relu(_bn(train, "bn1")(h))
             # skresnext50_32x4d sk_kwargs (timm resnet.py):
             # split_input=False, rd_ratio=1/16, rd_divisor=32
-            h = SelectiveKernel(width, stride=self.stride,
+            h = SelectiveKernel(width, stride=self.stride, dilation=dd,
                                 groups=self.cardinality, split_input=False,
                                 rd_ratio=1 / 16, rd_divisor=32,
                                 dtype=self.dtype, name="sk")(h, train)
@@ -286,14 +297,16 @@ class SelectiveKernelBlock(nn.Module):
             h = _bn(train, "bn3")(h)
         else:
             out_c = self.planes
-            h = SelectiveKernel(self.planes, stride=self.stride,
+            h = SelectiveKernel(self.planes, stride=self.stride, dilation=dd,
                                 dtype=self.dtype, name="sk")(x, train)
-            h = nn.Conv(out_c, (3, 3), padding=1, use_bias=False,
+            h = nn.Conv(out_c, (3, 3), padding=dd, kernel_dilation=(dd, dd),
+                        use_bias=False,
                         dtype=self.dtype, name="conv2")(h)
             h = _bn(train, "bn2")(h)
         identity = x
         if self.downsample:
-            identity = nn.Conv(out_c, (1, 1), strides=self.stride,
+            identity = nn.Conv(out_c, (1, 1),
+                               strides=1 if dd > 1 else self.stride,
                                use_bias=False, dtype=self.dtype,
                                name="downsample_conv")(x)
             identity = _bn(train, "downsample_bn")(identity)
@@ -305,12 +318,28 @@ class TimmResNetEncoder(nn.Module):
 
     arch: str = "res2net50_26w_4s"
     depth: int = 5
+    # smp make_dilated over layer2..4 — SKNET ONLY: the reference refuses
+    # dilation for res2net/resnest (ref timm_res2net.py:27-28,
+    # timm_resnest.py:27-28); check_dilation_support mirrors that.
+    replace_stride_with_dilation: Sequence[bool] = (False, False, False)
     dtype: Optional[Dtype] = None
+
+    @staticmethod
+    def check_dilation_support(arch="res2net50_26w_4s", **_):
+        kind = _TIMM_RESNET_CFGS[arch][0]
+        if kind == "res2":
+            raise ValueError("Res2Net encoders do not support dilated mode")
+        if kind == "nest":
+            raise ValueError("ResNest encoders do not support dilated mode")
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
         kind, layers, base_width, card, barg, stem_w, avg_down = \
             _TIMM_RESNET_CFGS[self.arch]
+        flags = self.replace_stride_with_dilation
+        if any(flags):
+            self.check_dilation_support(self.arch)
+        rates = make_dilated_rates(flags)
         features = [x]
         if self.depth >= 1:
             if kind == "nest":  # deep stem: 3x conv3x3 (w, w, 2w)
@@ -349,10 +378,12 @@ class TimmResNetEncoder(nn.Module):
                                           downsample=down, avd_first=avd_first,
                                           dtype=self.dtype, name=name)(h, train)
                 else:
+                    dil = rates[i - 1] if i > 0 and flags[i - 1] else 1
                     h = SelectiveKernelBlock(planes[i],
                                              bottleneck=kind == "sk_bottle",
                                              base_width=base_width,
                                              cardinality=card, stride=s,
+                                             dilation=dil,
                                              downsample=down,
                                              dtype=self.dtype, name=name)(h, train)
             features.append(h)

@@ -201,3 +201,231 @@ def test_make_dilated_rates_formula():
     assert make_dilated_rates((True, True, True)) == (2, 4, 8)     # os=4
     assert make_dilated_rates((False, False, False)) == (1, 1, 1)
     assert make_dilated_rates((True, False, True)) == (2, 1, 4)
+
+
+@pytest.mark.parametrize("os_", [16, 8])
+def test_dilated_regnety_002_matches_torch(os_):
+    from stcd_tpu.encoders.regnet import generate_regnet
+
+    widths, depths, gs = generate_regnet("regnety_002")
+    torch.manual_seed(30)
+    tv = twins.TRegNet(widths, depths, gs)
+    twins._randomize_bn(tv)
+    tv.eval()
+    # features idx 2..5 = tv.stages[0..3]
+    if os_ == 16:
+        _patch_dilation(tv.stages[3], 2)
+    else:
+        _patch_dilation(tv.stages[2], 2)
+        _patch_dilation(tv.stages[3], 4)
+
+    rng = np.random.default_rng(31)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+    assert want[-1].shape[-1] == 64 // os_
+
+    p, s = twins._convert_regnet(tv)
+    enc, _ = get_encoder("timm-regnety_002", output_stride=os_)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _compare(got, want, f"regnety_002 os={os_}")
+
+
+@pytest.mark.parametrize("os_", [16, 8])
+def test_dilated_gernet_s_matches_torch(os_):
+    from stcd_tpu.encoders.gernet import _GERNET_CFGS
+
+    torch.manual_seed(32)
+    tv = twins.TGERNet(_GERNET_CFGS["gernet_s"])
+    twins._randomize_bn(tv)
+    tv.eval()
+    # feature idx 5 covers table stages 3..4 + the final 1x1 conv
+    stage5 = tnn.ModuleList([tv.stages[3], tv.stages[4], tv.final])
+    if os_ == 16:
+        _patch_dilation(stage5, 2)
+    else:
+        _patch_dilation(tv.stages[2], 2)
+        _patch_dilation(stage5, 4)
+
+    rng = np.random.default_rng(33)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+    assert want[-1].shape[-1] == 64 // os_
+
+    p, s = twins._convert_gernet(tv)
+    enc, _ = get_encoder("timm-gernet_s", output_stride=os_)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _compare(got, want, f"gernet_s os={os_}")
+
+
+@pytest.mark.parametrize("os_", [16, 8])
+def test_dilated_dpn68_matches_torch(os_):
+    torch.manual_seed(34)
+    tv = twins.TDPN68()
+    twins._randomize_bn(tv)
+    tv.eval()
+    # features idx 2..5 = groups_list[0..3] (conv2..conv5)
+    if os_ == 16:
+        _patch_dilation(tv.groups_list[3], 2)
+    else:
+        _patch_dilation(tv.groups_list[2], 2)
+        _patch_dilation(tv.groups_list[3], 4)
+
+    rng = np.random.default_rng(35)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+    assert want[-1].shape[-1] == 64 // os_
+
+    p, s = twins._convert_dpn68(tv)
+    enc, _ = get_encoder("dpn68", output_stride=os_)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _compare(got, want, f"dpn68 os={os_}")
+
+
+@pytest.mark.parametrize("arch,bottleneck,layers", [
+    ("timm-skresnet18", False, (2, 2, 2, 2)),
+    ("timm-skresnext50_32x4d", True, (3, 4, 6, 3)),
+])
+@pytest.mark.parametrize("os_", [16, 8])
+def test_dilated_sknet_matches_torch(os_, arch, bottleneck, layers):
+    """The reference's crude patch collapses BOTH SelectiveKernel paths
+    (timm dilations 1/2) onto the SAME stage rate — matched here."""
+    torch.manual_seed(36)
+    tv = twins.TSKNet(bottleneck, layers)
+    twins._randomize_bn(tv)
+    tv.eval()
+    if os_ == 16:
+        _patch_dilation(tv.layers[3], 2)
+    else:
+        _patch_dilation(tv.layers[2], 2)
+        _patch_dilation(tv.layers[3], 4)
+
+    rng = np.random.default_rng(37)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+    assert want[-1].shape[-1] == 64 // os_
+
+    p, s = twins._convert_sk(tv, bottleneck)
+    enc, _ = get_encoder(arch, output_stride=os_)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _compare(got, want, f"{arch} os={os_}")
+
+
+@pytest.mark.parametrize("os_", [16, 8])
+def test_dilated_mobileone_s0_matches_reference(os_):
+    """Dilated golden vs the reference's OWN vendored mobileone.py with its
+    stages patched by the reference's replace_strides_with_dilation."""
+    import os as _os
+    if not _os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not mounted")
+    from _ref_stubs import load_ref_smp_file
+    from test_golden_encoders_twins import (_convert_mobileone_block,
+                                            _randomize_bn)
+
+    mod = load_ref_smp_file("encoders.mobileone")
+    torch.manual_seed(38)
+    ref = mod.MobileOne(out_channels=(3, 0, 0, 0, 0, 0), depth=5,
+                        width_multipliers=(0.75, 1.0, 1.0, 2.0),
+                        num_conv_branches=4, use_se=False)
+    _randomize_bn(ref)
+    # damp the multiplicative BN randomization toward 1: with 46 stacked
+    # randomized BNs this seed's activations reach ~1e5 and fp32
+    # accumulation-order noise alone exceeds the 1e-3 rtol (the undilated
+    # stages already differ by that much)
+    for m in ref.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.weight.data = 1.0 + 0.3 * (m.weight.data - 1.0)
+    ref.eval()
+    # features idx 4 = stage3, idx 5 = stage4 (ref get_stages)
+    if os_ == 16:
+        _patch_dilation(ref.stage4, 2)
+    else:
+        _patch_dilation(ref.stage3, 2)
+        _patch_dilation(ref.stage4, 4)
+
+    rng = np.random.default_rng(39)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.from_numpy(x))
+    assert want[-1].shape[-1] == 64 // os_
+
+    p, s = {}, {}
+    p["stem"], s["stem"] = _convert_mobileone_block(ref.stage0)
+    for si in range(1, 5):
+        stage = getattr(ref, f"stage{si}")
+        for b in range(len(stage) // 2):
+            for part, blk in (("dw", stage[2 * b]), ("pw", stage[2 * b + 1])):
+                bp, bs = _convert_mobileone_block(blk)
+                p.setdefault(f"stage{si}_block{b}", {})[part] = bp
+                s.setdefault(f"stage{si}_block{b}", {})[part] = bs
+
+    enc, _ = get_encoder("mobileone_s0", output_stride=os_)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    # Looser, scale-aware tolerance: s0's 4 summed branches per conv over
+    # 46 convs push random-weight activations to ~1e5, where fp32
+    # accumulation-order noise alone exceeds rtol=1e-3 on isolated
+    # elements near the ReLU cut (the UNdilated stages show the same
+    # level). atol scales with each stage's magnitude.
+    for i, (g, w) in enumerate(zip(got, want)):
+        wn = w.numpy()
+        np.testing.assert_allclose(np.asarray(g).transpose(0, 3, 1, 2),
+                                   wn, rtol=5e-3,
+                                   atol=max(5e-4, 1e-5 * np.abs(wn).max()),
+                                   err_msg=f"mobileone_s0 os={os_} stage {i}")
+
+
+@pytest.mark.parametrize("os_", [16, 8])
+def test_dilated_efficientnet_b0_matches_torch(os_):
+    """The efficientnet dilation quirk (ref _utils.py:50-52 'Kostyl'):
+    static SAME padding becomes Identity and the patched symmetric
+    (k//2)*rate padding applies — the twin emulates it by bypassing its
+    _same_pad helper on patched blocks."""
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+
+    torch.manual_seed(40)
+    tv = twins.TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    twins._randomize_bn(tv)
+    tv.eval()
+    # smp stage of group: stage3 = group2, stage4 = groups 3-4,
+    # stage5 = groups 5-6
+    dil_groups = {5: 2, 6: 2} if os_ == 16 else {3: 2, 4: 2, 5: 4, 6: 4}
+    for bi, blk in enumerate(tv.blocks):
+        g = tv.group_of_block[bi]
+        if g in dil_groups:
+            _patch_dilation(blk, dil_groups[g])
+            blk.use_same_pad = False
+
+    rng = np.random.default_rng(41)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+    assert want[-1].shape[-1] == 64 // os_
+
+    p, s = twins._convert_effnet(tv)
+    enc, _ = get_encoder("efficientnet-b0", output_stride=os_)
+    got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
+                     "batch_stats": jax.tree_util.tree_map(jnp.asarray, s)},
+                    jnp.asarray(x.transpose(0, 2, 3, 1)))
+    _compare(got, want, f"efficientnet-b0 os={os_}")
+
+
+def test_dilated_res2net_resnest_refuse():
+    """The reference refuses dilation for res2net/resnest (ref
+    timm_res2net.py:27-28, timm_resnest.py:27-28) — ours must too, at
+    get_encoder time, while sknet (same encoder class) dilates."""
+    for name in ("timm-res2net50_26w_4s", "timm-resnest14d"):
+        with pytest.raises(ValueError, match="not support dilated"):
+            get_encoder(name, output_stride=16)

@@ -205,7 +205,12 @@ class TMBConv(tnn.Module):
         h = x
         if self.expand_conv is not None:
             h = _swish(self.expand_bn(self.expand_conv(h)))
-        h = _swish(self.dw_bn(self.dw(_same_pad(h, self.k, self.stride))))
+        if getattr(self, "use_same_pad", True):
+            h = _swish(self.dw_bn(self.dw(_same_pad(h, self.k, self.stride))))
+        else:
+            # dilated-twin mode: the ref patch replaces static SAME padding
+            # with Identity; the conv's own (patched) padding applies
+            h = _swish(self.dw_bn(self.dw(h)))
         s = F.adaptive_avg_pool2d(h, 1)
         s = torch.sigmoid(self.se_expand(_swish(self.se_reduce(s))))
         h = h * s
@@ -1186,46 +1191,33 @@ class TRegNetBlock(tnn.Module):
         return F.relu(h + identity)
 
 
-def test_regnety_002_forward_parity():
-    from stcd_tpu.encoders import get_encoder
-    from stcd_tpu.encoders.regnet import generate_regnet
+class TRegNet(tnn.Module):
+    def __init__(self, widths, depths, group_sizes, se_ratio=0.25):
+        super().__init__()
+        self.stem = tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
+        self.stem_bn = tnn.BatchNorm2d(32)
+        self.stages = tnn.ModuleList()
+        in_c = 32
+        for w, d, g in zip(widths, depths, group_sizes):
+            blocks = []
+            for b in range(d):
+                blocks.append(TRegNetBlock(in_c, w, g,
+                                           stride=2 if b == 0 else 1,
+                                           se_ratio=se_ratio))
+                in_c = w
+            self.stages.append(tnn.Sequential(*blocks))
 
-    widths, depths, group_sizes = generate_regnet("regnety_002")
-
-    class TRegNet(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            self.stem = tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False)
-            self.stem_bn = tnn.BatchNorm2d(32)
-            self.stages = tnn.ModuleList()
-            in_c = 32
-            for w, d, g in zip(widths, depths, group_sizes):
-                blocks = []
-                for b in range(d):
-                    blocks.append(TRegNetBlock(in_c, w, g,
-                                               stride=2 if b == 0 else 1,
-                                               se_ratio=0.25))
-                    in_c = w
-                self.stages.append(tnn.Sequential(*blocks))
-
-        def forward(self, x):
-            feats = [x]
-            h = F.relu(self.stem_bn(self.stem(x)))
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.stem_bn(self.stem(x)))
+        feats.append(h)
+        for stage in self.stages:
+            h = stage(h)
             feats.append(h)
-            for stage in self.stages:
-                h = stage(h)
-                feats.append(h)
-            return feats
+        return feats
 
-    torch.manual_seed(22)
-    tv = TRegNet()
-    _randomize_bn(tv)
-    tv.eval()
-    rng = np.random.default_rng(23)
-    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
-    with torch.no_grad():
-        want = tv(torch.from_numpy(x))
 
+def _convert_regnet(tv):
     p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)}}
     s = {}
     p["stem_bn"], s["stem_bn"] = _bn_params(tv.stem_bn)
@@ -1245,6 +1237,25 @@ def test_regnety_002_forward_parity():
                 bp["downsample_bn"], bs["downsample_bn"] = _bn_params(blk.down[1])
             p[f"stage{si}_block{bi}"] = bp
             s[f"stage{si}_block{bi}"] = bs
+    return p, s
+
+
+def test_regnety_002_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.regnet import generate_regnet
+
+    widths, depths, group_sizes = generate_regnet("regnety_002")
+
+    torch.manual_seed(22)
+    tv = TRegNet(widths, depths, group_sizes)
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(23)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p, s = _convert_regnet(tv)
 
     enc, _ = get_encoder("timm-regnety_002")
     got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
@@ -1298,49 +1309,36 @@ class TGERBlock(tnn.Module):
         return F.relu(h + identity)
 
 
-def test_gernet_s_forward_parity():
-    from stcd_tpu.encoders import get_encoder
-    from stcd_tpu.encoders.gernet import _GERNET_CFGS
+class TGERNet(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.stem = tnn.Conv2d(3, cfg["stem"], 3, stride=2, padding=1, bias=False)
+        self.stem_bn = tnn.BatchNorm2d(cfg["stem"])
+        self.stages = tnn.ModuleList()
+        in_c = cfg["stem"]
+        for kind, d, c, s, gs, br in cfg["blocks"]:
+            blocks = []
+            for b in range(d):
+                blocks.append(TGERBlock(in_c, kind, c, s if b == 0 else 1,
+                                        gs, br))
+                in_c = c
+            self.stages.append(tnn.Sequential(*blocks))
+        self.final = tnn.Conv2d(in_c, cfg["features"], 1, bias=False)
+        self.final_bn = tnn.BatchNorm2d(cfg["features"])
 
-    cfg = _GERNET_CFGS["gernet_s"]
+    def forward(self, x):
+        feats = [x]
+        h = F.relu(self.stem_bn(self.stem(x)))
+        feats.append(h)
+        for si, stage in enumerate(self.stages):
+            h = stage(h)
+            if si < 3:
+                feats.append(h)
+        feats.append(F.relu(self.final_bn(self.final(h))))
+        return feats
 
-    class TGERNet(tnn.Module):
-        def __init__(self):
-            super().__init__()
-            self.stem = tnn.Conv2d(3, cfg["stem"], 3, stride=2, padding=1, bias=False)
-            self.stem_bn = tnn.BatchNorm2d(cfg["stem"])
-            self.stages = tnn.ModuleList()
-            in_c = cfg["stem"]
-            for kind, d, c, s, gs, br in cfg["blocks"]:
-                blocks = []
-                for b in range(d):
-                    blocks.append(TGERBlock(in_c, kind, c, s if b == 0 else 1,
-                                            gs, br))
-                    in_c = c
-                self.stages.append(tnn.Sequential(*blocks))
-            self.final = tnn.Conv2d(in_c, cfg["features"], 1, bias=False)
-            self.final_bn = tnn.BatchNorm2d(cfg["features"])
 
-        def forward(self, x):
-            feats = [x]
-            h = F.relu(self.stem_bn(self.stem(x)))
-            feats.append(h)
-            for si, stage in enumerate(self.stages):
-                h = stage(h)
-                if si < 3:
-                    feats.append(h)
-            feats.append(F.relu(self.final_bn(self.final(h))))
-            return feats
-
-    torch.manual_seed(24)
-    tv = TGERNet()
-    _randomize_bn(tv)
-    tv.eval()
-    rng = np.random.default_rng(25)
-    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
-    with torch.no_grad():
-        want = tv(torch.from_numpy(x))
-
+def _convert_gernet(tv):
     p = {"stem_conv": {"kernel": _conv_w(tv.stem.weight)},
          "final_conv": {"kernel": _conv_w(tv.final.weight)}}
     s = {}
@@ -1358,6 +1356,25 @@ def test_gernet_s_forward_parity():
                 bp["shortcut_bn"], bs["shortcut_bn"] = _bn_params(blk.down[1])
             p[f"stage{si}_block{bi}"] = bp
             s[f"stage{si}_block{bi}"] = bs
+    return p, s
+
+
+def test_gernet_s_forward_parity():
+    from stcd_tpu.encoders import get_encoder
+    from stcd_tpu.encoders.gernet import _GERNET_CFGS
+
+    cfg = _GERNET_CFGS["gernet_s"]
+
+    torch.manual_seed(24)
+    tv = TGERNet(cfg)
+    _randomize_bn(tv)
+    tv.eval()
+    rng = np.random.default_rng(25)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = tv(torch.from_numpy(x))
+
+    p, s = _convert_gernet(tv)
 
     enc, _ = get_encoder("timm-gernet_s")
     got = enc.apply({"params": jax.tree_util.tree_map(jnp.asarray, p),
