@@ -49,10 +49,11 @@ from stcd_tpu.models.smp_models import (  # noqa: F401  (smp top-level exports)
 )
 
 
-# Keyed on id(model) with the model held strongly for identity checks
-# (NOT lru_cache: flax Modules with dict/list-valued fields like
-# aux_params are unhashable). The jit closure pins the module regardless,
-# so the cache is FIFO-bounded instead of weakref'd.
+# Bounded LRU keyed on hash(model) when the Module is hashable (so a
+# fresh-but-equal model built per call still hits the cache and avoids a
+# re-trace), falling back to id() for unhashable Modules (dict/list
+# fields like aux_params — plain lru_cache crashed on those). The jit
+# closure pins the module regardless, so entries hold it strongly.
 _EVAL_CACHE: dict = {}
 _EVAL_CACHE_MAX = 16
 
@@ -60,13 +61,20 @@ _EVAL_CACHE_MAX = 16
 def _jitted_eval_apply(model):
     import jax
 
-    entry = _EVAL_CACHE.get(id(model))
-    if entry is not None and entry[0] is model:
-        return entry[1]
+    try:
+        key = ("hash", type(model), hash(model))
+    except TypeError:
+        key = ("id", id(model))
+    entry = _EVAL_CACHE.pop(key, None)
+    if entry is not None:
+        same = entry[0] == model if key[0] == "hash" else entry[0] is model
+        if same:
+            _EVAL_CACHE[key] = entry  # re-insert: LRU recency
+            return entry[1]
     fn = jax.jit(lambda variables, *inputs: model.apply(variables, *inputs))
     while len(_EVAL_CACHE) >= _EVAL_CACHE_MAX:
         _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
-    _EVAL_CACHE[id(model)] = (model, fn)
+    _EVAL_CACHE[key] = (model, fn)
     return fn
 
 

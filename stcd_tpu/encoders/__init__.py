@@ -89,10 +89,13 @@ for _name in _DENSENET_CFGS:
     register_encoder(_name, DenseNetEncoder, {"arch": _name},
                      densenet_out_channels(_name))
 
-# efficientnet_pytorch-style names (ref encoders/efficientnet.py)
+# efficientnet_pytorch-style names (ref encoders/efficientnet.py) slice
+# stages by the ref's FLAT stage_idxs table (mid-group for b0); the timm
+# names below slice whole block groups (ref timm_efficientnet.py:105-113)
 for _v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7"):
     register_encoder(f"efficientnet-{_v}", EfficientNetEncoder,
-                     {"variant": _v}, efficientnet_out_channels(_v))
+                     {"variant": _v, "stage_split": "flat"},
+                     efficientnet_out_channels(_v))
 # timm-style names (ref encoders/timm_efficientnet.py); same architecture
 for _v in ("b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7", "b8", "l2"):
     register_encoder(f"timm-efficientnet-{_v}", EfficientNetEncoder,

@@ -54,12 +54,23 @@ _EFFNET_CFGS = {
     "lite4": (1.4, 1.8, 0.4),
 }
 
-# group index (0..6) at which each smp stage ends; identical for all
-# variants (timm stage_idxs (2, 3, 5), ref timm_efficientnet.py:90-96):
-# stage2 = groups[0:2], stage3 = groups[2:3], stage4 = groups[3:5],
-# stage5 = groups[5:7]. The flat-index table in efficientnet.py encodes
-# exactly the same grouping after round_repeats.
+# group index (0..6) at which each smp stage ends for the TIMM naming
+# (timm stage_idxs (2, 3, 5) slice whole block GROUPS, ref
+# timm_efficientnet.py:105-113): stage2 = groups[0:2], stage3 =
+# groups[2:3], stage4 = groups[3:5], stage5 = groups[5:7].
 _STAGE_END_GROUP = (1, 2, 4, 6)
+
+# The efficientnet_pytorch naming slices FLAT block indices with the
+# per-variant table (ref efficientnet.py:104-176 "stage_idxs"). These are
+# group-aligned for b1..b7 but NOT for b0: its stage4/5 boundary (flat 9)
+# falls one block INTO the 112-channel group, so features[4] taps after
+# g4's first block and blocks 9-10 belong to smp stage 5 (review finding:
+# the group mapping silently shifted b0's tap by two blocks).
+_REF_STAGE_IDXS = {
+    "b0": (3, 5, 9, 16), "b1": (5, 8, 16, 23), "b2": (5, 8, 16, 23),
+    "b3": (5, 8, 18, 26), "b4": (6, 10, 22, 32), "b5": (8, 13, 27, 39),
+    "b6": (9, 15, 31, 45), "b7": (11, 18, 38, 55),
+}
 
 
 def round_filters(filters: int, width: float, divisor: int = 8) -> int:
@@ -164,6 +175,10 @@ class EfficientNetEncoder(nn.Module):
     # os=8 -> (F,T,T)); the residual-skip condition keys on the ORIGINAL
     # stride (efficientnet_pytorch id_skip uses block_args.stride)
     replace_stride_with_dilation: Sequence[bool] = (False, False, False)
+    # stage-boundary semantics: "flat" = the efficientnet_pytorch naming
+    # (per-variant _REF_STAGE_IDXS flat block indices — mid-group for b0);
+    # "group" = the timm naming (whole groups, _STAGE_END_GROUP)
+    stage_split: str = "group"
     dtype: Optional[Dtype] = None
 
     @nn.compact
@@ -177,29 +192,36 @@ class EfficientNetEncoder(nn.Module):
         h = act(_bn(train, "stem_bn")(h))
         if self.depth >= 1:
             features.append(h)
-        # expand groups with round_repeats (lite: first/last group repeats fixed)
-        total_blocks = sum(
-            r if self.lite and gi in (0, len(_BASE_BLOCKS) - 1)
-            else round_repeats(r, depth_c)
-            for gi, (_, r, *_rest) in enumerate(_BASE_BLOCKS))
-        flags = self.replace_stride_with_dilation
-        rates = make_dilated_rates(flags)
-        bidx, stage = 0, 2
+        # flat block list with per-group round_repeats (lite: first/last
+        # group repeats fixed)
+        blocks = []
         for gi, (k, r, s, e, _ic, oc, se) in enumerate(_BASE_BLOCKS):
-            if stage > self.depth:
-                return features
             reps = r if self.lite and gi in (0, len(_BASE_BLOCKS) - 1) \
                 else round_repeats(r, depth_c)
             oc = round_filters(oc, width)
-            dil = rates[stage - 3] if stage >= 3 and flags[stage - 3] else 1
             for i in range(reps):
-                h = MBConv(k, oc, e, stride=s if i == 0 else 1, dilation=dil,
-                           se_ratio=se,
-                           drop_rate=self.drop_connect_rate * bidx / total_blocks,
-                           lite=self.lite, dtype=self.dtype,
-                           name=f"block{bidx}")(h, train)
-                bidx += 1
-            if gi in _STAGE_END_GROUP and stage <= self.depth:
-                features.append(h)
+                blocks.append((k, oc, e, se, s if i == 0 else 1, gi))
+        # flat indices (exclusive) at which smp stages 2..5 end
+        if self.stage_split == "flat":
+            stage_ends = list(_REF_STAGE_IDXS[self.variant])
+        else:
+            ends_of_group = {}
+            for bi, blk in enumerate(blocks):
+                ends_of_group[blk[5]] = bi + 1
+            stage_ends = [ends_of_group[g] for g in _STAGE_END_GROUP]
+        flags = self.replace_stride_with_dilation
+        rates = make_dilated_rates(flags)
+        stage = 2
+        for bidx, (k, oc, e, se, s, _gi) in enumerate(blocks):
+            if stage > self.depth:
+                return features
+            dil = rates[stage - 3] if stage >= 3 and flags[stage - 3] else 1
+            h = MBConv(k, oc, e, stride=s, dilation=dil, se_ratio=se,
+                       drop_rate=self.drop_connect_rate * bidx / len(blocks),
+                       lite=self.lite, dtype=self.dtype,
+                       name=f"block{bidx}")(h, train)
+            if stage - 2 < len(stage_ends) and bidx + 1 == stage_ends[stage - 2]:
+                if stage <= self.depth:
+                    features.append(h)
                 stage += 1
         return features

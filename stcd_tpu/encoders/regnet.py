@@ -135,6 +135,7 @@ class RegNetEncoder(nn.Module):
         widths, depths, groups = generate_regnet(self.arch)
         se_ratio = _REGNET_CFGS[self.arch][5]
         flags = self.replace_stride_with_dilation
+        rates = make_dilated_rates(flags)
         features = [x]
         if self.depth >= 1:
             h = nn.Conv(32, (3, 3), strides=2, padding=1, use_bias=False,
@@ -144,8 +145,7 @@ class RegNetEncoder(nn.Module):
         for i in range(len(widths)):
             if self.depth < 2 + i:
                 break
-            dil = (make_dilated_rates(flags)[i - 1]
-                   if i > 0 and flags[i - 1] else 1)
+            dil = rates[i - 1] if i > 0 and flags[i - 1] else 1
             for b in range(depths[i]):
                 h = RegNetBlock(int(widths[i]), int(groups[i]),
                                 stride=2 if b == 0 else 1, dilation=dil,

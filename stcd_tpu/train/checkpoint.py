@@ -68,14 +68,24 @@ class CheckpointManager:
         path = os.path.join(self.directory, name)
         if not os.path.exists(path):
             new_path, marker = path + ".new", path + ".new.ok"
-            if os.path.exists(new_path) and os.path.exists(marker):
+            if not os.path.exists(new_path):
+                return None
+            if os.path.exists(marker):
                 # complete .new (crash between rmtree and rename): recover
                 os.rename(new_path, path)
                 os.remove(marker)
             else:
-                if os.path.exists(new_path):
-                    shutil.rmtree(new_path)  # partial save: garbage
-                return None
+                # No marker: either a partial save (garbage) or a complete
+                # checkpoint written by a pre-marker version of this code.
+                # Probe by restoring it — deleting a restorable artifact
+                # would destroy the only resume state (review finding).
+                try:
+                    self._ckptr.restore(new_path)
+                except Exception:
+                    # keep the bytes for forensics instead of deleting
+                    os.rename(new_path, new_path + ".corrupt")
+                    return None
+                os.rename(new_path, path)
         restored = self._ckptr.restore(path)
         tmpl = jax.tree_util.tree_structure(state.opt_state)
         opt_state = jax.tree_util.tree_unflatten(

@@ -60,10 +60,10 @@ def _assert_trees_equal(got, want, label):
 
 
 def test_convert_efficientnet_upstream_keys():
-    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _REF_STAGE_IDXS
 
     torch.manual_seed(6)
-    tv = twins.TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    tv = twins.TEffNetB0(_BASE_BLOCKS, _REF_STAGE_IDXS["b0"])
     twins._randomize_bn(tv)
     tv.eval()
 
@@ -135,10 +135,10 @@ def test_convert_timm_efficientnet_upstream_keys():
     converter must map it onto the same flat block{i} tree the
     forward-parity-validated twin conversion produces."""
     from stcd_tpu.convert.torch_to_flax import convert_timm_efficientnet
-    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _REF_STAGE_IDXS
 
     torch.manual_seed(6)
-    tv = twins.TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    tv = twins.TEffNetB0(_BASE_BLOCKS, _REF_STAGE_IDXS["b0"])
     twins._randomize_bn(tv)
     tv.eval()
 

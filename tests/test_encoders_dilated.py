@@ -393,19 +393,23 @@ def test_dilated_efficientnet_b0_matches_torch(os_):
     static SAME padding becomes Identity and the patched symmetric
     (k//2)*rate padding applies — the twin emulates it by bypassing its
     _same_pad helper on patched blocks."""
-    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _REF_STAGE_IDXS
 
     torch.manual_seed(40)
-    tv = twins.TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    tv = twins.TEffNetB0(_BASE_BLOCKS, _REF_STAGE_IDXS["b0"])
     twins._randomize_bn(tv)
     tv.eval()
-    # smp stage of group: stage3 = group2, stage4 = groups 3-4,
-    # stage5 = groups 5-6
-    dil_groups = {5: 2, 6: 2} if os_ == 16 else {3: 2, 4: 2, 5: 4, 6: 4}
+    # the efficientnet_pytorch naming slices stages by FLAT block index
+    # (ref stage_idxs b0 = (3, 5, 9, 16) — stage4 = blocks[5:9] reaches
+    # one block INTO the 112-ch group, stage5 = blocks[9:16])
+    if os_ == 16:
+        dil_of_block = {bi: 2 for bi in range(9, 16)}
+    else:
+        dil_of_block = {**{bi: 2 for bi in range(5, 9)},
+                        **{bi: 4 for bi in range(9, 16)}}
     for bi, blk in enumerate(tv.blocks):
-        g = tv.group_of_block[bi]
-        if g in dil_groups:
-            _patch_dilation(blk, dil_groups[g])
+        if bi in dil_of_block:
+            _patch_dilation(blk, dil_of_block[bi])
             blk.use_same_pad = False
 
     rng = np.random.default_rng(41)

@@ -219,9 +219,13 @@ class TMBConv(tnn.Module):
 
 
 class TEffNetB0(tnn.Module):
-    def __init__(self, base_blocks, stage_end_group):
+    def __init__(self, base_blocks, stage_ends):
+        """stage_ends: FLAT block indices (exclusive) ending smp stages
+        2..5 — the reference's per-variant stage_idxs table
+        (ref efficientnet.py:104-176; b0 = (3, 5, 9, 16), which puts the
+        stage4/5 boundary one block INTO the 112-channel group)."""
         super().__init__()
-        self.stage_end_group = stage_end_group
+        self.stage_ends = set(stage_ends)
         self.stem = tnn.Conv2d(3, 32, 3, stride=2, bias=False)
         self.stem_bn = tnn.BatchNorm2d(32, eps=1e-3)
         blocks = []
@@ -240,10 +244,8 @@ class TEffNetB0(tnn.Module):
         feats.append(h)
         for bi, blk in enumerate(self.blocks):
             h = blk(h)
-            if (bi + 1 == len(self.blocks)
-                    or self.group_of_block[bi + 1] != self.group_of_block[bi]):
-                if self.group_of_block[bi] in self.stage_end_group:
-                    feats.append(h)
+            if bi + 1 in self.stage_ends:
+                feats.append(h)
         return feats
 
 
@@ -271,10 +273,10 @@ def _convert_effnet(tv):
 
 def test_efficientnet_b0_forward_parity():
     from stcd_tpu.encoders import get_encoder
-    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _REF_STAGE_IDXS
 
     torch.manual_seed(6)
-    tv = TEffNetB0(_BASE_BLOCKS, _STAGE_END_GROUP)
+    tv = TEffNetB0(_BASE_BLOCKS, _REF_STAGE_IDXS["b0"])
     _randomize_bn(tv)
     tv.eval()
     rng = np.random.default_rng(7)
@@ -1651,7 +1653,7 @@ def test_efficientnet_lite0_forward_parity():
     """timm tf_efficientnet_lite0: relu6 instead of swish, NO squeeze-excite,
     fixed 32-ch stem; TF SAME padding throughout."""
     from stcd_tpu.encoders import get_encoder
-    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS, _STAGE_END_GROUP
+    from stcd_tpu.encoders.efficientnet import _BASE_BLOCKS
 
     class TMBConvLite(TMBConv):
         def forward(self, x):
@@ -1664,7 +1666,9 @@ def test_efficientnet_lite0_forward_parity():
 
     class TEffLite(TEffNetB0):
         def __init__(self, base_blocks, stage_end_group):
-            super().__init__(base_blocks, stage_end_group)
+            super().__init__(base_blocks, ())
+            # lite is a TIMM naming: stages slice whole block GROUPS
+            self.stage_end_group = stage_end_group
             blocks = []
             in_c = 32
             self.group_of_block = []
@@ -1689,7 +1693,7 @@ def test_efficientnet_lite0_forward_parity():
             return feats
 
     torch.manual_seed(30)
-    tv = TEffLite(_BASE_BLOCKS, _STAGE_END_GROUP)
+    tv = TEffLite(_BASE_BLOCKS, (1, 2, 4, 6))
     _randomize_bn(tv)
     tv.eval()
     rng = np.random.default_rng(31)

@@ -46,6 +46,14 @@ def test_predict_with_aux_params():
     assert len(out) == 3
     # cached path returns the same jitted callable
     assert stcd_tpu._jitted_eval_apply(m) is stcd_tpu._jitted_eval_apply(m)
+    # hashable models cache by EQUALITY: a fresh-but-equal model must hit
+    # the same entry (no re-trace per call — review finding)
+    m1 = stcd_tpu.UnetSeg(encoder_name="resnet18", classes=1,
+                          decoder_channels=(8, 8, 8, 8, 8))
+    m2 = stcd_tpu.UnetSeg(encoder_name="resnet18", classes=1,
+                          decoder_channels=(8, 8, 8, 8, 8))
+    assert m1 is not m2 and hash(m1) == hash(m2)
+    assert stcd_tpu._jitted_eval_apply(m1) is stcd_tpu._jitted_eval_apply(m2)
 
 
 def test_restore_last_discards_partial_new(tmp_path):
@@ -68,12 +76,20 @@ def test_restore_last_discards_partial_new(tmp_path):
     partial.mkdir()
     (partial / "junk").write_text("truncated")
     assert cm.restore_last(st) is None
+    # the unrestorable bytes are quarantined, not deleted
     assert not partial.exists()
+    assert (tmp_path / "last_ckpt.new.corrupt").exists()
 
     cm.save_last(st, epoch_id=3, best_val_acc=0.5, best_epoch_id=2)
     # crash between rmtree(old) and rename: complete .new + marker
     os.rename(tmp_path / "last_ckpt", partial)
     (tmp_path / "last_ckpt.new.ok").touch()
+    restored = cm.restore_last(st)
+    assert restored is not None and restored[1] == 3
+
+    # a COMPLETE .new without a marker (written by a pre-marker version)
+    # must be recovered via the integrity probe, not deleted
+    os.rename(tmp_path / "last_ckpt", partial)
     restored = cm.restore_last(st)
     assert restored is not None and restored[1] == 3
 
