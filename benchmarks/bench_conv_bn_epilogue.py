@@ -49,12 +49,20 @@ def _kernel(x_ref, w_ref, y_ref, s1_ref, s2_ref):
     s2_ref[:] += ps2
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn"))
-def pallas_fused(x, w, bm=256, bn=256):
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "pipeline"))
+def pallas_fused(x, w, bm=256, bn=256, pipeline=False):
     m, k = x.shape
     _, n = w.shape
     bn = min(bn, n)
+    bm = min(bm, m)
     gm, gn = m // bm, n // bn
+    params = {}
+    if pipeline:
+        # n is the outer (sequential, stats-carrying) dim; m sweeps fastest
+        # and is declared arbitrary too (the stats block accumulates across
+        # it) but Mosaic can still double-buffer the x/y DMAs.
+        params["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
     y, s1, s2 = pl.pallas_call(
         _kernel,
         grid=(gn, gm),
@@ -77,6 +85,7 @@ def pallas_fused(x, w, bm=256, bn=256):
             jax.ShapeDtypeStruct((8, n), jnp.float32),
             jax.ShapeDtypeStruct((8, n), jnp.float32),
         ],
+        **params,
     )(x, w)
     return y, jnp.sum(s1, 0), jnp.sum(s2, 0)
 
@@ -144,6 +153,8 @@ SHAPES = [
 
 
 def main():
+    import os
+    sweep = os.environ.get("SWEEP_BM")  # e.g. "512,1024,2048,4096"
     for m, k, n in SHAPES:
         x = jax.random.normal(jax.random.PRNGKey(0), (m, k), jnp.bfloat16)
         w = jax.random.normal(jax.random.PRNGKey(1), (k, n), jnp.bfloat16)
@@ -167,6 +178,17 @@ def main():
               f"(dot-stats overhead {100 * (t_stat / t_conv - 1):.0f}%, "
               f"conv4d vs dot+stats {t_4d / t_stat:.2f}x, relerr {err:.2e})",
               flush=True)
+        if sweep:
+            for bm in (int(v) for v in sweep.split(",")):
+                if bm > m:
+                    continue
+                for pipe in (False, True):
+                    f = functools.partial(pallas_fused, bm=bm, pipeline=pipe)
+                    t = timeit(f, x, w)
+                    print(f"  bm={bm:5d} pipeline={int(pipe)}: "
+                          f"pallas_fused={t * 1e3:.3f}ms "
+                          f"({t / t_conv:.2f}x of dot, "
+                          f"{t / t_4d:.2f}x of CONV4d+stats)", flush=True)
 
 
 if __name__ == "__main__":
