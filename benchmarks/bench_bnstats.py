@@ -1,9 +1,21 @@
 """Microbenchmark: BatchNorm statistics passes on the real TPU.
 
+VERDICT (chip run 2026-08-18): net of the harness's per-iteration
+carry-add pass (`null`), stats_jnp costs ~0.03-0.05 ms — XLA fuses the
+stats reduce into whatever elementwise pass already reads x, so in a
+real graph the reduction is effectively FREE riding an existing pass.
+The earlier reading that "reduce events run 5-20x above read roofline"
+was an attribution artifact: each fused trace event does several
+tensors' worth of work. Both MXU gram formulations and the Pallas kernel
+force a standalone read and are strictly worse (0.17-1.1 ms net). The
+~19% BN share of the step is the irreducible extra-pass bandwidth of a
+BN-heavy convnet, reachable only via a conv-epilogue kernel (measured
+slower — bench_conv_bn_epilogue.py). Chapter closed; MPBatchNorm keeps
+the jnp formulation.
+
 The SegCD/CFv6 step traces attribute ~19% of train time to BN statistic
-reduce fusions (multiply_reduce/convert_reduce), and the per-event times
-run 5-20x above the HBM read roofline for the tensor being reduced
-(BASELINE.md). This bench isolates the pass: for each conv-output shape,
+reduce fusions (multiply_reduce/convert_reduce). This bench isolates the
+pass: for each conv-output shape,
 
   stats_jnp    : s1=sum(xf), s2=sum(xf^2) over (N,H,W) — what MPBatchNorm
                  emits today (one fused convert+multiply reduce in XLA)
@@ -11,11 +23,21 @@ run 5-20x above the HBM read roofline for the tensor being reduced
                  (bandwidth yardstick: read 2B + write 2B per element)
   stats_pallas : Pallas reduction kernel, (M, C) view with small channels
                  lane-folded to 128 (ops/bn_stats.py)
+  stats_gram2  : MXU formulation — s1 = ones(8,M)@X summed, s2 =
+                 diag(X^T X); two dot_generals contracting over M (reads
+                 X twice but at dot bandwidth instead of reduce bandwidth;
+                 M*C^2 extra MACs are cheap for C<=1024 at these shapes)
+  stats_gramA  : one-dot variant — augment X with 8 ones columns, one
+                 gram; s1 is the ones row, s2 the diagonal (pays a concat
+                 materialization pass to read X once)
+  null         : the timing harness's per-iteration carry-add pass alone
+                 (subtract from the others for the op's true cost)
 
 and prints the HBM roofline for each (820 GB/s v5e).
 
 Timing: chained fori_loop (one dispatch for all iters; tunneled-platform
-methodology per docs/DESIGN.md).
+methodology per docs/DESIGN.md). The data-dependent carry add costs one
+elementwise pass over x per iteration — that is the `null` row.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/bench_bnstats.py
 """
@@ -54,6 +76,32 @@ def stats_jnp(x):
     return jnp.sum(xf, (0, 1, 2)), jnp.sum(jnp.square(xf), (0, 1, 2))
 
 
+def stats_gram2(x):
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
+    m = x2.shape[0]
+    ones = jnp.ones((8, m), x.dtype)
+    s1 = jax.lax.dot_general(ones, x2, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    g = jax.lax.dot_general(x2, x2, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return s1[0], jnp.diagonal(g)
+
+
+def stats_gramA(x):
+    c = x.shape[-1]
+    x2 = x.reshape(-1, c)
+    m = x2.shape[0]
+    xa = jnp.concatenate([x2, jnp.ones((m, 8), x.dtype)], axis=1)
+    g = jax.lax.dot_general(xa, xa, (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return g[-1, :c], jnp.diagonal(g)[:c]
+
+
+def null_op(x):
+    return (x[:1, :1, :1, :1] * 1.0,)
+
+
 def make_apply(c):
     w = jnp.full((c,), 1.01, jnp.bfloat16)
     b = jnp.full((c,), 0.02, jnp.bfloat16)
@@ -83,20 +131,31 @@ def main():
         x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.bfloat16)
 
         s1a, s2a = jax.jit(stats_jnp)(x)
-        s1b, s2b = jax.jit(bn_stats_pallas)(x)
-        err = max(float(jnp.max(jnp.abs(s1a - s1b))) / elts ** 0.5,
-                  float(jnp.max(jnp.abs(s2a - s2b))) / elts ** 0.5)
+        errs = {}
+        for name, fn in (("pallas", bn_stats_pallas),
+                         ("gram2", stats_gram2), ("gramA", stats_gramA)):
+            s1b, s2b = jax.jit(fn)(x)
+            errs[name] = max(
+                float(jnp.max(jnp.abs(s1a - s1b))) / elts ** 0.5,
+                float(jnp.max(jnp.abs(s2a - s2b))) / elts ** 0.5)
 
-        t_stats = chained_timeit(jax.jit(stats_jnp), x)
-        t_pallas = chained_timeit(jax.jit(bn_stats_pallas), x)
-        t_apply = chained_timeit(jax.jit(make_apply(c)), x)
-        print(f"{shape}: stats_jnp={t_stats * 1e3:.3f}ms "
+        t_null = chained_timeit(jax.jit(null_op), x)
+        t_stats = chained_timeit(jax.jit(stats_jnp), x) - t_null
+        t_pallas = chained_timeit(jax.jit(bn_stats_pallas), x) - t_null
+        t_gram2 = chained_timeit(jax.jit(stats_gram2), x) - t_null
+        t_gramA = chained_timeit(jax.jit(stats_gramA), x) - t_null
+        t_apply = chained_timeit(jax.jit(make_apply(c)), x) - t_null
+        print(f"{shape}: null={t_null * 1e3:.3f}ms | net of null: "
+              f"stats_jnp={t_stats * 1e3:.3f}ms "
               f"({t_stats * 1e6 / read_ms / 1e3:.1f}x read-roofline "
               f"{read_ms:.3f}ms) "
-              f"stats_pallas={t_pallas * 1e3:.3f}ms "
-              f"({t_pallas / t_stats:.2f}x of jnp) "
+              f"pallas={t_pallas * 1e3:.3f}ms ({t_pallas / t_stats:.2f}x) "
+              f"gram2={t_gram2 * 1e3:.3f}ms ({t_gram2 / t_stats:.2f}x, "
+              f"err {errs['gram2']:.1e}) "
+              f"gramA={t_gramA * 1e3:.3f}ms ({t_gramA / t_stats:.2f}x, "
+              f"err {errs['gramA']:.1e}) "
               f"apply={t_apply * 1e3:.3f}ms "
-              f"(roofline {2 * read_ms:.3f}ms) err={err:.2e}",
+              f"(roofline {2 * read_ms:.3f}ms)",
               flush=True)
 
 
