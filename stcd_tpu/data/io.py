@@ -1,10 +1,19 @@
-"""Host-side image IO helpers (PIL-based, matching the reference's reads)."""
+"""Host-side image IO helpers (decode parity with the reference's PIL reads).
+
+JPEG/PNG decode goes through the native C++ runtime when available
+(stcd_tpu/native: GIL-free libjpeg/libpng into numpy buffers — the
+TPU-native stand-in for torch's C++ DataLoader workers, ref
+train_sup.py:101-107); anything else — or a missing toolchain — falls
+back to PIL per file.  Pixel output is identical either way
+(tests/test_native_io.py)."""
 
 from __future__ import annotations
 
 import os
 import numpy as np
 from PIL import Image
+
+from stcd_tpu import native
 
 
 _UINT8_TRANSFER = False
@@ -20,11 +29,18 @@ def set_uint8_transfer(enabled: bool) -> None:
     _UINT8_TRANSFER = bool(enabled)
 
 
+def _read_rgb_u8(path: str) -> np.ndarray:
+    arr = native.decode_rgb(path)
+    if arr is None:  # non-JPEG/PNG, decode error, or no native toolchain
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("RGB"), np.uint8)
+    return arr
+
+
 def read_image(path: str) -> np.ndarray:
     """RGB image HWC: float32 [0,1] (torchvision ToTensor parity), or
     uint8 [0,255] under set_uint8_transfer(True)."""
-    with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"), np.uint8)
+    arr = _read_rgb_u8(path)
     if _UINT8_TRANSFER:
         return arr
     return arr.astype(np.float32) / 255.0
@@ -34,8 +50,7 @@ def read_label(path: str) -> np.ndarray:
     """Binary label from the R channel of an RGB-read PNG, binarized via
     label[label>=1]=1 (ref data/dataset.py:160-164 pattern). Returns (H,W,1)
     in {0,1}: float32, or uint8 under set_uint8_transfer(True)."""
-    with Image.open(path) as im:
-        arr = np.asarray(im.convert("RGB"), np.uint8)
+    arr = _read_rgb_u8(path)
     lab = (arr[..., 0:1] >= 1)
     if _UINT8_TRANSFER:
         return lab.astype(np.uint8)
