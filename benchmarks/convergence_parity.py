@@ -26,6 +26,13 @@ Run:  python benchmarks/convergence_parity.py [--epochs 10 --n-train 48]
 Prints one JSON line with per-side best F1/IoU and the deltas.
 tests/test_convergence_parity.py runs a reduced configuration under the
 slow marker.
+
+``--stage 3`` switches both sides to the STCD fine-tune semantics (ref
+train_stcd.py:388-462): per-step batches concatenate a synthesized
+pseudo-change pair with a real pair, and the loss is seg_loss_A +
+cd_loss + ct_loss where ct_loss is the REFERENCE'S OWN contrastive_loss
+(:334-385) loaded from /root/reference/train_stcd.py itself
+(_ref_stubs.load_ref_train_stcd), as is its BCE_DICE (:653-672).
 """
 
 import argparse
@@ -176,6 +183,199 @@ def run_torch(data_path, init_path, out_path, epochs):
                "best_iou": best["iou"]}, open(out_path, "w"))
 
 
+# ----------------------------------------------------- stage-3 variants
+
+def _gen_semi_sample(rng, size):
+    """One stage-3 pseudo-change sample (the SC/LEVIR seg-side analogue,
+    ref data/dataset.py:299-313): A carries 'buildings'; B is A with a
+    random subset of them removed (the diffusion-inpainting analogue).
+    s_label_A = all buildings in A, c_label = the removed ones."""
+    base = rng.uniform(0.25, 0.5) + rng.normal(0.0, 0.04, (size, size, 1))
+    bg = np.clip(np.broadcast_to(base, (size, size, 3)).copy()
+                 + rng.normal(0.0, 0.02, (size, size, 3)), 0, 1)
+    a = bg + rng.normal(0.0, 0.01, bg.shape)
+    b = bg + rng.normal(0.0, 0.01, bg.shape)
+    s_label = np.zeros((size, size), np.float32)
+    c_label = np.zeros((size, size), np.float32)
+    for _ in range(rng.integers(2, 5)):
+        h, w = rng.integers(8, 22, 2)
+        y, x = rng.integers(0, size - h), rng.integers(0, size - w)
+        color = rng.uniform(0.65, 0.95, 3)
+        a[y:y + h, x:x + w] = color + rng.normal(0.0, 0.02, (h, w, 3))
+        s_label[y:y + h, x:x + w] = 1.0
+        if rng.uniform() < 0.5:  # building kept in B: no change
+            b[y:y + h, x:x + w] = color + rng.normal(0.0, 0.02, (h, w, 3))
+        else:  # removed from B ("inpainted away"): change
+            c_label[y:y + h, x:x + w] = 1.0
+    return (np.clip(a, 0, 1).astype(np.float32).transpose(2, 0, 1),
+            np.clip(b, 0, 1).astype(np.float32).transpose(2, 0, 1),
+            s_label[None], c_label[None])
+
+
+def gen_data_semi(path, n_train, n_val, size, epochs, bs, seed):
+    """Stage-3 data: per train index one synthesized pseudo-change sample
+    (A, B, s_label_A, c_label) AND one real change pair (CA, CB, CL) —
+    the LEVIR_Dataset 9-tuple minus names/s_label_B (unused by the live
+    loss, ref train_stcd.py:426-434). Val = real pairs (ref eval loop
+    uses CD_Dataset, :464-510)."""
+    rng = np.random.default_rng(seed)
+    pseudo = [_gen_semi_sample(rng, size) for _ in range(n_train)]
+    real = [_gen_pair(rng, size) for _ in range(n_train)]
+    val = [_gen_pair(rng, size) for _ in range(n_val)]
+    iters = n_train // bs
+    order = np.stack([rng.permutation(n_train)[:iters * bs].reshape(iters, bs)
+                      for _ in range(epochs)])
+    np.savez(path,
+             train_A=np.stack([p[0] for p in pseudo]),
+             train_B=np.stack([p[1] for p in pseudo]),
+             train_sA=np.stack([p[2] for p in pseudo]),
+             train_cl=np.stack([p[3] for p in pseudo]),
+             train_CA=np.stack([r[0] for r in real]),
+             train_CB=np.stack([r[1] for r in real]),
+             train_CL=np.stack([r[2] for r in real]),
+             val_A=np.stack([v[0] for v in val]),
+             val_B=np.stack([v[1] for v in val]),
+             val_label=np.stack([v[2] for v in val]),
+             order=order.astype(np.int32))
+
+
+def run_torch_semi(data_path, init_path, out_path, epochs):
+    """The reference's train_semi_cd loop (train_stcd.py:388-462) run
+    with the reference's OWN loss apparatus: its SegCD (real
+    decoders/unet/model.py via _ref_stubs), its BCE_DICE (:653-672) and
+    its contrastive_loss (:334-385), both loaded from the reference's
+    train_stcd.py itself (load_ref_train_stcd)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _ref_stubs import load_ref_star_models, load_ref_train_stcd
+
+    ref_ts = load_ref_train_stcd()  # also patches Tensor.cuda -> no-op
+    ref_unet = load_ref_star_models()
+
+    torch.manual_seed(1337)
+    model = ref_unet.SegCD(encoder_name="resnet18", encoder_weights=None,
+                           decoder_channels=DEC_CHANNELS, classes=1)
+    np.savez(init_path,
+             **{k: v.numpy() for k, v in model.state_dict().items()})
+
+    d = np.load(data_path)
+    order = d["order"]
+    total = order.shape[0] * order.shape[1]
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def norm(x):
+        return (torch.from_numpy(x) - mean) / std
+
+    criterion = ref_ts.BCE_DICE()
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    step, curve = 0, []
+    for ep in range(epochs):
+        model.train()
+        for idx in order[ep]:
+            for g in opt.param_groups:
+                g["lr"] = _poly_lr(step, total)
+            opt.zero_grad()
+            # ref :421-423: concat pseudo + real halves, one forward
+            data_a = torch.cat([norm(d["train_A"][idx]),
+                                norm(d["train_CA"][idx])], dim=0)
+            data_b = torch.cat([norm(d["train_B"][idx]),
+                                norm(d["train_CB"][idx])], dim=0)
+            cd_l = torch.from_numpy(d["train_cl"][idx])
+            cl = torch.from_numpy(d["train_CL"][idx])
+            labels = torch.cat([cd_l, cl], dim=0)
+            seg_a, _, diff = model(data_a, data_b)
+            seg_probs = torch.sigmoid(seg_a)
+            seg_loss_a = criterion(seg_probs[:len(idx)],
+                                   torch.from_numpy(d["train_sA"][idx]))
+            cd_probs = torch.sigmoid(diff)
+            cd_loss = criterion(cd_probs, labels)
+            ct_loss = ref_ts.contrastive_loss(cd_probs, cd_l, cl,
+                                              [""] * len(idx))
+            loss = seg_loss_a + cd_loss + ct_loss  # ref :445
+            loss.backward()
+            opt.step()
+            step += 1
+        model.eval()
+        tp = fp = fn = 0.0
+        with torch.no_grad():
+            for s in range(0, d["val_A"].shape[0], 8):
+                sl = slice(s, s + 8)
+                _, _, diff = model(norm(d["val_A"][sl]), norm(d["val_B"][sl]))
+                pred = (torch.sigmoid(diff) > 0.5).numpy()
+                lab = d["val_label"][sl] > 0.5
+                tp += float(np.sum(pred & lab))
+                fp += float(np.sum(pred & ~lab))
+                fn += float(np.sum(~pred & lab))
+        f1, iou = _f1_iou(tp, fp, fn)
+        curve.append({"epoch": ep + 1, "f1": round(f1, 4), "iou": round(iou, 4),
+                      "loss": round(float(loss.detach()), 4)})
+    best = max(curve, key=lambda c: c["iou"])
+    json.dump({"side": "torch", "curve": curve, "best_f1": best["f1"],
+               "best_iou": best["iou"]}, open(out_path, "w"))
+
+
+def run_jax_semi(data_path, init_path, out_path, epochs):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from stcd_tpu.convert.torch_to_flax import convert_unetseg
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import TrainState, adam_poly
+    from stcd_tpu.train.steps import make_semi_cd_steps
+
+    d = np.load(data_path)
+    init = dict(np.load(init_path))
+    order = d["order"]
+    epochs_avail, iters = order.shape[0], order.shape[1]
+    assert epochs <= epochs_avail
+
+    def nhwc(x):
+        return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    results = {}
+    for mode, batched in (("jax_folded", True), ("jax_seq", False)):
+        params, stats = convert_unetseg(init, (2, 2, 2, 2))
+        model = SegCD(encoder_name="resnet18", classes=1,
+                      decoder_channels=DEC_CHANNELS, siamese_batched=batched)
+        state = TrainState.create_with_stats(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.asarray, params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+            tx=adam_poly(1e-3, num_epochs=epochs, iters_per_epoch=iters))
+        train_step, eval_step = make_semi_cd_steps(model, augment=False)
+        curve, t = [], 0
+        for ep in range(epochs):
+            for idx in order[ep]:
+                batch = {"A": nhwc(d["train_A"][idx]),
+                         "B": nhwc(d["train_B"][idx]),
+                         "CA": nhwc(d["train_CA"][idx]),
+                         "CB": nhwc(d["train_CB"][idx]),
+                         "s_label_A": nhwc(d["train_sA"][idx]),
+                         "c_label": nhwc(d["train_cl"][idx]),
+                         "CL": nhwc(d["train_CL"][idx])}
+                state, metrics = train_step(state, batch, jax.random.PRNGKey(t))
+                t += 1
+            cm = np.zeros((2, 2), np.float64)
+            for s in range(0, d["val_A"].shape[0], 8):
+                sl = slice(s, s + 8)
+                out = eval_step(state, {"A": nhwc(d["val_A"][sl]),
+                                        "B": nhwc(d["val_B"][sl]),
+                                        "label": nhwc(d["val_label"][sl])})
+                cm += np.asarray(out["cm"], np.float64)
+            f1, iou = _f1_iou(cm[1, 1], cm[0, 1], cm[1, 0])
+            curve.append({"epoch": ep + 1, "f1": round(f1, 4),
+                          "iou": round(iou, 4),
+                          "loss": round(float(metrics["loss"]), 4)})
+        best = max(curve, key=lambda c: c["iou"])
+        results[mode] = {"side": mode, "curve": curve, "best_f1": best["f1"],
+                         "best_iou": best["iou"]}
+    json.dump(results, open(out_path, "w"))
+
+
 # ------------------------------------------------------------- jax side
 
 def run_jax(data_path, init_path, out_path, epochs):
@@ -244,34 +444,44 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--bs", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--stage", type=int, choices=[2, 3], default=2,
+                    help="2 = pseudo-change CD pretrain semantics "
+                         "(train_pse_cd.py); 3 = STCD fine-tune semantics "
+                         "(train_stcd.py: seg + cd + contrastive, "
+                         "concatenated pseudo+real batches)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--side", choices=["torch", "jax"], default=None,
                     help="internal: run one side in this process")
     args = ap.parse_args(argv)
+
+    torch_fn = run_torch_semi if args.stage == 3 else run_torch
+    jax_fn = run_jax_semi if args.stage == 3 else run_jax
+    gen_fn = gen_data_semi if args.stage == 3 else gen_data
 
     wd = args.workdir or tempfile.mkdtemp(prefix="convergence_parity_")
     os.makedirs(wd, exist_ok=True)
     data, init = os.path.join(wd, "data.npz"), os.path.join(wd, "init.npz")
 
     if args.side == "torch":
-        run_torch(data, init, os.path.join(wd, "torch.json"), args.epochs)
+        torch_fn(data, init, os.path.join(wd, "torch.json"), args.epochs)
         return None
     if args.side == "jax":
-        run_jax(data, init, os.path.join(wd, "jax.json"), args.epochs)
+        jax_fn(data, init, os.path.join(wd, "jax.json"), args.epochs)
         return None
 
-    gen_data(data, args.n_train, args.n_val, args.size, args.epochs,
-             args.bs, args.seed)
+    gen_fn(data, args.n_train, args.n_val, args.size, args.epochs,
+           args.bs, args.seed)
     env = dict(os.environ,
                PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}")
     base = [sys.executable, os.path.abspath(__file__), "--workdir", wd,
-            "--epochs", str(args.epochs)]
+            "--epochs", str(args.epochs), "--stage", str(args.stage)]
     for side in ("torch", "jax"):  # torch first: it writes init.npz
         subprocess.run(base + ["--side", side], env=env, cwd=REPO, check=True)
 
     torch_res = json.load(open(os.path.join(wd, "torch.json")))
     jax_res = json.load(open(os.path.join(wd, "jax.json")))
     report = {
+        "stage": args.stage,
         "torch_best_f1": torch_res["best_f1"],
         "torch_best_iou": torch_res["best_iou"],
         "jax_seq_best_f1": jax_res["jax_seq"]["best_f1"],

@@ -254,3 +254,80 @@ def load_ref_star_models():
     SegCD, FFCTLCD — the STCD paper's models) with the encoder stub."""
     install_ref_encoder_stub()
     return load_ref_smp_file("decoders.unet.model")
+
+
+def load_ref_train_stcd():
+    """Load /root/reference/train_stcd.py itself as a module, so golden
+    tests and the convergence harness can call the reference's OWN stage-3
+    loss apparatus: contrastive_loss (:334-385), BCE_DICE/Dice (:653-672),
+    Poly (:563-580), SegmentationMetric (:515-560).
+
+    The script imports heavy/absent deps at module level
+    (pytorch_grad_cam, torchvision.utils, albumentations via
+    data.dataset) and parses argv at import (:40-52) — all stubbed /
+    patched here; every function of interest is pure torch.  Tensor.cuda
+    is monkey-patched to a no-op (contrastive_loss allocates its M/N
+    masks via ``torch.zeros(...).cuda()`` — CPU-only host)."""
+    import torch
+
+    if "ref_train_stcd" in sys.modules:
+        return sys.modules["ref_train_stcd"]
+
+    install_ref_stubs()
+    load_ref_star_models()  # smp path-stubs + the real decoders.unet.model
+
+    tv = sys.modules["torchvision"]
+    if "torchvision.utils" not in sys.modules:
+        tvu = types.ModuleType("torchvision.utils")
+        tvu.save_image = lambda *a, **k: None
+        tv.utils = tvu
+        sys.modules["torchvision.utils"] = tvu
+
+    if "pytorch_grad_cam" not in sys.modules:
+        cam = types.ModuleType("pytorch_grad_cam")
+        for nm in ("GradCAM", "ScoreCAM", "GradCAMPlusPlus", "AblationCAM",
+                   "XGradCAM", "EigenCAM"):
+            setattr(cam, nm, type(nm, (), {}))
+        cam_utils = types.ModuleType("pytorch_grad_cam.utils")
+        cam_img = types.ModuleType("pytorch_grad_cam.utils.image")
+        for nm in ("show_cam_on_image", "deprocess_image",
+                   "preprocess_image"):
+            setattr(cam_img, nm, lambda *a, **k: None)
+        cam.utils = cam_utils
+        cam_utils.image = cam_img
+        sys.modules.update({"pytorch_grad_cam": cam,
+                            "pytorch_grad_cam.utils": cam_utils,
+                            "pytorch_grad_cam.utils.image": cam_img})
+
+    if "data.dataset" not in sys.modules:
+        # the real data/dataset.py needs albumentations + torchvision
+        # transforms; the train-loop functions under test never touch it
+        d = types.ModuleType("data")
+        d.__path__ = []
+        dd = types.ModuleType("data.dataset")
+        for nm in ("WHU_Dataset", "CD_Dataset", "FFC_Dataset", "SC_Dataset",
+                   "PSE_Dataset", "LEVIR_Dataset"):
+            setattr(dd, nm, type(nm, (), {}))
+        d.dataset = dd
+        sys.modules.update({"data": d, "data.dataset": dd})
+
+    if "models" not in sys.modules:
+        pkg = types.ModuleType("models")
+        pkg.__path__ = [REF]
+        pkg._stcd_stub = True
+        sys.modules["models"] = pkg  # `import models.DSIFN` et al. load the
+        # real reference files through this path (torch-only / stubbed tv)
+
+    torch.Tensor.cuda = lambda self, *a, **k: self  # CPU-only host
+
+    argv = sys.argv
+    sys.argv = ["train_stcd.py"]  # module-level parse_args (:52)
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "ref_train_stcd", "/root/reference/train_stcd.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules["ref_train_stcd"] = mod
+        spec.loader.exec_module(mod)
+    finally:
+        sys.argv = argv
+    return mod

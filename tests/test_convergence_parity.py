@@ -35,3 +35,22 @@ def test_convergence_parity_reduced():
     # ...and land within the accuracy contract of each other.
     assert report["delta_f1_seq"] <= 0.1, report
     assert report["delta_f1_folded"] <= 0.1, report
+
+
+@pytest.mark.slow
+def test_convergence_parity_stage3_reduced():
+    """Stage-3 (STCD fine-tune) semantics: concatenated pseudo+real
+    batches, loss = seg_loss_A + cd_loss + ct_loss, where the torch side
+    runs the REFERENCE'S OWN contrastive_loss and BCE_DICE loaded from
+    /root/reference/train_stcd.py itself (ref :334-385, :653-672).
+    Full-size reference numbers (10 epochs, 48 pairs, 64px) are recorded
+    in BASELINE.md."""
+    from convergence_parity import main
+
+    report = main(["--stage", "3", "--epochs", "4", "--n-train", "16",
+                   "--n-val", "8", "--size", "32", "--seed", "7"])
+    assert report["torch_best_f1"] > 0.5, report
+    assert report["jax_seq_best_f1"] > 0.5, report
+    assert report["jax_folded_best_f1"] > 0.5, report
+    assert report["delta_f1_seq"] <= 0.1, report
+    assert report["delta_f1_folded"] <= 0.1, report
