@@ -47,6 +47,11 @@ def main():
     p.add_argument("--stride", type=int, default=256)
     p.add_argument("--threshold", type=float, default=0.5)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of the conv "
+                        "compute (stcd_tpu/serving/quant.py; ~2x MXU rate "
+                        "on v5e) — calibrates on the scene's own first "
+                        "tiles, everything around the convs stays float")
     args = p.parse_args()
 
     a = read_image(args.image_a)
@@ -67,16 +72,29 @@ def main():
     mesh = create_mesh(model=1)
     sharding = batch_sharding(mesh) if len(jax.devices()) > 1 else None
 
-    @jax.jit
-    def predict_fn(ta, tb):
+    from stcd_tpu.data.augment import eval_preprocess
+
+    def base_fn(ta, tb):
         _, _, diff = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            ta, tb)
+            eval_preprocess(ta), eval_preprocess(tb))
         return jax.nn.sigmoid(diff.astype(jnp.float32))
 
-    from stcd_tpu.data.augment import eval_preprocess
+    if args.int8:
+        from stcd_tpu.data.tiled_inference import extract_tiles
+        from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
+        ca = jnp.asarray(extract_tiles(a, args.tile, args.stride)[0][:8])
+        cb = jnp.asarray(extract_tiles(b, args.tile, args.stride)[0][:8])
+        scales = calibrate_conv_scales(base_fn, [(ca, cb)])
+        import numpy as _np
+        print(f"int8: {int(_np.isfinite(scales).sum())}/{scales.shape[0]} "
+              "conv sites quantized")
+        predict_fn = jax.jit(quantize_fn(base_fn, scales))
+    else:
+        predict_fn = jax.jit(base_fn)
+
     probs = predict_scene(
-        lambda ta, tb: predict_fn(eval_preprocess(ta), eval_preprocess(tb)),
+        predict_fn,
         a, b, tile=args.tile, stride=args.stride, sharding=sharding)
     mask = (probs[..., 0] > args.threshold).astype(np.uint8)
     save_mask_png(mask, args.out)

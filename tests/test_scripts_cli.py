@@ -49,9 +49,11 @@ def test_train_pse_cd_cli(tmp_path):
 
 
 @pytest.mark.slow
-def test_predict_cli(tmp_path):
+@pytest.mark.parametrize("int8", [False, True])
+def test_predict_cli(tmp_path, int8):
     """Whole-scene inference CLI: checkpoint -> change PNG on an odd-sized
-    scene with overlapping tiles."""
+    scene with overlapping tiles; --int8 exercises the quantized serving
+    path (calibration on the scene's own tiles, stcd_tpu/serving)."""
     import numpy as np
     from PIL import Image
     import jax
@@ -80,10 +82,12 @@ def test_predict_cli(tmp_path):
          "--load_path", str(tmp_path / "ck"),
          "--out", str(tmp_path / "change.png"),
          "--encoder", "resnet18", "--decoder_channels", "32,24,16,12,8",
-         "--tile", "32", "--stride", "16"],
+         "--tile", "32", "--stride", "16"] + (["--int8"] if int8 else []),
         capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
     assert out.returncode == 0, out.stderr[-3000:]
     assert Image.open(tmp_path / "change.png").size == (80, 70)
+    if int8:
+        assert "conv sites quantized" in out.stdout, out.stdout
 
 
 def test_export_model_roundtrip(tmp_path):
