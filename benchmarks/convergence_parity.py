@@ -33,6 +33,13 @@ pseudo-change pair with a real pair, and the loss is seg_loss_A +
 cd_loss + ct_loss where ct_loss is the REFERENCE'S OWN contrastive_loss
 (:334-385) loaded from /root/reference/train_stcd.py itself
 (_ref_stubs.load_ref_train_stcd), as is its BCE_DICE (:653-672).
+
+``--stage 1`` switches to the supervised segmentation pretrain semantics
+(ref train_sup.py:112-185): the reference's own UnetSeg
+(decoders/unet/model.py:109-171) on single images, sigmoid + BCE_DICE
+(:133-135, :327-338), eval threshold 0.5 best-by-IoU (:163-180).  Stage
+1 has no Siamese fold, so the jax side has one mode and the report keys
+are jax_best_f1/delta_f1.
 """
 
 import argparse
@@ -181,6 +188,156 @@ def run_torch(data_path, init_path, out_path, epochs):
     best = max(curve, key=lambda c: c["iou"])
     json.dump({"side": "torch", "curve": curve, "best_f1": best["f1"],
                "best_iou": best["iou"]}, open(out_path, "w"))
+
+
+# ----------------------------------------------------- stage-1 variants
+
+def _gen_seg_sample(rng, size):
+    """One stage-1 supervised-segmentation sample (the WHU A/A_label
+    analogue, ref data/dataset.py:127-166): textured background plus
+    bright 'building' rectangles; label = the buildings."""
+    base = rng.uniform(0.25, 0.5) + rng.normal(0.0, 0.04, (size, size, 1))
+    img = np.clip(np.broadcast_to(base, (size, size, 3)).copy()
+                  + rng.normal(0.0, 0.02, (size, size, 3)), 0, 1)
+    label = np.zeros((size, size), np.float32)
+    for _ in range(rng.integers(1, 5)):
+        h, w = rng.integers(8, 22, 2)
+        y, x = rng.integers(0, size - h), rng.integers(0, size - w)
+        img[y:y + h, x:x + w] = (rng.uniform(0.65, 0.95, 3)
+                                 + rng.normal(0.0, 0.02, (h, w, 3)))
+        label[y:y + h, x:x + w] = 1.0
+    return (np.clip(img, 0, 1).astype(np.float32).transpose(2, 0, 1),
+            label[None])
+
+
+def gen_data_sup(path, n_train, n_val, size, epochs, bs, seed):
+    rng = np.random.default_rng(seed)
+    tr = [_gen_seg_sample(rng, size) for _ in range(n_train)]
+    va = [_gen_seg_sample(rng, size) for _ in range(n_val)]
+    iters = n_train // bs
+    order = np.stack([rng.permutation(n_train)[:iters * bs].reshape(iters, bs)
+                      for _ in range(epochs)])
+    np.savez(path,
+             train_img=np.stack([t[0] for t in tr]),
+             train_label=np.stack([t[1] for t in tr]),
+             val_img=np.stack([v[0] for v in va]),
+             val_label=np.stack([v[1] for v in va]),
+             order=order.astype(np.int32))
+
+
+def run_torch_sup(data_path, init_path, out_path, epochs):
+    """The reference's train_sup.py loop (:112-185) with the reference's
+    OWN UnetSeg (decoders/unet/model.py:109-171 via _ref_stubs): sigmoid
+    + BCE_DICE (:133-135, :327-338), per-iter Poly, eval threshold 0.5
+    best-by-IoU (:163-180)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from _ref_stubs import load_ref_star_models
+
+    torch.manual_seed(1337)
+    ref_unet = load_ref_star_models()
+    model = ref_unet.UnetSeg(encoder_name="resnet18", encoder_weights=None,
+                             decoder_channels=DEC_CHANNELS, classes=1)
+    np.savez(init_path,
+             **{k: v.numpy() for k, v in model.state_dict().items()})
+
+    d = np.load(data_path)
+    order = d["order"]
+    total = order.shape[0] * order.shape[1]
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def norm(x):
+        return (torch.from_numpy(x) - mean) / std
+
+    def bce_dice(probs, label):
+        bce = torch.nn.functional.binary_cross_entropy(probs, label)
+        m1, m2 = probs.reshape(-1), label.reshape(-1)
+        inter = (m1 * m2).sum()
+        return bce + 1 - (2.0 * inter + 1.0) / (m1.sum() + m2.sum() + 1.0)
+
+    opt = torch.optim.Adam(model.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    step, curve = 0, []
+    for ep in range(epochs):
+        model.train()
+        for idx in order[ep]:
+            for g in opt.param_groups:
+                g["lr"] = _poly_lr(step, total)
+            opt.zero_grad()
+            probs = torch.sigmoid(model(norm(d["train_img"][idx])))
+            loss = bce_dice(probs, torch.from_numpy(d["train_label"][idx]))
+            loss.backward()
+            opt.step()
+            step += 1
+        model.eval()
+        tp = fp = fn = 0.0
+        with torch.no_grad():
+            for s in range(0, d["val_img"].shape[0], 8):
+                sl = slice(s, s + 8)
+                pred = (torch.sigmoid(model(norm(d["val_img"][sl])))
+                        > 0.5).numpy()
+                lab = d["val_label"][sl] > 0.5
+                tp += float(np.sum(pred & lab))
+                fp += float(np.sum(pred & ~lab))
+                fn += float(np.sum(~pred & lab))
+        f1, iou = _f1_iou(tp, fp, fn)
+        curve.append({"epoch": ep + 1, "f1": round(f1, 4), "iou": round(iou, 4),
+                      "loss": round(float(loss.detach()), 4)})
+    best = max(curve, key=lambda c: c["iou"])
+    json.dump({"side": "torch", "curve": curve, "best_f1": best["f1"],
+               "best_iou": best["iou"]}, open(out_path, "w"))
+
+
+def run_jax_sup(data_path, init_path, out_path, epochs):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import jax.numpy as jnp
+
+    from stcd_tpu.convert.torch_to_flax import convert_unetseg
+    from stcd_tpu.models import UnetSeg
+    from stcd_tpu.train.state import TrainState, adam_poly
+    from stcd_tpu.train.steps import make_seg_steps
+
+    d = np.load(data_path)
+    init = dict(np.load(init_path))
+    order = d["order"]
+    epochs_avail, iters = order.shape[0], order.shape[1]
+    assert epochs <= epochs_avail
+
+    def nhwc(x):
+        return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    params, stats = convert_unetseg(init, (2, 2, 2, 2))
+    model = UnetSeg(encoder_name="resnet18", classes=1,
+                    decoder_channels=DEC_CHANNELS)
+    state = TrainState.create_with_stats(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+        tx=adam_poly(1e-3, num_epochs=epochs, iters_per_epoch=iters))
+    train_step, eval_step = make_seg_steps(model, augment=False)
+    curve, t = [], 0
+    for ep in range(epochs):
+        for idx in order[ep]:
+            batch = {"image": nhwc(d["train_img"][idx]),
+                     "label": nhwc(d["train_label"][idx])}
+            state, metrics = train_step(state, batch, jax.random.PRNGKey(t))
+            t += 1
+        cm = np.zeros((2, 2), np.float64)
+        for s in range(0, d["val_img"].shape[0], 8):
+            sl = slice(s, s + 8)
+            out = eval_step(state, {"image": nhwc(d["val_img"][sl]),
+                                    "label": nhwc(d["val_label"][sl])})
+            cm += np.asarray(out["cm"], np.float64)
+        f1, iou = _f1_iou(cm[1, 1], cm[0, 1], cm[1, 0])
+        curve.append({"epoch": ep + 1, "f1": round(f1, 4),
+                      "iou": round(iou, 4),
+                      "loss": round(float(metrics["loss"]), 4)})
+    best = max(curve, key=lambda c: c["iou"])
+    json.dump({"jax": {"side": "jax", "curve": curve, "best_f1": best["f1"],
+                       "best_iou": best["iou"]}}, open(out_path, "w"))
 
 
 # ----------------------------------------------------- stage-3 variants
@@ -444,8 +601,10 @@ def main(argv=None):
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--bs", type=int, default=4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--stage", type=int, choices=[2, 3], default=2,
-                    help="2 = pseudo-change CD pretrain semantics "
+    ap.add_argument("--stage", type=int, choices=[1, 2, 3], default=2,
+                    help="1 = supervised seg pretrain semantics "
+                         "(train_sup.py: UnetSeg on single images); "
+                         "2 = pseudo-change CD pretrain semantics "
                          "(train_pse_cd.py); 3 = STCD fine-tune semantics "
                          "(train_stcd.py: seg + cd + contrastive, "
                          "concatenated pseudo+real batches)")
@@ -454,9 +613,9 @@ def main(argv=None):
                     help="internal: run one side in this process")
     args = ap.parse_args(argv)
 
-    torch_fn = run_torch_semi if args.stage == 3 else run_torch
-    jax_fn = run_jax_semi if args.stage == 3 else run_jax
-    gen_fn = gen_data_semi if args.stage == 3 else gen_data
+    torch_fn = {1: run_torch_sup, 2: run_torch, 3: run_torch_semi}[args.stage]
+    jax_fn = {1: run_jax_sup, 2: run_jax, 3: run_jax_semi}[args.stage]
+    gen_fn = {1: gen_data_sup, 2: gen_data, 3: gen_data_semi}[args.stage]
 
     wd = args.workdir or tempfile.mkdtemp(prefix="convergence_parity_")
     os.makedirs(wd, exist_ok=True)
@@ -480,6 +639,20 @@ def main(argv=None):
 
     torch_res = json.load(open(os.path.join(wd, "torch.json")))
     jax_res = json.load(open(os.path.join(wd, "jax.json")))
+    if args.stage == 1:  # single jax mode: no Siamese fold in UnetSeg
+        report = {
+            "stage": 1,
+            "torch_best_f1": torch_res["best_f1"],
+            "torch_best_iou": torch_res["best_iou"],
+            "jax_best_f1": jax_res["jax"]["best_f1"],
+            "jax_best_iou": jax_res["jax"]["best_iou"],
+            "delta_f1": round(abs(torch_res["best_f1"]
+                                  - jax_res["jax"]["best_f1"]), 4),
+            "contract": 0.1,
+        }
+        report["pass"] = report["delta_f1"] <= 0.1
+        print(json.dumps(report))
+        return report
     report = {
         "stage": args.stage,
         "torch_best_f1": torch_res["best_f1"],

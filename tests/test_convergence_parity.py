@@ -38,6 +38,22 @@ def test_convergence_parity_reduced():
 
 
 @pytest.mark.slow
+def test_convergence_parity_stage1_reduced():
+    """Stage-1 (supervised seg pretrain) semantics: the reference's own
+    UnetSeg (decoders/unet/model.py:109-171) on single images, sigmoid +
+    BCE_DICE, per-iter Poly, eval threshold 0.5 best-by-IoU (ref
+    train_sup.py:112-185). Full-size reference numbers (10 epochs, 48
+    samples, 64px) are recorded in BASELINE.md."""
+    from convergence_parity import main
+
+    report = main(["--stage", "1", "--epochs", "4", "--n-train", "16",
+                   "--n-val", "8", "--size", "32", "--seed", "3"])
+    assert report["torch_best_f1"] > 0.5, report
+    assert report["jax_best_f1"] > 0.5, report
+    assert report["delta_f1"] <= 0.1, report
+
+
+@pytest.mark.slow
 def test_convergence_parity_stage3_reduced():
     """Stage-3 (STCD fine-tune) semantics: concatenated pseudo+real
     batches, loss = seg_loss_A + cd_loss + ct_loss, where the torch side
