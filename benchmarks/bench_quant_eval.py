@@ -13,10 +13,11 @@ sequential execution); fetch one scalar per timed call (axon tunnel:
 block_until_ready can return optimistically, and fetching a feature map
 would swamp the measurement — see the bench_int8_conv.py history).
 
-Run:  nohup python benchmarks/bench_quant_eval.py > /tmp/qeval.log 2>&1 &
+Run:  nohup python benchmarks/bench_quant_eval.py [batch] > /tmp/qeval.log 2>&1 &
 """
 
 import functools
+import sys
 import time
 
 import jax
@@ -27,7 +28,7 @@ from stcd_tpu.data.augment import eval_preprocess
 from stcd_tpu.models import SegCD
 from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
 
-BATCH = 64
+BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 SIZE = 256
 ITERS = 10
 

@@ -29,6 +29,14 @@ Layout convention is NHWC (TPU-native); the reference is NCHW. All public
 
 __version__ = "0.1.0"
 
+# Submodule aliases so the smp access pattern works unchanged
+# (ref segmentation_models_pytorch/__init__.py:1-5 re-exports datasets/
+# encoders/decoders/losses/metrics as package attributes).
+from stcd_tpu import losses  # noqa: F401
+from stcd_tpu import metrics  # noqa: F401
+from stcd_tpu import datasets  # noqa: F401
+from stcd_tpu import encoders  # noqa: F401
+from stcd_tpu import decoders  # noqa: F401
 from stcd_tpu.models.factory import create_model, define_G  # noqa: F401
 from stcd_tpu.models.segcd import (  # noqa: F401
     Unet,
