@@ -148,6 +148,20 @@ def Activation(name: Union[str, Callable, None]) -> Callable[[jax.Array], jax.Ar
     return _ACTIVATIONS[name]
 
 
+class PredictMixin:
+    """smp ``SegmentationModel.predict`` parity (ref base/model.py:41-56:
+    eval mode + no_grad forward). Stateless Flax form: pass the variables
+    explicitly; the forward is jitted and cached per model instance.
+
+    >>> masks = model.predict(variables, images)
+    """
+
+    def predict(self, variables, *inputs):
+        from stcd_tpu import predict
+
+        return predict(self, variables, *inputs)
+
+
 class ConvBNReLU(nn.Module):
     """Conv2d + (BatchNorm) + ReLU (ref base/modules.py:10-47 Conv2dReLU).
 

@@ -32,6 +32,7 @@ from stcd_tpu.layers.modules import (
     Activation,
     ClassificationHead,
     ConvBNReLU,
+    PredictMixin,
     SegmentationHead,
     resize_bilinear,
 )
@@ -40,7 +41,7 @@ from stcd_tpu.layers.modules import (
 from stcd_tpu.layers.se import ChannelSpatialSELayer
 
 
-class _EncDecHead(nn.Module):
+class _EncDecHead(PredictMixin, nn.Module):
     """Shared encoder + UnetDecoder + SegmentationHead assembly."""
 
     encoder_name: str = "resnet34"

@@ -23,12 +23,12 @@ from stcd_tpu.decoders.pspnet import PSPDecoder
 from stcd_tpu.decoders.unetplusplus import UnetPlusPlusDecoder
 from stcd_tpu.encoders import get_encoder
 from stcd_tpu.encoders.resnet import ResNetEncoder
-from stcd_tpu.layers.modules import SegmentationHead
+from stcd_tpu.layers.modules import PredictMixin, SegmentationHead
 
 Dtype = Any
 
 
-class UnetPlusPlus(nn.Module):
+class UnetPlusPlus(PredictMixin, nn.Module):
     """ref decoders/unetplusplus/model.py."""
 
     encoder_name: str = "resnet34"
@@ -57,7 +57,7 @@ class UnetPlusPlus(nn.Module):
                                 dtype=self.dtype, name="segmentation_head")(h)
 
 
-class MAnet(nn.Module):
+class MAnet(PredictMixin, nn.Module):
     """ref decoders/manet/model.py."""
 
     encoder_name: str = "resnet34"
@@ -84,7 +84,7 @@ class MAnet(nn.Module):
                                 dtype=self.dtype, name="segmentation_head")(h)
 
 
-class Linknet(nn.Module):
+class Linknet(PredictMixin, nn.Module):
     """ref decoders/linknet/model.py (head kernel 1)."""
 
     encoder_name: str = "resnet34"
@@ -108,7 +108,7 @@ class Linknet(nn.Module):
                                 name="segmentation_head")(h)
 
 
-class FPN(nn.Module):
+class FPN(PredictMixin, nn.Module):
     """ref decoders/fpn/model.py (head upsampling 4x)."""
 
     encoder_name: str = "resnet34"
@@ -138,7 +138,7 @@ class FPN(nn.Module):
                                 name="segmentation_head")(h)
 
 
-class PSPNet(nn.Module):
+class PSPNet(PredictMixin, nn.Module):
     """ref decoders/pspnet/model.py (encoder_depth=3, head 8x)."""
 
     encoder_name: str = "resnet34"
@@ -166,7 +166,7 @@ class PSPNet(nn.Module):
                                 name="segmentation_head")(h)
 
 
-class DeepLabV3(nn.Module):
+class DeepLabV3(PredictMixin, nn.Module):
     """ref decoders/deeplabv3/model.py (output stride 8, head 8x)."""
 
     encoder_name: str = "resnet34"
@@ -190,7 +190,7 @@ class DeepLabV3(nn.Module):
                                 name="segmentation_head")(h)
 
 
-class DeepLabV3Plus(nn.Module):
+class DeepLabV3Plus(PredictMixin, nn.Module):
     """ref decoders/deeplabv3/model.py (output stride 16, head 4x)."""
 
     encoder_name: str = "resnet34"
@@ -219,7 +219,7 @@ class DeepLabV3Plus(nn.Module):
                                 name="segmentation_head")(h)
 
 
-class PAN(nn.Module):
+class PAN(PredictMixin, nn.Module):
     """ref decoders/pan/model.py (head 4x; encoder dilated to stride 16)."""
 
     encoder_name: str = "resnet34"

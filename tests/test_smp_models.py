@@ -34,6 +34,27 @@ def test_smp_arch_shapes(x, arch, kwargs):
     assert np.all(np.isfinite(np.asarray(out))), arch
 
 
+def test_model_predict_method(x):
+    """smp SegmentationModel.predict parity (ref base/model.py:41-56):
+    model.predict(variables, x) == eval-mode forward, on both the smp
+    assemblies (PredictMixin) and the star models."""
+    import stcd_tpu
+
+    model = create_model("unetplusplus", encoder_name="resnet18", classes=3,
+                         decoder_channels=(32, 24, 16, 12, 8))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    np.testing.assert_array_equal(np.asarray(model.predict(variables, x)),
+                                  np.asarray(model.apply(variables, x)))
+
+    segcd = stcd_tpu.SegCD(encoder_name="resnet18", classes=1,
+                           decoder_channels=(32, 24, 16, 12, 8))
+    vs = segcd.init(jax.random.PRNGKey(0), x, x)
+    got = segcd.predict(vs, x, x)
+    want = segcd.apply(vs, x, x)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_pan_shapes():
     # PAN's FPA needs a bottleneck >= 8x8 (three maxpools), so 128 input
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 128, 3), jnp.float32)
