@@ -13,7 +13,11 @@ sequential execution); fetch one scalar per timed call (axon tunnel:
 block_until_ready can return optimistically, and fetching a feature map
 would swamp the measurement — see the bench_int8_conv.py history).
 
-Run:  nohup python benchmarks/bench_quant_eval.py [batch] > /tmp/qeval.log 2>&1 &
+Run:  nohup python benchmarks/bench_quant_eval.py [batch] [model] > /tmp/qeval.log 2>&1 &
+      model: segcd (default) | changeformer (V6 256^2 — checks the quant
+      interception generalizes to the transformer family: patch-embed /
+      conv_diff / decoder convs quantize, DWConv depthwise and the Pallas
+      SRA attention stay untouched)
 """
 
 import functools
@@ -29,23 +33,34 @@ from stcd_tpu.models import SegCD
 from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
 
 BATCH = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+MODEL = sys.argv[2] if len(sys.argv) > 2 else "segcd"
 SIZE = 256
 ITERS = 10
 
 
 def main():
-    print(f"devices: {jax.devices()}", flush=True)
-    model = SegCD(encoder_name="resnet50", classes=1,
-                  decoder_channels=(256, 128, 64, 32, 16),
-                  dtype=jnp.bfloat16)
+    print(f"devices: {jax.devices()} model={MODEL}", flush=True)
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.uniform(0, 1, (BATCH, SIZE, SIZE, 3)), jnp.float32)
     b = jnp.asarray(rng.uniform(0, 1, (BATCH, SIZE, SIZE, 3)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), a[:2], b[:2])
+    if MODEL == "changeformer":
+        from stcd_tpu.models.changeformer import ChangeFormerV6
 
-    def fwd(xa, xb):
-        return model.apply(variables, eval_preprocess(xa),
-                           eval_preprocess(xb), False)[2]
+        model = ChangeFormerV6(embed_dim=256, dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), a[:2], b[:2])
+
+        def fwd(xa, xb):
+            return model.apply(variables, eval_preprocess(xa),
+                               eval_preprocess(xb), False)[-1]
+    else:
+        model = SegCD(encoder_name="resnet50", classes=1,
+                      decoder_channels=(256, 128, 64, 32, 16),
+                      dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), a[:2], b[:2])
+
+        def fwd(xa, xb):
+            return model.apply(variables, eval_preprocess(xa),
+                               eval_preprocess(xb), False)[2]
 
     print("calibrating...", flush=True)
     scales = calibrate_conv_scales(fwd, [(a, b)])

@@ -31,6 +31,10 @@ def main():
     p.add_argument("--split", default="val")
     p.add_argument("--save_preds", default=None)
     p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of the conv "
+                        "compute (stcd_tpu/serving); calibrates on the "
+                        "first batch of the eval set")
     args = p.parse_args()
 
     dec = tuple(int(c) for c in args.decoder_channels.split(","))
@@ -50,7 +54,32 @@ def main():
     ds = CDDataset(args.root_path, args.dataset_name, args.split)
     loader = DataLoader(ds, args.batch_size, num_workers=args.n_cpu,
                         drop_last=False)
-    _, eval_step = make_cd_steps(model, augment=False)
+    if args.int8:
+        from stcd_tpu.data.augment import eval_preprocess
+        from stcd_tpu.metrics.confusion import confusion_matrix
+        from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
+
+        def base_fn(A, B):
+            _, _, diff = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                eval_preprocess(A), eval_preprocess(B))
+            return jax.nn.sigmoid(diff.astype(jnp.float32))
+
+        first = next(iter(loader))
+        scales = calibrate_conv_scales(base_fn, [(first["A"], first["B"])])
+        import numpy as _np
+        print(f"int8: {int(_np.isfinite(scales).sum())}/{scales.shape[0]} "
+              "conv sites quantized")
+        qfwd = quantize_fn(base_fn, scales)
+
+        @jax.jit
+        def eval_step(_state, batch):
+            probs = qfwd(batch["A"], batch["B"])
+            cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                                  batch["label"].astype(jnp.int32), 2)
+            return {"cm": cm, "probs": probs}
+    else:
+        _, eval_step = make_cd_steps(model, augment=False)
     if args.save_preds:
         metrics = generate_pseudo_labels(eval_step, state, loader,
                                          args.save_preds, args.threshold)

@@ -159,3 +159,16 @@ def test_evaluate_cli(tmp_path):
     assert "F1" in out.stdout and "IoU" in out.stdout
     dumped = os.listdir(tmp_path / "preds")
     assert len(dumped) == 4 and all(n.endswith(".png") for n in dumped)
+
+    # --int8 serving mode: quantized conv compute, same metric protocol
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate.py"),
+         "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+         "--split", "val", "--batch_size", "2",
+         "--img_height", "32", "--img_width", "32", "--encoder", "resnet18",
+         "--decoder_channels", ",".join(map(str, dec)),
+         "--load_path", str(tmp_path / "run"), "--int8"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "conv sites quantized" in out.stdout
+    assert "F1" in out.stdout and "IoU" in out.stdout

@@ -149,6 +149,36 @@ def test_segcd_eval_quantized_close_to_float():
     assert err / max(ref, 1e-9) < 0.35, err / ref
 
 
+def test_changeformer_eval_quantized_close_to_float():
+    """The interception generalizes to the transformer family: CFv6's
+    patch-embed/conv_diff/decoder convs quantize, the DWConv depthwise
+    convs stay float (feature_group_count skip rule), attention dense
+    layers (dot_general, not conv) are untouched."""
+    from stcd_tpu.models.changeformer import ChangeFormerV6
+
+    rng = np.random.default_rng(7)
+    model = ChangeFormerV6(embed_dim=32)
+    a = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), a, b)
+
+    def fwd(xa, xb):
+        return model.apply(variables, xa, xb, False)[-1]
+
+    scales = calibrate_conv_scales(fwd, [(a, b)])
+    n_sites, n_quant = scales.shape[0], int(np.isfinite(scales).sum())
+    assert n_sites > 10
+    assert 0 < n_quant < n_sites, (n_quant, n_sites)  # DWConvs skipped
+
+    out_f = np.asarray(fwd(a, b), np.float32)
+    out_q = np.asarray(jax.jit(quantize_fn(fwd, scales))(a, b), np.float32)
+    err = np.linalg.norm(out_q - out_f) / max(np.linalg.norm(out_f), 1e-9)
+    assert err < 0.35, err
+    # argmax class map mostly agrees even at random init
+    agree = float(np.mean(out_f.argmax(-1) == out_q.argmax(-1)))
+    assert agree >= 0.95, agree
+
+
 @pytest.mark.slow
 def test_quantized_trained_segcd_f1():
     """The serving-grade gate: train a small SegCD on the synthetic CD
