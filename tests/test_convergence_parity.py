@@ -54,6 +54,24 @@ def test_convergence_parity_stage1_reduced():
 
 
 @pytest.mark.slow
+def test_convergence_parity_bit_reduced():
+    """BIT (base_transformer_pos_s4_dd8): the reference's OWN
+    BASE_Transformer + its own models/losses.py cross_entropy vs our
+    models/bit.py, trained from identical init on identical batches with
+    the CDTrainer protocol (adam wd=0, linear per-epoch decay, 2-class
+    CE, argmax eval). Extends convergence parity beyond the SegCD
+    flagship to the bespoke transformer zoo. Full-size numbers in
+    BASELINE.md."""
+    from convergence_bit import main
+
+    report = main(["--epochs", "3", "--n-train", "12", "--n-val", "8",
+                   "--size", "32", "--seed", "3"])
+    assert report["torch_best_f1"] > 0.4, report
+    assert report["jax_best_f1"] > 0.4, report
+    assert report["delta_f1"] <= 0.1, report
+
+
+@pytest.mark.slow
 def test_convergence_parity_stage3_reduced():
     """Stage-3 (STCD fine-tune) semantics: concatenated pseudo+real
     batches, loss = seg_loss_A + cd_loss + ct_loss, where the torch side
