@@ -179,6 +179,38 @@ def test_changeformer_eval_quantized_close_to_float():
     assert agree >= 0.95, agree
 
 
+def test_quantized_sharded_tiled_inference():
+    """The predict.py --int8 serving combination on a multi-device mesh:
+    quantize_fn composes with GSPMD batch sharding — the sharded
+    whole-scene prediction equals the single-placement one."""
+    from stcd_tpu.data.tiled_inference import predict_scene
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
+
+    rng = np.random.default_rng(11)
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 8, 6, 4))
+    a = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    b = rng.uniform(0, 1, (96, 96, 3)).astype(np.float32)
+    ex = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), ex, ex)
+
+    def base_fn(xa, xb):
+        _, _, diff = model.apply(variables, xa, xb, False)
+        return jax.nn.sigmoid(diff.astype(jnp.float32))
+
+    ca = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 3)), jnp.float32)
+    scales = calibrate_conv_scales(base_fn, [(ca, ca)])
+    qfwd = jax.jit(quantize_fn(base_fn, scales))
+
+    single = predict_scene(qfwd, a, b, tile=32, stride=32, batch=8)
+    mesh = create_mesh(model=1)
+    assert mesh.devices.size == 8  # conftest's 8 virtual CPU devices
+    sharded = predict_scene(qfwd, a, b, tile=32, stride=32, batch=8,
+                            sharding=batch_sharding(mesh))
+    np.testing.assert_allclose(sharded, single, atol=2e-6)
+
+
 @pytest.mark.slow
 def test_quantized_trained_segcd_f1():
     """The serving-grade gate: train a small SegCD on the synthetic CD
