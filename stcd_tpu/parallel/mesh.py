@@ -3,9 +3,15 @@
 The reference's only parallelism is single-process nn.DataParallel
 (SURVEY.md §2.5); the TPU-native equivalent is a jax.sharding.Mesh with a
 'data' axis: batches are sharded over it, parameters replicated, and XLA
-inserts the psum for gradients during jit compilation. A 'model' axis is
-provisioned for tensor-parallel sharding of the widest conv kernels
-(beyond-parity capability).
+inserts the psum for gradients during jit compilation. Two beyond-parity
+axes are provisioned:
+
+- 'model': tensor-parallel sharding of the widest conv kernels.
+- 'space': spatial partitioning — NHWC activations sharded along H, with
+  GSPMD inserting the conv/pool halo exchanges. This is the TPU answer to
+  the reference's offline raster tiling (split.py:43-46) for TRAINING:
+  large-resolution steps whose per-device batch would otherwise be < 1
+  image (e.g. 512²+ fine-tunes) scale over 'space' instead of 'data'.
 """
 
 from __future__ import annotations
@@ -17,19 +23,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def create_mesh(data: Optional[int] = None, model: int = 1,
+def create_mesh(data: Optional[int] = None, model: int = 1, space: int = 1,
                 devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+        data = n // (model * space)
+    assert data * model * space == n, \
+        f"mesh {data}x{model}x{space} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model, space)
+    return Mesh(arr, ("data", "model", "space"))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim over 'data', replicate the rest."""
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Shard the leading (batch) dim over 'data', replicate the rest.
+
+    With ``spatial=True`` additionally shard NHWC dim 1 (image rows) over
+    'space' — GSPMD partitions every conv/pool/resize spatially and
+    inserts the halo exchanges (collective-permutes of the kernel-overlap
+    rows) automatically.
+    """
+    if spatial:
+        return NamedSharding(mesh, P("data", "space"))
     return NamedSharding(mesh, P("data"))
 
 
