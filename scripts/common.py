@@ -77,6 +77,13 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
                         "(batch_size must divide)")
     p.add_argument("--data_axis", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--space_axis", type=int, default=1,
+                   help="spatial-partitioning mesh size: shard image rows "
+                        "over this many devices (GSPMD halo exchange) for "
+                        "large resolutions where the per-device batch would "
+                        "drop below one image; data_axis x space_axis "
+                        "devices are used. Forces the jnp augmentation path "
+                        "(the fused Pallas kernel is batch-partitioned only)")
     return p
 
 
@@ -90,6 +97,15 @@ def configure_host_transfer(args) -> None:
 
 def make_mesh(args):
     from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
-    n = args.data_axis or len(jax.devices())
-    mesh = create_mesh(data=n, model=1, devices=jax.devices()[:n])
-    return mesh, batch_sharding(mesh)
+    space = getattr(args, "space_axis", 1) or 1
+    if space > 1:
+        # the fused Pallas augmentation kernel partitions over batch only;
+        # under a spatial sharding GSPMD would all-gather H around it, so
+        # SP runs use the (sharding-transparent) jnp augmentation path
+        from stcd_tpu.data.augment import set_pallas_augment
+        set_pallas_augment("off")
+    data = args.data_axis or len(jax.devices()) // space
+    n = data * space
+    mesh = create_mesh(data=data, model=1, space=space,
+                       devices=jax.devices()[:n])
+    return mesh, batch_sharding(mesh, spatial=space > 1)
