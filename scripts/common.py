@@ -104,8 +104,16 @@ def make_mesh(args):
         # SP runs use the (sharding-transparent) jnp augmentation path
         from stcd_tpu.data.augment import set_pallas_augment
         set_pallas_augment("off")
-    data = args.data_axis or len(jax.devices()) // space
+    n_dev = len(jax.devices())
+    if space > n_dev:
+        raise SystemExit(
+            f"--space_axis {space} exceeds the {n_dev} available device(s)")
+    data = args.data_axis or n_dev // space
     n = data * space
+    if n > n_dev:
+        raise SystemExit(
+            f"--data_axis {data} x --space_axis {space} = {n} devices "
+            f"> {n_dev} available")
     mesh = create_mesh(data=data, model=1, space=space,
                        devices=jax.devices()[:n])
     return mesh, batch_sharding(mesh, spatial=space > 1)

@@ -57,7 +57,8 @@ def main():
     if args.int8:
         from stcd_tpu.data.augment import eval_preprocess
         from stcd_tpu.metrics.confusion import confusion_matrix
-        from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
+        from stcd_tpu.serving import (calibrate_conv_scales, n_quantized_sites,
+                                      quantize_fn)
 
         def base_fn(A, B):
             _, _, diff = state.apply_fn(
@@ -67,8 +68,7 @@ def main():
 
         first = next(iter(loader))
         scales = calibrate_conv_scales(base_fn, [(first["A"], first["B"])])
-        import numpy as _np
-        print(f"int8: {int(_np.isfinite(scales).sum())}/{scales.shape[0]} "
+        print(f"int8: {n_quantized_sites(scales)}/{scales.shape[0]} "
               "conv sites quantized")
         qfwd = quantize_fn(base_fn, scales)
 

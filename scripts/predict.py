@@ -65,7 +65,19 @@ def main():
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (example, example), optax.sgd(0.0))
     mgr = CheckpointManager(args.load_path)
-    ckpt = mgr.best_path() or args.load_path
+    ckpt = mgr.best_path()
+    if ckpt is None:
+        # run dir without a *_best_model yet (e.g. interrupted training):
+        # fall back to last_ckpt as the help text promises; only treat
+        # load_path as an explicit checkpoint if it isn't a run dir
+        last = os.path.join(args.load_path, "last_ckpt")
+        if os.path.isdir(last):
+            ckpt = last
+        elif os.path.exists(os.path.join(args.load_path, "_CHECKPOINT_METADATA")) \
+                or not os.path.isdir(args.load_path):
+            ckpt = args.load_path
+        else:
+            sys.exit(f"no *_best_model or last_ckpt under {args.load_path}")
     state = mgr.load_weights(state, ckpt)
     print(f"loaded {ckpt}")
 
@@ -81,13 +93,18 @@ def main():
         return jax.nn.sigmoid(diff.astype(jnp.float32))
 
     if args.int8:
-        from stcd_tpu.data.tiled_inference import extract_tiles
-        from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
-        ca = jnp.asarray(extract_tiles(a, args.tile, args.stride)[0][:8])
-        cb = jnp.asarray(extract_tiles(b, args.tile, args.stride)[0][:8])
+        from stcd_tpu.data.tiled_inference import tile_origins
+        from stcd_tpu.serving import (calibrate_conv_scales, n_quantized_sites,
+                                      quantize_fn)
+        # slice just the calibration tiles — materializing the full scene
+        # tile stack here (and again inside predict_scene) doubles the
+        # peak memory on exactly the large rasters this CLI exists for
+        cal = tile_origins(a.shape[0], a.shape[1], args.tile, args.stride)[:8]
+        t = args.tile
+        ca = jnp.asarray(np.stack([a[y:y + t, x:x + t] for y, x in cal]))
+        cb = jnp.asarray(np.stack([b[y:y + t, x:x + t] for y, x in cal]))
         scales = calibrate_conv_scales(base_fn, [(ca, cb)])
-        import numpy as _np
-        print(f"int8: {int(_np.isfinite(scales).sum())}/{scales.shape[0]} "
+        print(f"int8: {n_quantized_sites(scales)}/{scales.shape[0]} "
               "conv sites quantized")
         predict_fn = jax.jit(quantize_fn(base_fn, scales))
     else:

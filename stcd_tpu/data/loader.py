@@ -143,10 +143,11 @@ class DataLoader:
             if multihost and self.sharding is not None:
                 # each process holds its LOCAL rows of the global batch;
                 # device_put(local, global_sharding) would mislabel the
-                # local array as the whole global array. Assemble properly:
-                arrays = {
-                    k: jax.make_array_from_process_local_data(self.sharding, v)
-                    for k, v in arrays.items()}
+                # local array as the whole global array. Assemble properly
+                # (single shared implementation in parallel/distributed.py):
+                from stcd_tpu.parallel.distributed import assemble_global_batch
+                arrays = assemble_global_batch(None, arrays,
+                                               sharding=self.sharding)
             elif self.sharding is not None and all(
                     self._shardable(v.shape) for v in arrays.values()):
                 arrays = jax.device_put(arrays, self.sharding)

@@ -17,23 +17,24 @@ import jax
 import jax.numpy as jnp
 
 
-def extract_tiles(image: np.ndarray, tile: int = 256, stride: int = 256
-                  ) -> Tuple[np.ndarray, list]:
-    """(H, W, C) -> (N, tile, tile, C) + origin list. Edge tiles are
+def tile_origins(h: int, w: int, tile: int = 256, stride: int = 256) -> list:
+    """Top-left (y, x) corners covering an (h, w) scene. Edge tiles are
     shifted inward so every pixel is covered (unlike split.py, which drops
     the remainder)."""
-    h, w = image.shape[:2]
     ys = list(range(0, max(h - tile, 0) + 1, stride))
     xs = list(range(0, max(w - tile, 0) + 1, stride))
     if ys[-1] + tile < h:
         ys.append(h - tile)
     if xs[-1] + tile < w:
         xs.append(w - tile)
-    tiles, origins = [], []
-    for y in ys:
-        for x in xs:
-            tiles.append(image[y:y + tile, x:x + tile])
-            origins.append((y, x))
+    return [(y, x) for y in ys for x in xs]
+
+
+def extract_tiles(image: np.ndarray, tile: int = 256, stride: int = 256
+                  ) -> Tuple[np.ndarray, list]:
+    """(H, W, C) -> (N, tile, tile, C) + origin list (see tile_origins)."""
+    origins = tile_origins(image.shape[0], image.shape[1], tile, stride)
+    tiles = [image[y:y + tile, x:x + tile] for y, x in origins]
     return np.stack(tiles), origins
 
 

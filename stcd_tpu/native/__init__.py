@@ -42,7 +42,11 @@ _load_failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O2", "-fPIC", "-shared", "-o", _LIB, _SRC,
+    # compile to a process-unique temp path and publish with an atomic
+    # rename: concurrent processes (parallel stage scripts, pytest-xdist)
+    # must never dlopen a half-written .so
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O2", "-fPIC", "-shared", "-o", tmp, _SRC,
            "-ljpeg", "-lpng"]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -52,6 +56,11 @@ def _build() -> bool:
     if res.returncode != 0:
         logger.warning("native IO build failed:\n%s\nusing PIL decode",
                        res.stderr.strip()[-2000:])
+        return False
+    try:
+        os.replace(tmp, _LIB)
+    except OSError as e:
+        logger.warning("native IO publish failed (%s); using PIL decode", e)
         return False
     return True
 
@@ -81,20 +90,35 @@ def load() -> Optional[ctypes.CDLL]:
         return _lib
     if _load_failed or os.environ.get("STCD_NO_NATIVE") == "1":
         return None
+    def _try_load():
+        # AttributeError (missing symbol) and the ABI probe both catch a
+        # stale .so built from an older stcd_io.cpp — the mtime freshness
+        # test can't (a checkout gives .so and .cpp identical mtimes)
+        lib = _bind(ctypes.CDLL(_LIB))
+        if lib.stcd_io_abi_version() != 1:
+            raise OSError("ABI version mismatch")
+        return lib
+
     with _lock:
         if _lib is not None or _load_failed:
             return _lib
-        try:
-            fresh = (os.path.exists(_LIB)
-                     and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC))
-            if not fresh and not _build():
+        rebuilt = False
+        if not (os.path.exists(_LIB)
+                and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+            if not _build():
                 _load_failed = True
                 return None
-            lib = _bind(ctypes.CDLL(_LIB))
-            if lib.stcd_io_abi_version() != 1:
-                raise OSError("ABI version mismatch")
-            _lib = lib
-        except OSError as e:
+            rebuilt = True
+        try:
+            _lib = _try_load()
+        except (OSError, AttributeError) as e:
+            # stale library: rebuild once from source and retry
+            if not rebuilt and _build():
+                try:
+                    _lib = _try_load()
+                    return _lib
+                except (OSError, AttributeError) as e2:
+                    e = e2
             logger.warning("native IO unavailable (%s); using PIL decode", e)
             _load_failed = True
     return _lib

@@ -57,10 +57,15 @@ def global_batch_sharding(mesh):
     return NamedSharding(mesh, P("data"))
 
 
-def assemble_global_batch(mesh, local_batch: dict) -> dict:
+def assemble_global_batch(mesh, local_batch: dict, sharding=None) -> dict:
     """Build global jax.Arrays from each process's local numpy batch
-    (multi-host path; on one host this is just device_put+shard)."""
-    sharding = global_batch_sharding(mesh)
+    (multi-host path; on one host this is just device_put+shard).
+
+    This is THE host-boundary assembly — DataLoader's multi-host branch
+    (data/loader.py place()) routes through it with its own ``sharding``
+    so there is a single implementation to fix."""
+    if sharding is None:
+        sharding = global_batch_sharding(mesh)
     out = {}
     for k, v in local_batch.items():
         if hasattr(v, "shape"):

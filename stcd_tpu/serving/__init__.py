@@ -7,5 +7,6 @@ story beyond the eval loops in its train_*.py scripts).
 
 from stcd_tpu.serving.quant import (  # noqa: F401
     calibrate_conv_scales,
+    n_quantized_sites,
     quantize_fn,
 )

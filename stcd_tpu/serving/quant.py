@@ -111,30 +111,34 @@ def calibrate_conv_scales(fn: Callable, batches: Sequence,
     Non-quantizable sites (grouped / narrow / integer) still occupy a
     slot (value NaN) so indices line up with ``quantize_fn``.
     """
+    def collecting(*xs):
+        maxes: List[jax.Array] = []
+
+        def factory(orig):
+            def wrapper(lhs, rhs, *a, **k):
+                kk = _normalize_conv_args(a, k)
+                if _site_quantizable(lhs, rhs, kk, min_in_channels):
+                    maxes.append(jnp.max(jnp.abs(lhs))
+                                 .astype(jnp.float32))
+                else:
+                    maxes.append(jnp.asarray(jnp.nan, jnp.float32))
+                return orig(lhs, rhs, **kk)
+            return wrapper
+
+        with _intercept_convs(factory):
+            out = fn(*xs)
+        del out
+        return jnp.stack(maxes) if maxes else jnp.zeros((0,), jnp.float32)
+
+    # one jitted callable for ALL batches: rebuilding it per batch would
+    # retrace (and re-lower) the whole forward each iteration — minutes
+    # per batch on the tunneled-TPU host for zero benefit
+    collecting = jax.jit(collecting)
+
     scales: Optional[np.ndarray] = None
     for batch in batches:
         args = batch if isinstance(batch, (tuple, list)) else (batch,)
-
-        def collecting(*xs):
-            maxes: List[jax.Array] = []
-
-            def factory(orig):
-                def wrapper(lhs, rhs, *a, **k):
-                    kk = _normalize_conv_args(a, k)
-                    if _site_quantizable(lhs, rhs, kk, min_in_channels):
-                        maxes.append(jnp.max(jnp.abs(lhs))
-                                     .astype(jnp.float32))
-                    else:
-                        maxes.append(jnp.asarray(jnp.nan, jnp.float32))
-                    return orig(lhs, rhs, **kk)
-                return wrapper
-
-            with _intercept_convs(factory):
-                out = fn(*xs)
-            del out
-            return jnp.stack(maxes) if maxes else jnp.zeros((0,), jnp.float32)
-
-        batch_maxes = np.asarray(jax.jit(collecting)(*args))
+        batch_maxes = np.asarray(collecting(*args))
         if scales is None:
             scales = batch_maxes
         else:
@@ -147,6 +151,15 @@ def calibrate_conv_scales(fn: Callable, batches: Sequence,
     if scales is None:
         raise ValueError("no calibration batches given")
     return scales
+
+
+def n_quantized_sites(act_scales: np.ndarray) -> int:
+    """Number of conv sites :func:`quantize_fn` will actually run in int8:
+    finite AND strictly positive scales (NaN marks non-quantizable sites,
+    0 marks calibration inputs that were identically zero — both stay
+    float)."""
+    s = np.asarray(act_scales)
+    return int((np.isfinite(s) & (s > 0)).sum())
 
 
 def quantize_fn(fn: Callable, act_scales: np.ndarray,
@@ -173,10 +186,15 @@ def quantize_fn(fn: Callable, act_scales: np.ndarray,
                         f"({act_scales.shape[0]} sites) — calibrate with "
                         "the same forward")
                 quantizable = _site_quantizable(lhs, rhs, kk, min_in_channels)
-                if not quantizable or not np.isfinite(act_scales[i]):
+                # scale 0 means the site's input was identically zero on
+                # every calibration batch (e.g. a ReLU-dead block or a
+                # nodata collar) — quantizing with a floored scale would
+                # saturate real activations to ~0; leave the site in float
+                if (not quantizable or not np.isfinite(act_scales[i])
+                        or act_scales[i] <= 0.0):
                     return orig(lhs, rhs, **kk)
                 dnums = _conv_dnums(lhs, rhs, kk)
-                a_s = jnp.float32(max(float(act_scales[i]), 1e-30) / 127.0)
+                a_s = jnp.float32(float(act_scales[i]) / 127.0)
                 xq = jnp.clip(jnp.round(lhs.astype(jnp.float32) / a_s),
                               -127, 127).astype(jnp.int8)
                 # per-output-channel kernel scale

@@ -60,6 +60,46 @@ def test_quantized_conv_error_is_small():
     assert rel < 0.02, rel  # ~8-bit relative error over a 576-deep sum
 
 
+def test_zero_calibration_scale_stays_float():
+    """A site whose calibration input is identically zero (ReLU-dead
+    block / nodata collar) must stay in float: quantizing against a
+    floored scale would saturate real activations to ~0 silently."""
+    rng = np.random.default_rng(2)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 16)), jnp.float32)
+    fn = lambda a: _conv(a, k)
+
+    zeros = jnp.zeros((2, 8, 8, 32), jnp.float32)
+    scales = calibrate_conv_scales(fn, [(zeros,)])
+    assert scales.shape == (1,) and scales[0] == 0.0
+
+    from stcd_tpu.serving import n_quantized_sites
+    assert n_quantized_sites(scales) == 0
+
+    x = jnp.asarray(rng.normal(0, 1.5, (2, 8, 8, 32)), jnp.float32)
+    got = quantize_fn(fn, scales)(x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(fn(x)))
+
+
+def test_calibration_single_trace_across_batches():
+    """calibrate_conv_scales must not retrace the forward per batch
+    (a retrace costs minutes per batch on the tunneled-TPU host)."""
+    rng = np.random.default_rng(3)
+    k = jnp.asarray(rng.normal(0, 0.1, (3, 3, 32, 16)), jnp.float32)
+    traces = [0]
+
+    def fn(a):
+        traces[0] += 1
+        return _conv(a, k)
+
+    batches = [(jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)), jnp.float32),)
+               for _ in range(3)]
+    scales = calibrate_conv_scales(fn, batches)
+    assert scales.shape == (1,)
+    assert traces[0] == 1, f"forward traced {traces[0]}x for 3 batches"
+    expect = max(float(jnp.max(jnp.abs(b[0]))) for b in batches)
+    assert scales[0] == pytest.approx(expect, rel=1e-6)
+
+
 def test_narrow_and_grouped_sites_stay_float():
     """C_in < min_in_channels and depthwise convs are left untouched
     (NaN slot in the table) and the outputs are bitwise the float ones."""
