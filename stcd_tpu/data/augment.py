@@ -556,8 +556,10 @@ def hue_saturation_value(key: jax.Array, img: jax.Array,
                          val_shift: float = 20.0) -> jax.Array:
     kh, ks, kv = jax.random.split(key, 3)
     hsv = _rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    # albumentations shifts the cv2 uint8 H channel, whose range is
+    # [0, 180) — a hue_shift of 20 is 20/180 of the hue circle, not 20/360
     h = (hsv[..., 0] + jax.random.uniform(
-        kh, (), minval=-hue_shift, maxval=hue_shift) / 360.0) % 1.0
+        kh, (), minval=-hue_shift, maxval=hue_shift) / 180.0) % 1.0
     s = jnp.clip(hsv[..., 1] + jax.random.uniform(
         ks, (), minval=-sat_shift, maxval=sat_shift) / 255.0, 0.0, 1.0)
     v = jnp.clip(hsv[..., 2] + jax.random.uniform(

@@ -161,7 +161,17 @@ def _cp_partition(interpret, mesh, arg_infos, result_infos):
     reduce_axes = _row_axes(spec)
 
     def lower_fn(x):
-        s1, s2 = _stats_pallas_raw(interpret, x)
+        # the kernel runs on the per-device SHARD, whose row count may
+        # break the tiling even when the global shape passed
+        # supports_pallas (e.g. rows sharded 2-way: m=16,fold=2 globally
+        # tiles fine, but the m=8 shard gives grid=(0,) and the output
+        # buffers are never written). Re-gate on the shard shape and use
+        # the numerically-identical jnp reduction when it doesn't tile.
+        if supports_pallas(x.shape):
+            s1, s2 = _stats_pallas_raw(interpret, x)
+        else:
+            xf = x.astype(jnp.float32)
+            s1, s2 = jnp.sum(xf, 0), jnp.sum(xf * xf, 0)
         if reduce_axes:
             s1 = jax.lax.psum(s1, reduce_axes)
             s2 = jax.lax.psum(s2, reduce_axes)

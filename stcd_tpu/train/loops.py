@@ -76,6 +76,10 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
     meter = Throughput()
     global_step = 0
     for epoch in range(1, n_epochs + 1):
+        # per-epoch rate: without the reset the meter accumulates eval /
+        # checkpoint / logging time from every prior epoch and reports a
+        # steadily decaying "throughput" for a perfectly steady run
+        meter.reset()
         train_metric = SegmentationMetric(2)
         # Accumulate confusion counts ON DEVICE and flush to the host
         # float64 matrix only periodically: np.asarray(out["cm"]) every step

@@ -233,11 +233,15 @@ class CDTrainer:
         }
 
     def _run_epoch(self, state, loader, rng, training: bool):
+        from stcd_tpu.train.loops import _CM_FLUSH_PIXEL_BUDGET
+
         metric = SegmentationMetric(self.cfg.n_class)
-        loss_dev = None
         # device-side accumulation with a periodic flush, like
         # train/loops.py — a float(loss)/np.asarray(cm) per step blocks
-        # the async dispatch pipeline (review finding)
+        # the async dispatch pipeline (review finding); the loss is
+        # likewise summed on device so the reported value is the epoch
+        # MEAN, not the last batch's sample
+        loss_sum, n_steps = None, 0
         cm_dev, px_acc = None, 0
         for batch in loader:
             a = jnp.asarray(batch["A"])
@@ -247,17 +251,19 @@ class CDTrainer:
                 rng, step_rng = jax.random.split(rng)
                 state, loss_dev, cm = self.train_step(state, a, b, label,
                                                       step_rng)
+                loss_sum = loss_dev if loss_sum is None else loss_sum + loss_dev
+                n_steps += 1
             else:
                 _, cm = self.eval_step(state, a, b, label)
             cm_dev = cm if cm_dev is None else cm_dev + cm
             px_acc += int(np.prod(label.shape[:3]))
-            if px_acc >= (1 << 30):  # int32 cells wrap past 2^31 pixels
+            if px_acc >= _CM_FLUSH_PIXEL_BUDGET:  # int32 cells wrap past 2^31
                 metric.confusionMatrix += np.asarray(cm_dev, np.float64)
                 cm_dev, px_acc = None, 0
         if cm_dev is not None:
             metric.confusionMatrix += np.asarray(cm_dev, np.float64)
-        last_loss = float(loss_dev) if loss_dev is not None else 0.0
-        return state, metric, last_loss, rng
+        mean_loss = float(loss_sum) / n_steps if n_steps else 0.0
+        return state, metric, mean_loss, rng
 
     def _ensure_alpha(self):
         if self.cfg.loss in ("fl", "miou") and self.alpha is None:
@@ -273,6 +279,14 @@ class CDTrainer:
         if restored is not None:
             state, last_epoch, self.best_val_acc, self.best_epoch_id = restored
             self.epoch_to_start = last_epoch + 1
+            # resume the saved accuracy curves instead of clobbering them
+            # (ref trainer.py:268-274 appends to the loaded .npy history)
+            for name, curve in (("train_acc.npy", train_curve),
+                                ("val_acc.npy", val_curve)):
+                path = os.path.join(cfg.checkpoint_dir, name)
+                if os.path.exists(path):
+                    curve.extend(
+                        np.load(path)[:self.epoch_to_start].tolist())
         rng = jax.random.PRNGKey(cfg.seed + 1)
         for epoch_id in range(self.epoch_to_start, cfg.max_epochs):
             state, m, loss, rng = self._run_epoch(
@@ -335,7 +349,11 @@ class CDEvaluator:
             metric.confusionMatrix += np.asarray(cm, np.float64)
             if save_vis and names is not None:
                 preds = np.asarray(self.trainer._pred_to_labels(final))
+                # spread class ids over [0, 1] so save_mask_png's x255
+                # keeps them distinct — ids >= 2 would wrap mod 256
+                # (binary n_class=2 stays the exact {0, 255} format)
+                denom = max(self.cfg.n_class - 1, 1)
                 for i, name in enumerate(names):
-                    save_mask_png(preds[i].astype(np.float32),
+                    save_mask_png(preds[i].astype(np.float32) / denom,
                                   os.path.join(self.cfg.vis_dir, name))
         return CDTrainer.scores(metric)
