@@ -63,13 +63,26 @@ def assemble_global_batch(mesh, local_batch: dict, sharding=None) -> dict:
 
     This is THE host-boundary assembly — DataLoader's multi-host branch
     (data/loader.py place()) routes through it with its own ``sharding``
-    so there is a single implementation to fix."""
+    so there is a single implementation to fix.
+
+    Partial final batches (drop_last=False, e.g. the val loaders in
+    scripts/train_*.py) may not divide the data-axis device count, which
+    ``make_array_from_process_local_data`` rejects. Mirroring the
+    single-host fallback in data/loader.py place(), such a batch is
+    allgathered to every process and placed replicated — pjit reshards.
+    All processes hold equal local counts (DataLoader's equal-count
+    partitioning), so every process takes the same branch."""
     if sharding is None:
         sharding = global_batch_sharding(mesh)
-    out = {}
-    for k, v in local_batch.items():
-        if hasattr(v, "shape"):
+    arrays = {k: v for k, v in local_batch.items() if hasattr(v, "shape")}
+    out = {k: v for k, v in local_batch.items() if not hasattr(v, "shape")}
+    try:
+        for k, v in arrays.items():
             out[k] = jax.make_array_from_process_local_data(sharding, v)
-        else:
-            out[k] = v
+    except ValueError:
+        # indivisible (partial) global batch: replicate it everywhere
+        from jax.experimental import multihost_utils
+        gathered = {k: multihost_utils.process_allgather(v, tiled=True)
+                    for k, v in arrays.items()}
+        out.update(jax.device_put(gathered))
     return out

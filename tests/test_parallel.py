@@ -202,3 +202,26 @@ def test_assemble_global_batch_single_host():
     assert out["A"].shape == (8, 4, 4, 3)
     assert float(jnp.sum(out["A"])) == 8 * 4 * 4 * 3
     assert out["name"] == ["a"] * 8
+
+
+def test_assemble_global_batch_partial_final_batch():
+    """drop_last=False val loaders can emit a final batch that does not
+    divide the data axis (ADVICE r1): assemble must fall back to a
+    replicated placement instead of raising, mirroring data/loader.py's
+    single-host _shardable fallback."""
+    import numpy as np
+    import jax.numpy as jnp
+    from stcd_tpu.parallel.distributed import assemble_global_batch
+    from stcd_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(model=1)  # 8-way data axis
+    rows = 5  # 5 % 8 != 0 -> make_array_from_process_local_data raises
+    batch = {"A": np.arange(rows * 4, dtype=np.float32).reshape(rows, 2, 2, 1),
+             "name": ["n"] * rows}
+    out = assemble_global_batch(mesh, batch)
+    assert out["A"].shape == (rows, 2, 2, 1)
+    np.testing.assert_array_equal(np.asarray(out["A"]),
+                                  batch["A"])
+    assert out["name"] == ["n"] * rows
+    # and the replicated batch still feeds a jitted reduction
+    assert float(jnp.sum(out["A"])) == float(batch["A"].sum())
