@@ -1,0 +1,80 @@
+"""Subprocess body for tests/test_multiprocess.py: one process of a REAL
+2-process SPMD run (jax.distributed + gloo CPU collectives, 2 local
+devices each = 4 global). Exercises the actual multi-host machinery that
+the simulated tests can't: parallel/distributed.initialize, the
+DataLoader multihost place() branch (make_array_from_process_local_data
++ the indivisible-batch allgather fallback), and cross-process psum of
+gradients/BN stats inside the jitted train step.
+
+Prints "MP_LOSSES <json list>" on success; the parent compares across
+processes and against a single-process replay of the same global batches.
+"""
+
+import json
+import os
+import sys
+
+import jax
+
+
+def main():
+    pid, nprocs, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 2)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    # match tests/conftest.py numerics so the parent's replay agrees
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/root/.cache/stcd_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from stcd_tpu.parallel.distributed import initialize, global_batch_sharding
+    initialize(coordinator_address=f"127.0.0.1:{port}",
+               num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs, jax.process_count()
+    assert jax.device_count() == 2 * nprocs, jax.device_count()
+
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.parallel.mesh import create_mesh
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_cd_steps
+
+    mesh = create_mesh()  # data axis spans both processes' devices
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 8, 8, 8))
+    zeros = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0), (zeros, zeros),
+                               optax.adam(1e-3))
+    rep = NamedSharding(mesh, P())
+    state = state.replace(
+        params=jax.device_put(state.params, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.device_put(state.opt_state, rep))
+    train_step, _ = make_cd_steps(model, augment=True)
+
+    losses = []
+    # bs=2: global batch 4 rows = divisible by the 4-device data axis
+    #       (make_array_from_process_local_data path);
+    # bs=3: global batch 6 rows = indivisible -> the allgather
+    #       replicated-fallback path in assemble_global_batch.
+    for bs in (2, 3):
+        loader = DataLoader(SyntheticCDDataset(length=10, size=32, seed=7),
+                            batch_size=bs, shuffle=True, num_workers=2,
+                            seed=5, sharding=global_batch_sharding(mesh))
+        for step_i, batch in enumerate(loader):
+            batch.pop("name", None)
+            state, out = train_step(state, batch, jax.random.PRNGKey(step_i))
+            losses.append(float(out["loss"]))
+    print("MP_LOSSES " + json.dumps(losses), flush=True)
+
+
+if __name__ == "__main__":
+    main()
