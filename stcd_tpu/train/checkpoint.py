@@ -20,7 +20,42 @@ import orbax.checkpoint as ocp
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    """Fetch a pytree to host numpy, multi-host-safe.
+
+    Replicated leaves (the data-parallel case) are addressable on every
+    process and convert directly; sharded leaves that span processes
+    (e.g. TP-sharded conv kernels) are allgathered first — `np.asarray`
+    on a non-addressable, non-replicated jax.Array raises.
+    """
+    def conv(x):
+        if isinstance(x, jax.Array) and not (
+                x.is_fully_addressable or x.is_fully_replicated):
+            from jax.experimental import multihost_utils
+            # tiled=True: reassemble the FULL global value (required for
+            # global non-fully-addressable arrays; tiled=False would
+            # stack host-local shards along a new axis)
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+    return jax.tree_util.tree_map(conv, tree)
+
+
+def _is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def _barrier(name: str):
+    """Cross-process sync point (no-op single-process).
+
+    Orbax's Checkpointer.save/restore are themselves collective (all
+    processes must call them together; orbax writes array data on the
+    primary host only and runs its own internal barriers). These extra
+    barriers fence the RAW filesystem swaps this manager does around
+    orbax (rmtree/rename/marker) so no process races a primary-side
+    rename on the shared filesystem.
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("stcd_ckpt_" + name)
 
 
 class CheckpointManager:
@@ -32,6 +67,8 @@ class CheckpointManager:
     # --- CDTrainer-style full resume (ref models/trainer.py:178-186) ---
     def save_last(self, state, epoch_id: int, best_val_acc: float,
                   best_epoch_id: int, name: str = "last_ckpt"):
+        # _to_host may allgather sharded leaves (a collective) — every
+        # process must build the payload even though only one writes it.
         payload = {
             "epoch_id": epoch_id,
             "best_val_acc": float(best_val_acc),
@@ -52,41 +89,62 @@ class CheckpointManager:
         marker = path + ".new.ok"  # written only after save() completes:
         # distinguishes a COMPLETE .new (crash between rmtree and rename —
         # recoverable) from a PARTIAL .new (crash during save — garbage)
-        if os.path.exists(marker):
+        if _is_primary():
+            if os.path.exists(marker):
+                os.remove(marker)
+            if os.path.exists(new_path):
+                shutil.rmtree(new_path)  # stale partial from earlier crash
+        _barrier("save_last_pre")
+        self._ckptr.save(new_path, payload)  # collective: all processes
+        if _is_primary():
+            open(marker, "w").close()
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.rename(new_path, path)
             os.remove(marker)
-        if os.path.exists(new_path):
-            shutil.rmtree(new_path)  # stale partial from an earlier crash
-        self._ckptr.save(new_path, payload)
-        open(marker, "w").close()
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.rename(new_path, path)
-        os.remove(marker)
+        _barrier("save_last_post")
 
     def restore_last(self, state, name: str = "last_ckpt"):
-        """Returns (state, epoch_id, best_val_acc, best_epoch_id) or None."""
+        """Returns (state, epoch_id, best_val_acc, best_epoch_id) or None.
+
+        Multi-host: process 0 performs any crash-recovery filesystem
+        repairs first, then every process reads the (shared-FS) artifact.
+        """
         path = os.path.join(self.directory, name)
-        if not os.path.exists(path):
-            new_path, marker = path + ".new", path + ".new.ok"
-            if not os.path.exists(new_path):
-                return None
+        new_path, marker = path + ".new", path + ".new.ok"
+        # Repair decision is computed identically on every process (shared
+        # FS, and no process has mutated these paths yet this call); the
+        # PROBE restore below is an orbax collective, so all processes
+        # must run it together — only the renames are primary-only.
+        if not os.path.exists(path) and os.path.exists(new_path):
             if os.path.exists(marker):
                 # complete .new (crash between rmtree and rename): recover
-                os.rename(new_path, path)
-                os.remove(marker)
+                if _is_primary():
+                    os.rename(new_path, path)
+                    os.remove(marker)
             else:
                 # No marker: either a partial save (garbage) or a complete
                 # checkpoint written by a pre-marker version of this code.
                 # Probe by restoring it — deleting a restorable artifact
                 # would destroy the only resume state (review finding).
+                # Completeness (is_path_finalized) is checked by orbax
+                # BEFORE its internal barrier, so a garbage .new raises on
+                # every process consistently.
                 try:
                     self._ckptr.restore(new_path)
+                    probe_ok = True
                 except Exception:
-                    # keep the bytes for forensics instead of deleting
-                    os.rename(new_path, new_path + ".corrupt")
-                    return None
-                os.rename(new_path, path)
-        restored = self._ckptr.restore(path)
+                    probe_ok = False
+                if _is_primary():
+                    if probe_ok:
+                        os.rename(new_path, path)
+                    else:
+                        # keep the bytes for forensics instead of deleting
+                        os.rename(new_path, new_path + ".corrupt")
+        _barrier("restore_repair")  # all processes: wait for 0's renames
+        if not os.path.exists(path):
+            return None
+        restored = self._ckptr.restore(path)  # collective: all processes
         tmpl = jax.tree_util.tree_structure(state.opt_state)
         opt_state = jax.tree_util.tree_unflatten(
             tmpl, jax.tree_util.tree_leaves(restored["opt_state"]))
@@ -104,22 +162,32 @@ class CheckpointManager:
         """Keep only the current best, named '%.2f_best_model' (x100).
         The new best is written before the old one is deleted, so a crash
         mid-save never leaves the run without a best artifact."""
+        # _to_host may allgather (collective): all processes participate,
+        # only process 0 touches the shared filesystem.
+        payload = {"params": _to_host(state.params),
+                   "batch_stats": _to_host(state.batch_stats)}
         path = os.path.join(self.directory, "%.2f_best_model" % (metric * 100))
-        if os.path.exists(path):  # same metric value: replace
+        if _is_primary() and os.path.exists(path):  # same metric: replace
             shutil.rmtree(path)
-        self._ckptr.save(path, {"params": _to_host(state.params),
-                                "batch_stats": _to_host(state.batch_stats)})
-        for old in glob.glob(os.path.join(self.directory, "*_best_model")):
-            if old != path:
-                shutil.rmtree(old)
+        _barrier("save_best_pre")
+        self._ckptr.save(path, payload)  # collective: all processes
+        if _is_primary():
+            for old in glob.glob(
+                    os.path.join(self.directory, "*_best_model")):
+                if old != path:
+                    shutil.rmtree(old)
+        _barrier("save_best_post")
         return path
 
     def save_snapshot(self, state, epoch: int):
+        payload = {"params": _to_host(state.params),
+                   "batch_stats": _to_host(state.batch_stats)}
         path = os.path.join(self.directory, "%.2f_model" % epoch)
-        if os.path.exists(path):
+        if _is_primary() and os.path.exists(path):
             shutil.rmtree(path)
-        self._ckptr.save(path, {"params": _to_host(state.params),
-                                "batch_stats": _to_host(state.batch_stats)})
+        _barrier("save_snapshot_pre")
+        self._ckptr.save(path, payload)  # collective: all processes
+        _barrier("save_snapshot_post")
         return path
 
     def load_weights(self, state, path: str):

@@ -75,6 +75,58 @@ def main():
             losses.append(float(out["loss"]))
     print("MP_LOSSES " + json.dumps(losses), flush=True)
 
+    ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    if ckpt_dir:
+        _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir)
+
+
+def _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir):
+    """Multi-host CheckpointManager round-trip: primary-only writes with
+    cross-process barriers, plus the _to_host allgather branch for leaves
+    sharded across processes (stcd_tpu/train/checkpoint.py)."""
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.state import create_train_state
+
+    def digest(tree):
+        return float(sum(np.abs(np.asarray(x)).astype(np.float64).sum()
+                         for x in jax.tree_util.tree_leaves(tree)))
+
+    # shard 4-D conv kernels over output channels across the 4-device
+    # (2-process) data axis — forces _to_host's process_allgather path
+    nd = jax.device_count()
+    def spec(x):
+        if x.ndim == 4 and x.shape[-1] % nd == 0:
+            return NamedSharding(mesh, P(None, None, None, "data"))
+        return rep
+    sharded = state.replace(params=jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, spec(x)), state.params))
+
+    mgr = CheckpointManager(ckpt_dir)
+    mgr.save_last(sharded, epoch_id=3, best_val_acc=0.5, best_epoch_id=2)
+    mgr.save_best(sharded, metric=0.4242)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(1), (zeros, zeros),
+                               optax.adam(1e-3))
+    out = mgr.restore_last(fresh)
+    assert out is not None, "restore_last returned None"
+    rstate, epoch_id, best_val_acc, best_epoch_id = out
+    assert (epoch_id, best_epoch_id) == (3, 2), (epoch_id, best_epoch_id)
+    assert abs(best_val_acc - 0.5) < 1e-9
+    best = mgr.best_path()
+    assert best and best.endswith("42.42_best_model"), best
+    wstate = mgr.load_weights(fresh, best)
+    print("MP_CKPT " + json.dumps({
+        "saved": digest(state.params),
+        "restored": digest(rstate.params),
+        "best": digest(wstate.params),
+        "bn": digest(rstate.batch_stats),
+        "bn_saved": digest(state.batch_stats),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -41,14 +41,23 @@ def _parse_losses(stdout: str):
     return None
 
 
+def _parse_ckpt(stdout: str):
+    for line in stdout.splitlines():
+        if line.startswith("MP_CKPT "):
+            return json.loads(line[len("MP_CKPT "):])
+    return None
+
+
 @pytest.mark.slow
-def test_two_process_data_parallel_matches_single():
+def test_two_process_data_parallel_matches_single(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
     env = dict(os.environ)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
-    procs = [subprocess.Popen([sys.executable, worker, str(pid), "2", str(port)],
+    ckpt_dir = str(tmp_path / "mp_ckpt")  # shared FS, as in real multi-host
+    procs = [subprocess.Popen([sys.executable, worker, str(pid), "2", str(port),
+                               ckpt_dir],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env)
              for pid in range(2)]
@@ -101,3 +110,17 @@ def test_two_process_data_parallel_matches_single():
     # (measured ~6e-4 relative by step 5).
     np.testing.assert_allclose(losses[0][0], ref_losses[0], rtol=1e-5)
     np.testing.assert_allclose(losses[0], ref_losses, rtol=3e-3)
+
+    # multi-host CheckpointManager round-trip (primary-only writes +
+    # barriers + allgather of TP-sharded leaves): both processes restored
+    # the same bytes, equal to what was saved
+    ckpts = [_parse_ckpt(out) for out in outs]
+    assert ckpts[0] is not None and ckpts[1] is not None, outs[0][-2000:]
+    for d in ckpts:
+        np.testing.assert_allclose(d["restored"], d["saved"], rtol=1e-12)
+        np.testing.assert_allclose(d["best"], d["saved"], rtol=1e-12)
+        np.testing.assert_allclose(d["bn"], d["bn_saved"], rtol=1e-12)
+    assert ckpts[0] == ckpts[1]
+    assert os.path.isdir(os.path.join(ckpt_dir, "last_ckpt"))
+    assert os.path.isdir(os.path.join(ckpt_dir, "42.42_best_model"))
+    assert not os.path.exists(os.path.join(ckpt_dir, "last_ckpt.new"))
