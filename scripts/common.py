@@ -75,6 +75,15 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
     p.add_argument("--accum_steps", type=int, default=1,
                    help="gradient-accumulation microbatches per step "
                         "(batch_size must divide)")
+    p.add_argument("--resume", action="store_true",
+                   help="full resume (params + optimizer + epoch + best) "
+                        "from <save_name>/last_ckpt — the artifact every "
+                        "epoch and a SIGTERM preemption write; unlike "
+                        "--load_model (weights-only, reference parity) this "
+                        "continues the interrupted run exactly")
+    p.add_argument("--no_preempt", action="store_true",
+                   help="do not install the SIGTERM handler that saves a "
+                        "full resume point before exiting")
     p.add_argument("--data_axis", type=int, default=None,
                    help="data-parallel mesh size (default: all devices)")
     p.add_argument("--space_axis", type=int, default=1,
@@ -85,6 +94,30 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
                         "devices are used. Forces the jnp augmentation path "
                         "(the fused Pallas kernel is batch-partitioned only)")
     return p
+
+
+def resume_and_guard(args, state):
+    """Shared wiring for preemption-safe runs: optionally restore the full
+    last_ckpt resume point (--resume) and install the SIGTERM guard
+    (default on; --no_preempt opts out). Returns (state, kwargs) where
+    kwargs feed straight into run_training."""
+    kwargs = {}
+    if getattr(args, "resume", False):
+        from stcd_tpu.train.checkpoint import CheckpointManager
+        restored = CheckpointManager(args.save_name).restore_last(state)
+        if restored is None:
+            print(f"--resume: no last_ckpt under {args.save_name}; "
+                  "starting fresh")
+        else:
+            state, epoch_id, best, best_epoch = restored
+            kwargs.update(start_epoch=epoch_id + 1, best=best,
+                          best_epoch=best_epoch)
+            print(f"resumed full state from {args.save_name}/last_ckpt "
+                  f"(epoch {epoch_id}, best {best:.4f} @ {best_epoch})")
+    if not getattr(args, "no_preempt", False):
+        from stcd_tpu.train.preemption import PreemptionGuard
+        kwargs["preemption"] = PreemptionGuard()
+    return state, kwargs
 
 
 def configure_host_transfer(args) -> None:

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from scripts.common import base_parser, configure_host_transfer, make_mesh
+from scripts.common import (base_parser, configure_host_transfer, make_mesh,
+                            resume_and_guard)
 from stcd_tpu.data.datasets import CDDataset, LEVIRDataset
 from stcd_tpu.data.loader import DataLoader
 from stcd_tpu.models import SegCD
@@ -99,9 +100,11 @@ def main():
         print("pseudo-label metrics:", metrics)
         return
 
+    state, run_kwargs = resume_and_guard(args, state)
     state, best, history = run_training(
         train_step, eval_step, state, train_loader, val_loader,
-        n_epochs=args.n_epochs, save_dir=args.save_name, rng=rng)
+        n_epochs=args.n_epochs, save_dir=args.save_name, rng=rng,
+        **run_kwargs)
     print(f"best cd IoU: {best:.4f}")
 
 

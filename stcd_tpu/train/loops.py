@@ -58,24 +58,32 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
                  n_epochs: int, save_dir: str, rng,
                  log_every: int = 10, eval_key: str = "IoU",
                  snapshot_epochs: Optional[set] = None,
-                 logger: Optional[ScalarLogger] = None):
+                 logger: Optional[ScalarLogger] = None,
+                 preemption=None, start_epoch: int = 1,
+                 best: float = -1.0, best_epoch: int = 0):
     """Generic stage driver (the shared shape of all three train_*.py loops).
 
     Returns (state, best_metric, history).
+
+    ``preemption``: optional train.preemption.PreemptionGuard. When it
+    fires (SIGTERM), the loop saves a full resume point (save_last) and
+    returns early — the interrupted epoch is NOT counted, so restarting
+    with ``start_epoch``/``best``/``best_epoch`` from ``restore_last``
+    re-runs it. ``best=-1.0`` default: the first epoch always saves a
+    best artifact (the reference never writes one when IoU stays at 0.0 —
+    a latent flaw its own load_model path trips over).
     """
     ckpt = CheckpointManager(save_dir)
     logger = logger or ScalarLogger(os.path.join(save_dir, "logs"))
     if snapshot_epochs is None:
         snapshot_epochs = {n_epochs // 3, n_epochs * 2 // 3, n_epochs}
-    best_epoch = 0
-    best = -1.0  # first epoch always saves a best artifact (the reference
-    # never writes one when IoU stays at 0.0 — a latent flaw its own
-    # load_model path trips over)
     score = lambda em: 0.0 if np.isnan(em[eval_key]) else float(em[eval_key])
     history = []
     meter = Throughput()
-    global_step = 0
-    for epoch in range(1, n_epochs + 1):
+    # keep the TensorBoard step axis aligned across a resume: the restored
+    # state.step counts the optimizer steps already taken
+    global_step = int(jax.device_get(state.step)) if start_epoch > 1 else 0
+    for epoch in range(start_epoch, n_epochs + 1):
         # per-epoch rate: without the reset the meter accumulates eval /
         # checkpoint / logging time from every prior epoch and reports a
         # steadily decaying "throughput" for a perfectly steady run
@@ -91,6 +99,16 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
         cm_dev = None
         px_acc = 0
         for batch in train_loader:
+            if preemption is not None and preemption.should_stop():
+                # flush device counts, save a FULL resume point (the
+                # interrupted epoch is re-run on restart) and leave
+                if cm_dev is not None:
+                    train_metric.confusionMatrix += np.asarray(cm_dev, np.float64)
+                ckpt.save_last(state, epoch - 1, best, best_epoch)
+                logger.flush()
+                print(f"preemption: saved resume point at epoch {epoch - 1}; "
+                      f"restart with --resume")
+                return state, best, history
             rng, step_rng = jax.random.split(rng)
             names = batch.pop("name", None)
             state, out = train_step(state, batch, step_rng)
