@@ -15,10 +15,19 @@ import time
 class ScalarLogger:
     def __init__(self, logdir: str, use_tensorboard: bool = True):
         os.makedirs(logdir, exist_ok=True)
-        self.path = os.path.join(logdir, "scalars.jsonl")
+        # multi-host: every process logs (scalars are identical under SPMD,
+        # but per-host files keep shared-FS writes from interleaving);
+        # process 0 owns the canonical name + the TensorBoard writer
+        try:
+            import jax
+            pidx = jax.process_index()
+        except Exception:
+            pidx = 0
+        name = "scalars.jsonl" if pidx == 0 else f"scalars.p{pidx}.jsonl"
+        self.path = os.path.join(logdir, name)
         self._f = open(self.path, "a")
         self._tb = None
-        if use_tensorboard:
+        if use_tensorboard and pidx == 0:
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._tb = SummaryWriter(logdir)

@@ -78,6 +78,7 @@ def main():
     ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
     if ckpt_dir:
         _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir)
+        _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir)
 
 
 def _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir):
@@ -125,6 +126,85 @@ def _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir):
         "best": digest(wstate.params),
         "bn": digest(rstate.batch_stats),
         "bn_saved": digest(state.batch_stats),
+    }), flush=True)
+
+
+def _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir):
+    """Preemption propagation across REAL processes: the 'signal' lands
+    on process 0 ONLY; the fixed-cadence allgather OR inside
+    PreemptionGuard.should_stop must make BOTH processes leave the step
+    loop at the same iteration (stcd_tpu/train/preemption.py — syncing
+    only-when-flagged would deadlock the unsignaled host in the next
+    collective), then save one coherent multi-host resume point."""
+    import json
+    import os
+
+    import optax
+
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.parallel.distributed import global_batch_sharding
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.loops import run_training
+    from stcd_tpu.train.preemption import PreemptionGuard
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_cd_steps
+
+    state = create_train_state(model, jax.random.PRNGKey(2), (zeros, zeros),
+                               optax.adam(1e-3))
+    state = state.replace(
+        params=jax.device_put(state.params, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.device_put(state.opt_state, rep))
+    train_step, eval_step = make_cd_steps(model, augment=True)
+
+    guard = PreemptionGuard(install=False, sync_every=2)
+
+    class TriggerOnP0:
+        """Flags process 0's guard while yielding TRAIN batch 1 —
+        should_stop call 1 is off-cadence (stale False, batch 1 still
+        trains); call 2 syncs and every process agrees to stop."""
+
+        def __init__(self, loader):
+            self.loader = loader
+            self.count = 0
+
+        def __len__(self):
+            return len(self.loader)
+
+        def __iter__(self):
+            for batch in self.loader:
+                self.count += 1
+                if pid == 0 and self.count == 1:
+                    guard.trigger()
+                yield batch
+
+    # length=8 is partitioned across the 2 processes by the multihost
+    # loader -> 4 local samples, bs=2 local -> 2 global batches/epoch.
+    # Same shapes as the bs=2 loss loop -> compile-cache hit.
+    def make_loader():
+        return DataLoader(
+            SyntheticCDDataset(length=8, size=32, seed=11), batch_size=2,
+            shuffle=True, num_workers=2, seed=6,
+            sharding=global_batch_sharding(mesh))
+
+    save_dir = os.path.join(ckpt_dir, "preempt")
+    state, best, history = run_training(
+        train_step, eval_step, state, TriggerOnP0(make_loader()),
+        make_loader(),
+        n_epochs=2, save_dir=save_dir, rng=jax.random.PRNGKey(3),
+        preemption=guard)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(4), (zeros, zeros),
+                               optax.adam(1e-3))
+    restored = CheckpointManager(save_dir).restore_last(fresh)
+    print("MP_PREEMPT " + json.dumps({
+        "fired": guard.fired,
+        "steps": int(jax.device_get(state.step)),
+        "epochs_done": len(history),
+        "ckpt_epoch": None if restored is None else restored[1],
+        "ckpt_steps": None if restored is None else int(
+            jax.device_get(restored[0].step)),
     }), flush=True)
 
 

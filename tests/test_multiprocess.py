@@ -48,6 +48,13 @@ def _parse_ckpt(stdout: str):
     return None
 
 
+def _parse_preempt(stdout: str):
+    for line in stdout.splitlines():
+        if line.startswith("MP_PREEMPT "):
+            return json.loads(line[len("MP_PREEMPT "):])
+    return None
+
+
 @pytest.mark.slow
 def test_two_process_data_parallel_matches_single(tmp_path):
     port = _free_port()
@@ -124,3 +131,20 @@ def test_two_process_data_parallel_matches_single(tmp_path):
     assert os.path.isdir(os.path.join(ckpt_dir, "last_ckpt"))
     assert os.path.isdir(os.path.join(ckpt_dir, "42.42_best_model"))
     assert not os.path.exists(os.path.join(ckpt_dir, "last_ckpt.new"))
+
+    # preemption propagation: the 'signal' landed on process 0 ONLY, yet
+    # the fixed-cadence allgather OR made BOTH processes leave the step
+    # loop at the SAME iteration and write one coherent resume point —
+    # the unsignaled host stopping too is exactly the deadlock-avoidance
+    # contract (train/preemption.py). The flag is raised while train
+    # batch 1 is yielded; should_stop call 1 is off-cadence (sync_every=2)
+    # so batch 1 still trains (steps == 1), call 2 syncs and both
+    # processes stop mid-epoch 1 — which is then NOT counted (the resume
+    # point says epoch 0, so --resume re-runs epoch 1).
+    pre = [_parse_preempt(out) for out in outs]
+    assert pre[0] is not None and pre[1] is not None, outs[0][-2000:]
+    assert pre[0] == pre[1]
+    assert pre[0]["fired"] and pre[0]["steps"] == 1
+    assert pre[0]["epochs_done"] == 0
+    assert pre[0]["ckpt_epoch"] == 0 and pre[0]["ckpt_steps"] == 1
+    assert os.path.isdir(os.path.join(ckpt_dir, "preempt", "last_ckpt"))
