@@ -12,6 +12,9 @@ axes are provisioned:
   the reference's offline raster tiling (split.py:43-46) for TRAINING:
   large-resolution steps whose per-device batch would otherwise be < 1
   image (e.g. 512²+ fine-tunes) scale over 'space' instead of 'data'.
+- 'stage': GPipe pipeline parallelism for the transformer block stacks
+  (parallel/pipeline.py) — manual shard_map over this axis only; the
+  other axes stay GSPMD-automatic so DPxPP composes.
 """
 
 from __future__ import annotations
@@ -24,15 +27,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def create_mesh(data: Optional[int] = None, model: int = 1, space: int = 1,
-                devices: Optional[Sequence] = None) -> Mesh:
+                stage: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
-        data = n // (model * space)
-    assert data * model * space == n, \
-        f"mesh {data}x{model}x{space} != {n} devices"
-    arr = np.asarray(devices).reshape(data, model, space)
-    return Mesh(arr, ("data", "model", "space"))
+        data = n // (model * space * stage)
+    assert data * model * space * stage == n, \
+        f"mesh {data}x{model}x{space}x{stage} != {n} devices"
+    arr = np.asarray(devices).reshape(data, model, space, stage)
+    return Mesh(arr, ("data", "model", "space", "stage"))
 
 
 def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:

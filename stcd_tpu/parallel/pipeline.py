@@ -1,0 +1,292 @@
+"""Pipeline parallelism (GPipe-style) over a 'stage' mesh axis.
+
+The reference has no pipeline parallelism (its only parallelism is
+single-process nn.DataParallel, SURVEY.md §2.5); this is a beyond-parity
+subsystem for the transformer families, whose depth-D stacks of identical
+blocks (BIT's TransformerDecoder, ref models/help_funcs.py:170-186 with
+dec_depth=8 in the '_dd8' configs) are the natural pipeline target.
+
+TPU-native design: SPMD GPipe — all S stage-devices run the SAME program
+under one ``jax.shard_map`` (manual only over the 'stage' axis; 'data' /
+'model' / 'space' stay GSPMD-automatic so DPxPP composes freely):
+
+- block parameters are stacked along a leading depth axis and sharded over
+  'stage' (each device holds its D/S contiguous blocks);
+- the batch is split into ``n_micro`` microbatches; a ``lax.scan`` over
+  ``n_micro + S - 1`` ticks feeds microbatch ``i`` to stage 0 at tick
+  ``i``, and each tick ends with a ``lax.ppermute`` ring-shift of the
+  activations to the next stage (ICI neighbour traffic only);
+- the last stage scatters its results into the output buffer; one final
+  ``lax.psum`` over 'stage' replicates the output (every other stage
+  contributes zeros).
+
+Bubble fraction is the usual (S-1)/(n_micro+S-1); all collectives ride
+ICI. Differentiable end-to-end: ppermute/psum/scan all have transposes,
+so ``jax.grad`` through a pipelined forward just works — the backward is
+the mirrored pipeline.
+
+Exactness: microbatching only splits the batch dimension, so for
+batch-independent blocks (LayerNorm/attention/MLP — no BatchNorm) the
+pipelined forward equals the sequential one (tests/test_pipeline_parallel.py
+asserts forward AND gradients match to fp32 tolerance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def stack_params(per_block: Sequence[Any]):
+    """Stack a list of identically-structured per-block param pytrees into
+    one pytree whose every leaf gains a leading depth axis."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_block)
+
+
+def _microbatch(act, n_micro: int):
+    def split(a):
+        b = a.shape[0]
+        assert b % n_micro == 0, f"batch {b} not divisible by n_micro {n_micro}"
+        return a.reshape(n_micro, b // n_micro, *a.shape[1:])
+    return jax.tree_util.tree_map(split, act)
+
+
+def _unmicrobatch(act):
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:]), act)
+
+
+def gpipe(block_fn: Callable[[Any, Any], Any], stacked_params, act, *,
+          mesh: Mesh, n_micro: int, stage_axis: str = "stage"):
+    """Apply a depth-D stack of blocks as an S-stage GPipe pipeline.
+
+    block_fn(one_block_params, act_pytree) -> act_pytree (same structure
+    and shapes; leading dim of every act leaf is the batch).
+    stacked_params: pytree whose leaves have leading dim D (depth).
+    Returns the pipelined equivalent of sequentially applying all D blocks.
+
+    S = mesh.shape[stage_axis]; requires D % S == 0 and B % n_micro == 0.
+    With S == 1 this reduces to a plain lax.scan over the blocks.
+    """
+    depth = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
+    s = mesh.shape[stage_axis]
+    assert depth % s == 0, f"depth {depth} not divisible by {s} stages"
+
+    def run_local_blocks(params, a):
+        # params leading dim = blocks-per-stage; sequential within a stage
+        def body(carry, p):
+            return block_fn(p, carry), None
+        a, _ = lax.scan(body, a, params)
+        return a
+
+    if s == 1:
+        return run_local_blocks(stacked_params, act)
+
+    xs = _microbatch(act, n_micro)
+
+    def spmd(params, xs):
+        stage = lax.axis_index(stage_axis)
+        n_ticks = n_micro + s - 1
+        # initial carries are constants, but the scan body makes them
+        # stage-varying — pcast the VMA type up front (shard_map vma rule)
+        vary = lambda v: lax.pcast(v, stage_axis, to="varying")
+        zero_act = jax.tree_util.tree_map(
+            lambda a: vary(jnp.zeros_like(a[0])), xs)
+        out0 = jax.tree_util.tree_map(lambda a: vary(jnp.zeros_like(a)), xs)
+        ring = [(i, (i + 1) % s) for i in range(s)]
+
+        def tick(carry, t):
+            recv, out = carry
+            idx = jnp.minimum(t, n_micro - 1)
+            # stage 0 reads microbatch t from the input; others consume
+            # what the previous stage ppermuted to them last tick
+            feed = jax.tree_util.tree_map(
+                lambda b, r: jnp.where(stage == 0, b[idx], r), xs, recv)
+            y = run_local_blocks(params, feed)
+            # the last stage finished microbatch (t - (S-1)) this tick
+            slot = t - (s - 1)
+            write = jnp.logical_and(stage == s - 1, slot >= 0)
+            sl = jnp.maximum(slot, 0)
+            out = jax.tree_util.tree_map(
+                lambda o, v: o.at[sl].set(jnp.where(write, v, o[sl])), out, y)
+            nxt = jax.tree_util.tree_map(
+                lambda v: lax.ppermute(v, stage_axis, ring), y)
+            return (nxt, out), None
+
+        (_, out), _ = lax.scan(tick, (zero_act, out0), jnp.arange(n_ticks))
+        # only the last stage holds real values; psum replicates them
+        return jax.tree_util.tree_map(lambda o: lax.psum(o, stage_axis), out)
+
+    in_specs = (
+        jax.tree_util.tree_map(lambda _: P(stage_axis), stacked_params),
+        jax.tree_util.tree_map(lambda _: P(), xs),
+    )
+    out_specs = jax.tree_util.tree_map(lambda _: P(), xs)
+    out = jax.shard_map(spmd, mesh=mesh, in_specs=in_specs,
+                        out_specs=out_specs,
+                        axis_names=frozenset({stage_axis}))(stacked_params, xs)
+    return _unmicrobatch(out)
+
+
+# ---------------------------------------------------------------------------
+# BIT TransformerDecoder pipelining (ref models/help_funcs.py:170-186;
+# networks.py '_dd8' configs run dec_depth=8 identical cross-attn blocks).
+# ---------------------------------------------------------------------------
+
+_DEC_BLOCK_KEYS = ("norm_attn{i}", "attn{i}", "norm_ff{i}", "ff{i}")
+
+
+def stack_decoder_params(dec_params, depth: int):
+    """Regroup a TransformerDecoder param dict (norm_attn0, attn0, ... per
+    block i) into one stacked pytree with leading depth axis, structured
+    like a depth=1 TransformerDecoder's params."""
+    per_block = [
+        {k.format(i=0): dec_params[k.format(i=i)] for k in _DEC_BLOCK_KEYS}
+        for i in range(depth)
+    ]
+    return stack_params(per_block)
+
+
+def pipelined_decoder_apply(dec, dec_params, x, m, *, mesh: Mesh,
+                            n_micro: int, stage_axis: str = "stage"):
+    """Pipeline-parallel equivalent of ``TransformerDecoder.apply(x, m)``.
+
+    ``dec`` is the (unbound) TransformerDecoder module whose ``dec_params``
+    were created by a plain sequential apply/init — params are restacked on
+    the fly, so existing checkpoints work unchanged. Dropout must be 0
+    (BIT never uses decoder dropout, ref networks.py:307-441).
+    """
+    from stcd_tpu.models.bit import TransformerDecoder
+
+    assert dec.dropout == 0.0, "pipelined decoder requires dropout=0"
+    blk = TransformerDecoder(depth=1, heads=dec.heads, dim_head=dec.dim_head,
+                             mlp_dim=dec.mlp_dim, dropout=0.0,
+                             softmax=dec.softmax, dtype=dec.dtype)
+    stacked = stack_decoder_params(dec_params, dec.depth)
+
+    def block_fn(p, act):
+        xx, mm = act
+        return blk.apply({"params": p}, xx, mm), mm
+
+    out, _ = gpipe(block_fn, stacked, (x, m), mesh=mesh, n_micro=n_micro,
+                   stage_axis=stage_axis)
+    return out
+
+
+def bit_pipeline_forward(model, variables, x1, x2, *, mesh: Mesh,
+                         n_micro: int, train: bool = False,
+                         stage_axis: str = "stage"):
+    """BASETransformer forward with the token decoder run as a GPipe
+    pipeline over ``mesh[stage_axis]``.
+
+    Functional mirror of ``BASETransformer.__call__`` (models/bit.py —
+    itself parity with ref networks.py:307-441) that routes the
+    ``transformer_decoder`` stack through ``pipelined_decoder_apply``; the
+    backbone / tokenizer / classifier apply the same flax submodules on the
+    same ``variables`` subtrees, so any BASETransformer checkpoint runs
+    pipelined with no conversion. Equality with ``model.apply`` is pinned
+    by tests/test_pipeline_parallel.py.
+
+    Returns logits (train=False) or (logits, new_batch_stats) (train=True).
+    """
+    from stcd_tpu.models.bit import (TransformerDecoder, Transformer,
+                                     TwoLayerConv2d, _DilatedBackbone)
+    from stcd_tpu.layers.modules import resize_bilinear, upsample_nearest
+    from flax import linen as nn
+
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    new_stats = {}
+    n = x1.shape[0]
+    dim = 32
+
+    backbone = _DilatedBackbone(model.backbone, model.resnet_stages_num,
+                                model.if_upsample_2x, dtype=model.dtype)
+    bvars = {"params": params["backbone"],
+             "batch_stats": batch_stats["backbone"]}
+    if train:
+        f, mut = backbone.apply(bvars, jnp.concatenate([x1, x2], 0), True,
+                                mutable=["batch_stats"])
+        new_stats["backbone"] = mut["batch_stats"]
+    else:
+        f = backbone.apply(bvars, jnp.concatenate([x1, x2], 0))
+    f1, f2 = f[:n], f[n:]
+
+    token_len = model.token_len
+    if model.tokenizer:
+        conv_a = nn.Conv(token_len, (1, 1), use_bias=False, dtype=model.dtype)
+
+        def semantic_tokens(x):
+            b, h, w, c = x.shape
+            att = conv_a.apply({"params": params["conv_a"]}, x)
+            att = jax.nn.softmax(att.reshape(b, h * w, -1), axis=1)
+            feats = x.reshape(b, h * w, c)
+            return jnp.einsum("bnl,bnc->blc", att, feats,
+                              preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
+
+        token1, token2 = semantic_tokens(f1), semantic_tokens(f2)
+    else:
+        token_len = model.pool_size ** 2
+
+        def pool_tokens(x):
+            b, h, w, c = x.shape
+            ph = h // model.pool_size
+            xr = x.reshape(b, model.pool_size, ph, model.pool_size,
+                           w // model.pool_size, c)
+            t = xr.max(axis=(2, 4)) if model.pool_mode == "max" \
+                else xr.mean(axis=(2, 4))
+            return t.reshape(b, token_len, c)
+
+        token1, token2 = pool_tokens(f1), pool_tokens(f2)
+
+    if model.token_trans:
+        tokens = jnp.concatenate([token1, token2], axis=1)
+        if model.with_pos == "learned":
+            tokens = tokens + params["pos_embedding"]
+        enc = Transformer(model.enc_depth, 8, model.dim_head, 2 * dim,
+                          dtype=model.dtype)
+        tokens = enc.apply({"params": params["transformer"]}, tokens)
+        token1, token2 = jnp.split(tokens, 2, axis=1)
+
+    if model.with_decoder:
+        dec = TransformerDecoder(model.dec_depth, 8, model.decoder_dim_head,
+                                 2 * dim, softmax=model.decoder_softmax,
+                                 dtype=model.dtype)
+        pos_dec = (params["pos_embedding_decoder"]
+                   if model.with_decoder_pos in ("fix", "learned") else None)
+
+        def decode(x, m):
+            b, h, w, c = x.shape
+            if pos_dec is not None:
+                x = x + pos_dec
+            out = pipelined_decoder_apply(
+                dec, params["transformer_decoder"], x.reshape(b, h * w, c),
+                m, mesh=mesh, n_micro=n_micro, stage_axis=stage_axis)
+            return out.reshape(b, h, w, c)
+
+        f1, f2 = decode(f1, token1), decode(f2, token2)
+    else:
+        f1 = f1 + token1.sum(axis=1)[:, None, None, :]
+        f2 = f2 + token2.sum(axis=1)[:, None, None, :]
+
+    x = jnp.abs(f1 - f2)
+    if not model.if_upsample_2x:
+        x = upsample_nearest(x, 2)
+    x = resize_bilinear(x, (x.shape[1] * 4, x.shape[2] * 4))
+    classifier = TwoLayerConv2d(model.output_nc, dtype=model.dtype)
+    cvars = {"params": params["classifier"],
+             "batch_stats": batch_stats["classifier"]}
+    if train:
+        x, mut = classifier.apply(cvars, x, True, mutable=["batch_stats"])
+        new_stats["classifier"] = mut["batch_stats"]
+    else:
+        x = classifier.apply(cvars, x)
+    if model.output_sigmoid:
+        x = jax.nn.sigmoid(x)
+    return (x, new_stats) if train else x

@@ -38,11 +38,13 @@ def setup():
 def test_mesh_shapes():
     mesh = create_mesh()
     assert (mesh.shape["data"] * mesh.shape["model"] * mesh.shape["space"]
-            == len(jax.devices()))
+            * mesh.shape["stage"] == len(jax.devices()))
     mesh2 = create_mesh(data=4, model=2)
-    assert mesh2.shape == {"data": 4, "model": 2, "space": 1}
+    assert mesh2.shape == {"data": 4, "model": 2, "space": 1, "stage": 1}
     mesh3 = create_mesh(model=1, space=4)
-    assert mesh3.shape == {"data": 2, "model": 1, "space": 4}
+    assert mesh3.shape == {"data": 2, "model": 1, "space": 4, "stage": 1}
+    mesh4 = create_mesh(stage=4)
+    assert mesh4.shape == {"data": 2, "model": 1, "space": 1, "stage": 4}
 
 
 def _copy(state):

@@ -1,0 +1,195 @@
+"""Pipeline parallelism (parallel/pipeline.py) on the 8-virtual-CPU mesh.
+
+GPipe over the 'stage' axis must be EXACT: microbatching only splits the
+batch dim, blocks are batch-independent (LayerNorm/attention/MLP), so the
+pipelined forward and its gradients must match the sequential ones.
+Covers: the generic gpipe combinator (toy blocks), DPxPP composition,
+the BIT TransformerDecoder wrapper (ref models/help_funcs.py:170-186),
+and a full BASETransformer '_dd8' forward+grad (ref networks.py:307-441).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stcd_tpu.parallel.mesh import create_mesh
+from stcd_tpu.parallel.pipeline import (bit_pipeline_forward, gpipe,
+                                        pipelined_decoder_apply, stack_params)
+
+
+def _toy_block(p, act):
+    x, skip = act
+    return jnp.tanh(x @ p["w"] + p["b"]) + skip, skip
+
+
+def _toy_setup(depth=8, batch=8, dim=16):
+    keys = jax.random.split(jax.random.PRNGKey(0), depth)
+    per_block = [{"w": jax.random.normal(k, (dim, dim)) * 0.3,
+                  "b": jnp.zeros((dim,))} for k in keys]
+    stacked = stack_params(per_block)
+    x = jax.random.normal(jax.random.PRNGKey(1), (batch, dim))
+    skip = jax.random.normal(jax.random.PRNGKey(2), (batch, dim)) * 0.1
+    return stacked, (x, skip)
+
+
+def _sequential(stacked, act):
+    def body(a, p):
+        return _toy_block(p, a), None
+    out, _ = jax.lax.scan(body, act, stacked)
+    return out
+
+
+@pytest.mark.parametrize("stages,n_micro", [(4, 4), (8, 8), (2, 4)])
+def test_gpipe_forward_matches_sequential(stages, n_micro):
+    stacked, act = _toy_setup()
+    ref, _ = _sequential(stacked, act)
+    mesh = create_mesh(stage=stages)
+    out, _ = jax.jit(lambda p, a: gpipe(_toy_block, p, a, mesh=mesh,
+                                        n_micro=n_micro))(stacked, act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_gpipe_gradients_match_sequential():
+    stacked, act = _toy_setup()
+    mesh = create_mesh(stage=4)
+
+    def loss_seq(p):
+        out, _ = _sequential(p, act)
+        return jnp.sum(out ** 2)
+
+    def loss_pp(p):
+        out, _ = gpipe(_toy_block, p, act, mesh=mesh, n_micro=4)
+        return jnp.sum(out ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_seq)(stacked)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(stacked)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gpipe_composes_with_data_parallel():
+    """DPxPP: 2 data x 4 stage mesh — the batch stays GSPMD-sharded over
+    'data' while the pipeline shard_map is manual over 'stage' only."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    stacked, act = _toy_setup()
+    ref, _ = _sequential(stacked, act)
+    mesh = create_mesh(data=2, stage=4)
+    act = jax.device_put(act, NamedSharding(mesh, P("data")))
+    stacked_r = jax.device_put(stacked, NamedSharding(mesh, P()))
+    out, _ = jax.jit(lambda p, a: gpipe(_toy_block, p, a, mesh=mesh,
+                                        n_micro=4))(stacked_r, act)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def bit_decoder():
+    from stcd_tpu.models.bit import TransformerDecoder
+
+    dec = TransformerDecoder(depth=8, heads=8, dim_head=8, mlp_dim=64)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 32))
+    m = jax.random.normal(jax.random.PRNGKey(1), (8, 4, 32))
+    params = dec.init(jax.random.PRNGKey(2), x, m)["params"]
+    return dec, params, x, m
+
+
+def test_pipelined_decoder_matches_sequential(bit_decoder):
+    dec, params, x, m = bit_decoder
+    ref = dec.apply({"params": params}, x, m)
+    mesh = create_mesh(stage=4)
+    out = jax.jit(lambda p: pipelined_decoder_apply(
+        dec, p, x, m, mesh=mesh, n_micro=4))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipelined_decoder_grads_match(bit_decoder):
+    dec, params, x, m = bit_decoder
+    mesh = create_mesh(stage=4)
+
+    def loss_seq(p):
+        return jnp.mean(dec.apply({"params": p}, x, m) ** 2)
+
+    def loss_pp(p):
+        return jnp.mean(pipelined_decoder_apply(
+            dec, p, x, m, mesh=mesh, n_micro=4) ** 2)
+
+    l1, g1 = jax.value_and_grad(loss_seq)(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k1))
+
+
+@pytest.fixture(scope="module")
+def bit_model():
+    from stcd_tpu.models.bit import BASETransformer
+
+    # base_transformer_pos_s4_dd8 config (ref networks.py:82-88) at toy size
+    model = BASETransformer(output_nc=2, resnet_stages_num=4, with_pos="learned",
+                            enc_depth=1, dec_depth=8, decoder_dim_head=8)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(2), x1, x2)
+    return model, variables, x1, x2
+
+
+def test_bit_pipeline_forward_matches_apply(bit_model):
+    model, variables, x1, x2 = bit_model
+    ref = model.apply(variables, x1, x2)
+    mesh = create_mesh(stage=4)
+    out = jax.jit(lambda v: bit_pipeline_forward(
+        model, v, x1, x2, mesh=mesh, n_micro=4))(variables)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bit_pipeline_train_grads_match(bit_model):
+    """Full training-step math through the pipeline: CE loss, grads wrt
+    every param (backbone included), and mutated BN stats all match the
+    sequential model.apply path."""
+    from stcd_tpu.losses.functional import cross_entropy
+
+    model, variables, x1, x2 = bit_model
+    label = (jax.random.uniform(jax.random.PRNGKey(3), (4, 32, 32, 1))
+             > 0.7).astype(jnp.int32)
+    mesh = create_mesh(stage=4)
+
+    def loss_seq(p):
+        logits, mut = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            x1, x2, True, mutable=["batch_stats"])
+        return cross_entropy(logits, label), mut["batch_stats"]
+
+    def loss_pp(p):
+        logits, new_stats = bit_pipeline_forward(
+            model, {"params": p, "batch_stats": variables["batch_stats"]},
+            x1, x2, mesh=mesh, n_micro=4, train=True)
+        return cross_entropy(logits, label), new_stats
+
+    (l1, bs1), g1 = jax.value_and_grad(loss_seq, has_aux=True)(
+        variables["params"])
+    (l2, bs2), g2 = jax.jit(jax.value_and_grad(loss_pp, has_aux=True))(
+        variables["params"])
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(bs1),
+                    jax.tree_util.tree_leaves(bs2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+    for (k1, a), (k2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k1))
