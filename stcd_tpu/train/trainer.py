@@ -66,6 +66,13 @@ class TrainerConfig:
     batch_size: int = 8
     seed: int = 1337
     dtype: Any = None
+    # beyond parity: GPipe pipeline parallelism over a 'stage' mesh axis
+    # (parallel/pipeline.py) for the BIT family's transformer-decoder
+    # stack. pp_stages devices each hold dec_depth/pp_stages blocks;
+    # pp_microbatches (default pp_stages) splits the batch. Exact: the
+    # pipelined step equals the sequential one (tests/test_pipeline_parallel.py).
+    pp_stages: int = 1
+    pp_microbatches: int = 0
 
 
 def get_alpha_from_loader(loader) -> np.ndarray:
@@ -178,12 +185,39 @@ class CDTrainer:
     def _build_steps(self):
         model = self.model
 
+        pp_fwd = None
+        if self.cfg.pp_stages > 1:
+            from stcd_tpu.models.bit import BASETransformer
+            from stcd_tpu.parallel.mesh import create_mesh
+            from stcd_tpu.parallel.pipeline import bit_pipeline_forward
+
+            if not isinstance(model, BASETransformer):
+                raise NotImplementedError(
+                    "pp_stages > 1 pipelines the BIT transformer-decoder "
+                    f"stack; net_G={self.cfg.net_G!r} has no homogeneous "
+                    "block stack to pipeline (use the 'data'/'space' axes)")
+            n_micro = self.cfg.pp_microbatches or self.cfg.pp_stages
+            mesh = create_mesh(
+                data=len(jax.devices()) // self.cfg.pp_stages,
+                stage=self.cfg.pp_stages)
+
+            def pp_fwd(params, batch_stats, a, b, train):
+                return bit_pipeline_forward(
+                    model, {"params": params, "batch_stats": batch_stats},
+                    a, b, mesh=mesh, n_micro=n_micro, train=train)
+
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, a, b, label, rng):
             def loss_fn(params):
-                preds, mutated = state.apply_fn(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    a, b, True, mutable=["batch_stats"], rngs={"dropout": rng})
+                if pp_fwd is not None:
+                    preds, new_stats = pp_fwd(params, state.batch_stats,
+                                              a, b, True)
+                    mutated = {"batch_stats": new_stats}
+                else:
+                    preds, mutated = state.apply_fn(
+                        {"params": params, "batch_stats": state.batch_stats},
+                        a, b, True, mutable=["batch_stats"],
+                        rngs={"dropout": rng})
                 preds = _as_list(preds)
                 return self._pxl_loss(preds, label), (mutated, preds)
 
@@ -198,8 +232,13 @@ class CDTrainer:
 
         @jax.jit
         def eval_step(state, a, b, label):
-            preds = _as_list(state.apply_fn(
-                {"params": state.params, "batch_stats": state.batch_stats}, a, b))
+            if pp_fwd is not None:
+                preds = _as_list(pp_fwd(state.params, state.batch_stats,
+                                        a, b, False))
+            else:
+                preds = _as_list(state.apply_fn(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    a, b))
             final = self._final_pred(preds)
             cm = confusion_matrix(self._pred_to_labels(final),
                                   label[..., 0].astype(jnp.int32), self.cfg.n_class)

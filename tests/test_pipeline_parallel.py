@@ -193,3 +193,56 @@ def test_bit_pipeline_train_grads_match(bit_model):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5,
                                    err_msg=jax.tree_util.keystr(k1))
+
+
+def test_cdtrainer_pp_stages_matches_sequential(tmp_path):
+    """TrainerConfig.pp_stages: a CDTrainer training the '_dd8' BIT with
+    the decoder pipelined over 2 stages computes the same train-step
+    loss/confusion and the same eval logits as the sequential trainer."""
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.train.trainer import CDTrainer, TrainerConfig
+
+    ds = SyntheticCDDataset(length=4, size=32)
+    loaders = {"train": DataLoader(ds, 2, prefetch=0),
+               "val": DataLoader(ds, 2, prefetch=0)}
+
+    def make(pp):
+        cfg = TrainerConfig(net_G="base_transformer_pos_s4_dd8", n_class=2,
+                            img_size=32, max_epochs=1, loss="ce",
+                            optimizer="adam", lr=1e-3, seed=11,
+                            checkpoint_dir=str(tmp_path / f"ck{pp}"),
+                            pp_stages=pp, pp_microbatches=2 if pp > 1 else 0)
+        return CDTrainer(cfg, loaders)
+
+    t_seq, t_pp = make(1), make(2)
+    batch = next(iter(loaders["train"]))
+    a = jnp.asarray(batch["A"])
+    b = jnp.asarray(batch["B"])
+    label = jnp.asarray(batch["label"]).astype(jnp.float32)
+
+    s_seq = t_seq._init_state()
+    s_pp = t_pp._init_state()  # same seed -> identical init
+    rng = jax.random.PRNGKey(0)
+    s_seq, loss_seq, cm_seq = t_seq.train_step(s_seq, a, b, label, rng)
+    s_pp, loss_pp, cm_pp = t_pp.train_step(s_pp, a, b, label, rng)
+    np.testing.assert_allclose(float(loss_seq), float(loss_pp), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(cm_seq), np.asarray(cm_pp))
+
+    f_seq, _ = t_seq.eval_step(s_seq, a, b, label)
+    f_pp, _ = t_pp.eval_step(s_pp, a, b, label)
+    np.testing.assert_allclose(np.asarray(f_seq), np.asarray(f_pp),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_cdtrainer_pp_stages_rejects_cnn():
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.train.trainer import CDTrainer, TrainerConfig
+
+    ds = SyntheticCDDataset(length=2, size=32)
+    loaders = {"train": DataLoader(ds, 2, prefetch=0),
+               "val": DataLoader(ds, 2, prefetch=0)}
+    cfg = TrainerConfig(net_G="SiamUnet_abs", img_size=32, pp_stages=2)
+    with pytest.raises(NotImplementedError):
+        CDTrainer(cfg, loaders)
