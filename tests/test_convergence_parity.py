@@ -72,6 +72,24 @@ def test_convergence_parity_bit_reduced():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("family", ["siamunet_conc", "snunet"])
+def test_convergence_parity_zoo_reduced(family):
+    """Bespoke-zoo convergence parity (benchmarks/convergence_zoo.py): the
+    reference's OWN model file (SiamUnet_conc.py / SNUNet.py) + its own
+    models/losses.py cross_entropy vs our port, identical init/batches,
+    CDTrainer protocol. DTCDSCN is exercised at full size offline only
+    (31M params — too slow for the suite); full-size numbers for all
+    three are in BASELINE.md."""
+    from convergence_zoo import main
+
+    report = main(["--model", family, "--epochs", "3", "--n-train", "12",
+                   "--n-val", "8", "--size", "32", "--seed", "3"])
+    assert report["torch_best_f1"] > 0.4, report
+    assert report["jax_best_f1"] > 0.4, report
+    assert report["delta_f1"] <= 0.1, report
+
+
+@pytest.mark.slow
 def test_convergence_parity_stage3_reduced():
     """Stage-3 (STCD fine-tune) semantics: concatenated pseudo+real
     batches, loss = seg_loss_A + cd_loss + ct_loss, where the torch side
