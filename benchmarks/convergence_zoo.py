@@ -13,10 +13,17 @@ side converts the torch init weights (convert/torch_to_flax.py) and runs
 the identical protocol on identical batches. Best val F1/IoU are compared
 to the +-0.1 contract.
 
-Families:
-  siamunet_conc  ref models/SiamUnet_conc.py  (FC-Siam-conc)
-  dtcdscn        ref models/DTCDSCN.py CDNet34
-  snunet         ref models/SNUNet.py SNUNet_ECAM
+Families (protocol = the CDTrainer loss that fits the head):
+  siamunet_conc    ref models/SiamUnet_conc.py  (FC-Siam-conc; 2-class CE)
+  dtcdscn          ref models/DTCDSCN.py CDNet34 (2-class CE)
+  snunet           ref models/SNUNet.py SNUNet_ECAM (2-class CE)
+  changeformer_v6  ref models/ChangeFormer.py ChangeFormerV6 (2-class CE on
+                   the final multi-scale output, ref trainer.py:311; real
+                   dropout/drop-path 0.1 + conv_diff Dropout .6 active on
+                   both sides, independently sampled -> parity is
+                   statistical under the +-0.1 contract)
+  ifnet            ref models/DSIFN.py (1-channel head: ref models/losses.py
+                   cd_loss = BCE+Dice on sigmoid, threshold-0.5 eval)
 
 Each side runs in its own subprocess (torch TRAINING corrupts XLA:CPU
 conv precision process-wide — CLAUDE.md; torch must also run first since
@@ -44,9 +51,13 @@ from convergence_parity import _f1_iou, gen_data  # noqa: E402
 LR = 1e-3
 
 FAMILIES = {
-    "siamunet_conc": dict(ref_module="SiamUnet_conc", ref_cls="SiamUnet_conc"),
-    "dtcdscn": dict(ref_module="DTCDSCN", ref_cls="CDNet34"),
-    "snunet": dict(ref_module="SNUNet", ref_cls="SNUNet_ECAM"),
+    "siamunet_conc": dict(ref_module="SiamUnet_conc", ref_cls="SiamUnet_conc",
+                          protocol="ce"),
+    "dtcdscn": dict(ref_module="DTCDSCN", ref_cls="CDNet34", protocol="ce"),
+    "snunet": dict(ref_module="SNUNet", ref_cls="SNUNet_ECAM", protocol="ce"),
+    "changeformer_v6": dict(ref_module="ChangeFormer", ref_cls="ChangeFormerV6",
+                            protocol="ce"),
+    "ifnet": dict(ref_module="DSIFN", ref_cls="DSIFN", protocol="bce"),
 }
 
 
@@ -61,6 +72,12 @@ def _build_ref(model_key):
         return cls(3, 2)
     if model_key == "dtcdscn":
         return cls(in_channels=3, num_classes=2)
+    if model_key == "changeformer_v6":
+        return cls(input_nc=3, output_nc=2, decoder_softmax=False,
+                   embed_dim=256)
+    if model_key == "ifnet":
+        base = mod.vgg16_base()
+        return cls(base, base)  # ref networks.py:166: shared instance
     return cls(in_ch=3, out_ch=2)  # snunet
 
 
@@ -76,6 +93,15 @@ def _build_jax(model_key, init):
         from stcd_tpu.models.dtcdscn import CDNet34
         params, stats = cv.convert_dtcdscn(init)
         return CDNet34(num_classes=2), params, stats
+    if model_key == "changeformer_v6":
+        from stcd_tpu.models.changeformer import ChangeFormerV6
+        params, stats = cv.convert_changeformer_v6(init, depths=(3, 3, 4, 3))
+        return (ChangeFormerV6(output_nc=2, decoder_softmax=False,
+                               embed_dim=256), params, stats)
+    if model_key == "ifnet":
+        from stcd_tpu.models.dsifn import DSIFN
+        params, stats = cv.convert_dsifn(init)
+        return DSIFN(), params, stats
     from stcd_tpu.models.snunet import SNUNetECAM
     params, stats = cv.convert_snunet(init, ecam=True)
     return SNUNetECAM(out_ch=2), params, stats
@@ -110,6 +136,7 @@ def run_torch(model_key, data_path, init_path, out_path, epochs):
         out = model(a, b)
         return out[-1] if isinstance(out, (list, tuple)) else out
 
+    proto = FAMILIES[model_key]["protocol"]
     opt = torch.optim.Adam(model.parameters(), lr=LR, weight_decay=0)
     curve = []
     for ep in range(epochs):
@@ -120,8 +147,12 @@ def run_torch(model_key, data_path, init_path, out_path, epochs):
         for idx in order[ep]:
             opt.zero_grad()
             logits = fwd(norm(d["train_A"][idx]), norm(d["train_B"][idx]))
-            target = torch.from_numpy(d["train_label"][idx][:, 0]).long()
-            loss = ref_losses.cross_entropy(logits, target)
+            if proto == "ce":
+                target = torch.from_numpy(d["train_label"][idx][:, 0]).long()
+                loss = ref_losses.cross_entropy(logits, target)
+            else:  # 1-channel head: ref models/losses.py cd_loss (BCE+Dice)
+                target = torch.from_numpy(d["train_label"][idx][:, :1])
+                loss = ref_losses.cd_loss(torch.sigmoid(logits), target)
             loss.backward()
             opt.step()
         model.eval()
@@ -130,7 +161,10 @@ def run_torch(model_key, data_path, init_path, out_path, epochs):
             for s in range(0, d["val_A"].shape[0], 8):
                 sl = slice(s, s + 8)
                 logits = fwd(norm(d["val_A"][sl]), norm(d["val_B"][sl]))
-                pred = logits.argmax(1).numpy() == 1
+                if proto == "ce":
+                    pred = logits.argmax(1).numpy() == 1
+                else:
+                    pred = torch.sigmoid(logits).numpy()[:, 0] > 0.5
                 lab = d["val_label"][sl][:, 0] > 0.5
                 tp += float(np.sum(pred & lab))
                 fp += float(np.sum(pred & ~lab))
@@ -154,7 +188,7 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
     import optax
 
     from stcd_tpu.data.augment import eval_preprocess
-    from stcd_tpu.losses.functional import cross_entropy
+    from stcd_tpu.losses.functional import cd_loss, cross_entropy
     from stcd_tpu.train.schedules import get_scheduler
     from stcd_tpu.train.state import TrainState
 
@@ -162,9 +196,13 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
     init = dict(np.load(init_path))
     order = d["order"]
     iters = order.shape[1]
+    proto = FAMILIES[model_key]["protocol"]
 
     def nhwc(x):
         return jnp.asarray(x.transpose(0, 2, 3, 1))
+
+    def _final(out):
+        return out[-1] if isinstance(out, (list, tuple)) else out
 
     model, params, stats = _build_jax(model_key, init)
     schedule = get_scheduler("linear", LR, iters_per_epoch=iters,
@@ -176,14 +214,20 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
         tx=optax.adam(schedule))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state, a, b, target):
+    def train_step(state, a, b, target, step):
         def loss_fn(p):
             logits, mut = state.apply_fn(
                 {"params": p, "batch_stats": state.batch_stats},
                 eval_preprocess(a), eval_preprocess(b), True,
                 mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(0)})
-            return cross_entropy(logits, target), mut
+                rngs={"dropout": jax.random.fold_in(
+                    jax.random.PRNGKey(0), step)})
+            logits = _final(logits)
+            if proto == "ce":
+                loss = cross_entropy(logits, target)
+            else:
+                loss = cd_loss(jax.nn.sigmoid(logits), target)
+            return loss, mut
         (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
         state = state.apply_gradients(grads=grads,
@@ -192,17 +236,26 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
 
     @jax.jit
     def eval_fwd(state, a, b):
-        logits = state.apply_fn(
+        logits = _final(state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            eval_preprocess(a), eval_preprocess(b))
-        return jnp.argmax(logits, -1)
+            eval_preprocess(a), eval_preprocess(b)))
+        if proto == "ce":
+            return jnp.argmax(logits, -1)
+        return (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
 
+    step_no = 0
     curve = []
     for ep in range(epochs):
         for idx in order[ep]:
-            target = jnp.asarray(d["train_label"][idx][:, 0], jnp.int32)
+            if proto == "ce":
+                target = jnp.asarray(d["train_label"][idx][:, 0], jnp.int32)
+            else:
+                target = jnp.asarray(
+                    d["train_label"][idx][:, :1].transpose(0, 2, 3, 1))
             state, loss = train_step(state, nhwc(d["train_A"][idx]),
-                                     nhwc(d["train_B"][idx]), target)
+                                     nhwc(d["train_B"][idx]), target,
+                                     step_no)
+            step_no += 1
         tp = fp = fn = 0.0
         for s in range(0, d["val_A"].shape[0], 8):
             sl = slice(s, s + 8)

@@ -9,6 +9,14 @@ Usage:
   python scripts/predict.py --image_a t1.png --image_b t2.png \
       --load_path runs/STCD --out change.png [--tile 256 --stride 128] \
       [--threshold 0.5] [--prob_out probs.npy]
+
+Bespoke-zoo checkpoints (scripts/train_cd.py / CDTrainer): pass --net_G
+with the define_G key; --load_path is then the CDTrainer checkpoint_dir
+(best_ckpt preferred, last_ckpt fallback). The change probability is
+softmax class-1 for n_class>=2 heads, sigmoid for 1-channel heads; the
+final scale is used for multi-scale models (ref trainer.py:311).
+  python scripts/predict.py --net_G SNUNet --load_path runs/SNUNet \
+      --image_a t1.png --image_b t2.png --out change.png
 """
 
 import argparse
@@ -43,6 +51,14 @@ def main():
     p.add_argument("--prob_out", default=None, help="optional .npy of probs")
     p.add_argument("--encoder", default="resnet50")
     p.add_argument("--decoder_channels", default="256,128,64,32,16")
+    p.add_argument("--net_G", default=None,
+                   help="bespoke-zoo model key (stcd_tpu.models.factory."
+                        "define_G); overrides the SegCD default — "
+                        "--encoder/--decoder_channels are then ignored")
+    p.add_argument("--n_class", type=int, default=2,
+                   help="zoo head classes (with --net_G)")
+    p.add_argument("--embed_dim", type=int, default=64,
+                   help="zoo embed_dim (with --net_G)")
     p.add_argument("--tile", type=int, default=256)
     p.add_argument("--stride", type=int, default=256)
     p.add_argument("--threshold", type=float, default=0.5)
@@ -58,26 +74,38 @@ def main():
     b = read_image(args.image_b)
     assert a.shape == b.shape, f"scene shapes differ: {a.shape} vs {b.shape}"
 
-    dec = tuple(int(c) for c in args.decoder_channels.split(","))
-    model = SegCD(encoder_name=args.encoder, classes=1, decoder_channels=dec,
-                  dtype=jnp.bfloat16 if args.bf16 else None)
+    dtype = jnp.bfloat16 if args.bf16 else None
+    if args.net_G:
+        from stcd_tpu.models.factory import define_G
+        model = define_G(args.net_G, n_class=args.n_class,
+                         embed_dim=args.embed_dim, img_size=args.tile,
+                         dtype=dtype)
+    else:
+        dec = tuple(int(c) for c in args.decoder_channels.split(","))
+        model = SegCD(encoder_name=args.encoder, classes=1,
+                      decoder_channels=dec, dtype=dtype)
     example = jnp.zeros((1, args.tile, args.tile, 3))
     state = create_train_state(model, jax.random.PRNGKey(0),
                                (example, example), optax.sgd(0.0))
     mgr = CheckpointManager(args.load_path)
     ckpt = mgr.best_path()
     if ckpt is None:
-        # run dir without a *_best_model yet (e.g. interrupted training):
-        # fall back to last_ckpt as the help text promises; only treat
-        # load_path as an explicit checkpoint if it isn't a run dir
-        last = os.path.join(args.load_path, "last_ckpt")
-        if os.path.isdir(last):
-            ckpt = last
-        elif os.path.exists(os.path.join(args.load_path, "_CHECKPOINT_METADATA")) \
-                or not os.path.isdir(args.load_path):
-            ckpt = args.load_path
-        else:
-            sys.exit(f"no *_best_model or last_ckpt under {args.load_path}")
+        # run dir without a *_best_model: CDTrainer's best_ckpt, then
+        # last_ckpt (interrupted training), as the help text promises;
+        # only treat load_path as an explicit checkpoint if it isn't a
+        # run dir
+        for name in ("best_ckpt", "last_ckpt"):
+            cand = os.path.join(args.load_path, name)
+            if os.path.isdir(cand):
+                ckpt = cand
+                break
+        if ckpt is None:
+            if os.path.exists(os.path.join(args.load_path, "_CHECKPOINT_METADATA")) \
+                    or not os.path.isdir(args.load_path):
+                ckpt = args.load_path
+            else:
+                sys.exit("no *_best_model, best_ckpt or last_ckpt under "
+                         f"{args.load_path}")
     state = mgr.load_weights(state, ckpt)
     print(f"loaded {ckpt}")
 
@@ -86,11 +114,26 @@ def main():
 
     from stcd_tpu.data.augment import eval_preprocess
 
-    def base_fn(ta, tb):
-        _, _, diff = state.apply_fn(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            eval_preprocess(ta), eval_preprocess(tb))
-        return jax.nn.sigmoid(diff.astype(jnp.float32))
+    if args.net_G:
+        def base_fn(ta, tb):
+            preds = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                eval_preprocess(ta), eval_preprocess(tb))
+            if isinstance(preds, (list, tuple)):  # multi-scale: final only
+                preds = preds[-1]
+            preds = preds.astype(jnp.float32)
+            if preds.shape[-1] > 1:
+                # P(changed) = 1 - P(background); == softmax class 1 for
+                # the binary n_class=2 heads
+                sm = jax.nn.softmax(preds)
+                return jnp.sum(sm[..., 1:], axis=-1, keepdims=True)
+            return jax.nn.sigmoid(preds)
+    else:
+        def base_fn(ta, tb):
+            _, _, diff = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                eval_preprocess(ta), eval_preprocess(tb))
+            return jax.nn.sigmoid(diff.astype(jnp.float32))
 
     if args.int8:
         from stcd_tpu.data.tiled_inference import tile_origins

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from stcd_tpu.data.augment import eval_preprocess, train_augment_pair
 from stcd_tpu.data.io import save_mask_png
 from stcd_tpu.layers.modules import upsample_nearest
 from stcd_tpu.losses import functional as L
@@ -66,6 +67,16 @@ class TrainerConfig:
     batch_size: int = 8
     seed: int = 1337
     dtype: Any = None
+    # On-device input handling. Datasets yield raw [0,1] images (the
+    # data/datasets.py design split keeps the host pipeline pure IO);
+    # ``normalize`` applies ImageNet mean/std inside the jitted step and
+    # ``augment`` applies the reference's train-time photometric pipeline
+    # (ColorJitter/grayscale/blur with one shared jitter coin per pair,
+    # ref data/dataset.py:404-411) to training batches. The augmented
+    # path always ends in normalization (as the reference's transform
+    # chain does), regardless of ``normalize``.
+    normalize: bool = True
+    augment: bool = False
     # beyond parity: GPipe pipeline parallelism over a 'stage' mesh axis
     # (parallel/pipeline.py) for the BIT family's transformer-decoder
     # stack. pp_stages devices each hold dec_depth/pp_stages blocks;
@@ -208,6 +219,12 @@ class CDTrainer:
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, a, b, label, rng):
+            aug_rng, drop_rng = jax.random.split(rng)
+            if self.cfg.augment:
+                a, b = train_augment_pair(aug_rng, a, b)
+            elif self.cfg.normalize:
+                a, b = eval_preprocess(a), eval_preprocess(b)
+
             def loss_fn(params):
                 if pp_fwd is not None:
                     preds, new_stats = pp_fwd(params, state.batch_stats,
@@ -217,7 +234,7 @@ class CDTrainer:
                     preds, mutated = state.apply_fn(
                         {"params": params, "batch_stats": state.batch_stats},
                         a, b, True, mutable=["batch_stats"],
-                        rngs={"dropout": rng})
+                        rngs={"dropout": drop_rng})
                 preds = _as_list(preds)
                 return self._pxl_loss(preds, label), (mutated, preds)
 
@@ -232,6 +249,8 @@ class CDTrainer:
 
         @jax.jit
         def eval_step(state, a, b, label):
+            if self.cfg.normalize or self.cfg.augment:
+                a, b = eval_preprocess(a), eval_preprocess(b)
             if pp_fwd is not None:
                 preds = _as_list(pp_fwd(state.params, state.batch_stats,
                                         a, b, False))
@@ -368,11 +387,14 @@ class CDEvaluator:
 
     def load(self, ckpt_name: str = "best_ckpt") -> TrainState:
         state = self.trainer._init_state()
-        restored = self.trainer.ckpt.restore_last(state, ckpt_name)
-        if restored is None:
+        path = os.path.join(self.cfg.checkpoint_dir, ckpt_name)
+        if not os.path.exists(path):
             raise FileNotFoundError(f"no checkpoint {ckpt_name} in "
                                     f"{self.cfg.checkpoint_dir}")
-        return restored[0]
+        # weights-only: evaluation must not depend on the training run's
+        # optimizer choice (a full restore_last would fail restoring e.g.
+        # an adamw opt_state into an evaluator built with the default sgd)
+        return self.trainer.ckpt.load_weights(state, path)
 
     def eval_models(self, ckpt_name: str = "best_ckpt",
                     save_vis: bool = True) -> dict:

@@ -195,3 +195,52 @@ def test_evaluate_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     assert "conv sites quantized" in out.stdout
     assert "F1" in out.stdout and "IoU" in out.stdout
+
+
+@pytest.mark.slow
+def test_train_cd_cli_and_zoo_predict(tmp_path):
+    """scripts/train_cd.py — the CDTrainer zoo CLI (the reference's
+    intended-but-dead main_cd-style entry point, ref models/trainer.py:
+    22-371): trains SiamUnet_abs on the on-disk CDDataset tree with
+    on-device augmentation, writes best/last ckpts + curves; --eval_only
+    reloads weights-only (optimizer-agnostic); scripts/predict.py
+    --net_G then runs whole-scene tiled inference straight from the
+    CDTrainer checkpoint."""
+    _make_tree(str(tmp_path))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STCD_FORCE_CPU="1")
+    ck = tmp_path / "run"
+    base = [sys.executable, os.path.join(REPO, "scripts", "train_cd.py"),
+            "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+            "--net_G", "SiamUnet_abs", "--img_size", "32",
+            "--max_epochs", "1", "--batch_size", "2", "--optimizer",
+            "adamw", "--lr", "1e-3", "--augment",
+            "--checkpoint_dir", str(ck)]
+    out = subprocess.run(base, capture_output=True, text=True, timeout=560,
+                         env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "val scores:" in out.stdout
+    assert (ck / "best_ckpt").exists()
+    assert (ck / "val_acc.npy").exists()
+
+    # --eval_only with a DIFFERENT optimizer (the sgd default): weights-
+    # only load must not depend on the training run's opt_state structure
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_cd.py"),
+         "--net_G", "SiamUnet_abs", "--img_size", "32", "--batch_size", "2",
+         "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+         "--checkpoint_dir", str(ck), "--eval_only"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "val scores:" in out.stdout
+
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "predict.py"),
+         "--net_G", "SiamUnet_abs", "--load_path", str(ck),
+         "--image_a", str(tmp_path / "LEVIR" / "train" / "A" / "0.png"),
+         "--image_b", str(tmp_path / "LEVIR" / "train" / "B" / "0.png"),
+         "--out", str(tmp_path / "change.png"),
+         "--tile", "32", "--stride", "32"],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "best_ckpt" in out.stdout
+    assert (tmp_path / "change.png").exists()
