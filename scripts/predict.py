@@ -41,39 +41,10 @@ from stcd_tpu.train.checkpoint import CheckpointManager
 from stcd_tpu.train.state import create_train_state
 
 
-def main():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--image_a", required=True)
-    p.add_argument("--image_b", required=True)
-    p.add_argument("--load_path", required=True,
-                   help="checkpoint dir (best/last) or explicit checkpoint")
-    p.add_argument("--out", required=True, help="output change-mask PNG")
-    p.add_argument("--prob_out", default=None, help="optional .npy of probs")
-    p.add_argument("--encoder", default="resnet50")
-    p.add_argument("--decoder_channels", default="256,128,64,32,16")
-    p.add_argument("--net_G", default=None,
-                   help="bespoke-zoo model key (stcd_tpu.models.factory."
-                        "define_G); overrides the SegCD default — "
-                        "--encoder/--decoder_channels are then ignored")
-    p.add_argument("--n_class", type=int, default=2,
-                   help="zoo head classes (with --net_G)")
-    p.add_argument("--embed_dim", type=int, default=64,
-                   help="zoo embed_dim (with --net_G)")
-    p.add_argument("--tile", type=int, default=256)
-    p.add_argument("--stride", type=int, default=256)
-    p.add_argument("--threshold", type=float, default=0.5)
-    p.add_argument("--bf16", action="store_true")
-    p.add_argument("--int8", action="store_true",
-                   help="post-training int8 quantization of the conv "
-                        "compute (stcd_tpu/serving/quant.py; ~2x MXU rate "
-                        "on v5e) — calibrates on the scene's own first "
-                        "tiles, everything around the convs stays float")
-    args = p.parse_args()
-
-    a = read_image(args.image_a)
-    b = read_image(args.image_b)
-    assert a.shape == b.shape, f"scene shapes differ: {a.shape} vs {b.shape}"
-
+def build_state(args):
+    """Model + weights from args (shared with scripts/serve.py): SegCD by
+    default, any define_G zoo model with --net_G; checkpoint resolution
+    order is *_best_model, best_ckpt, last_ckpt, then an explicit path."""
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.net_G:
         from stcd_tpu.models.factory import define_G
@@ -108,10 +79,11 @@ def main():
                          f"{args.load_path}")
     state = mgr.load_weights(state, ckpt)
     print(f"loaded {ckpt}")
+    return state
 
-    mesh = create_mesh(model=1)
-    sharding = batch_sharding(mesh) if len(jax.devices()) > 1 else None
 
+def make_base_fn(args, state):
+    """Change-probability forward (B,t,t,3)x2 -> (B,t,t,1) in [0,1]."""
     from stcd_tpu.data.augment import eval_preprocess
 
     if args.net_G:
@@ -134,6 +106,53 @@ def main():
                 {"params": state.params, "batch_stats": state.batch_stats},
                 eval_preprocess(ta), eval_preprocess(tb))
             return jax.nn.sigmoid(diff.astype(jnp.float32))
+    return base_fn
+
+
+def add_model_args(p: argparse.ArgumentParser) -> None:
+    """Model/checkpoint flags shared by predict.py and serve.py."""
+    p.add_argument("--load_path", required=True,
+                   help="checkpoint dir (best/last) or explicit checkpoint")
+    p.add_argument("--encoder", default="resnet50")
+    p.add_argument("--decoder_channels", default="256,128,64,32,16")
+    p.add_argument("--net_G", default=None,
+                   help="bespoke-zoo model key (stcd_tpu.models.factory."
+                        "define_G); overrides the SegCD default — "
+                        "--encoder/--decoder_channels are then ignored")
+    p.add_argument("--n_class", type=int, default=2,
+                   help="zoo head classes (with --net_G)")
+    p.add_argument("--embed_dim", type=int, default=64,
+                   help="zoo embed_dim (with --net_G)")
+    p.add_argument("--tile", type=int, default=256)
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="post-training int8 quantization of the conv "
+                        "compute (stcd_tpu/serving/quant.py; ~2x MXU rate "
+                        "on v5e) — calibrates on the scene's own first "
+                        "tiles, everything around the convs stays float")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--image_a", required=True)
+    p.add_argument("--image_b", required=True)
+    p.add_argument("--out", required=True, help="output change-mask PNG")
+    p.add_argument("--prob_out", default=None, help="optional .npy of probs")
+    p.add_argument("--stride", type=int, default=256)
+    add_model_args(p)
+    args = p.parse_args()
+
+    a = read_image(args.image_a)
+    b = read_image(args.image_b)
+    assert a.shape == b.shape, f"scene shapes differ: {a.shape} vs {b.shape}"
+
+    state = build_state(args)
+
+    mesh = create_mesh(model=1)
+    sharding = batch_sharding(mesh) if len(jax.devices()) > 1 else None
+
+    base_fn = make_base_fn(args, state)
 
     if args.int8:
         from stcd_tpu.data.tiled_inference import tile_origins

@@ -1,0 +1,103 @@
+"""Change-detection inference server (beyond parity — the reference has
+no serving entry point; see stcd_tpu/serving/server.py for the design).
+
+Loads a checkpoint once (SegCD or any --net_G zoo model, same flags as
+scripts/predict.py), compiles ONE fixed-shape batched forward, then
+serves HTTP requests with cross-request tile micro-batching.
+
+Usage:
+  python scripts/serve.py --load_path runs/STCD --port 8475 \
+      [--batch 16 --tile 256 --max_wait_ms 5] [--int8 --calib_dir tiles/]
+  curl -s localhost:8475/healthz
+  python - <<'PY'
+  import base64, json, urllib.request
+  req = {"image_a": base64.b64encode(open("t1.png","rb").read()).decode(),
+         "image_b": base64.b64encode(open("t2.png","rb").read()).decode()}
+  r = urllib.request.urlopen(urllib.request.Request(
+      "http://localhost:8475/predict", json.dumps(req).encode(),
+      {"Content-Type": "application/json"}))
+  print(json.load(r)["changed"])
+  PY
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import scripts.common  # noqa: F401  (STCD_FORCE_CPU + compile cache)
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from scripts.predict import add_model_args, build_state, make_base_fn
+from stcd_tpu.data.io import read_image
+from stcd_tpu.serving.server import BatchingEngine, serve
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    add_model_args(p)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8475)
+    p.add_argument("--batch", type=int, default=16,
+                   help="fixed device batch size (static shape — one "
+                        "compile; partial batches are zero-padded)")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="max added latency while filling a batch")
+    p.add_argument("--calib_dir", default=None,
+                   help="--int8 calibration images (pairs are formed "
+                        "from the sorted listing; defaults to zeros-free "
+                        "random calibration being impossible, so --int8 "
+                        "REQUIRES this flag here)")
+    args = p.parse_args()
+
+    state = build_state(args)
+    base_fn = make_base_fn(args, state)
+
+    if args.int8:
+        from stcd_tpu.data.tiled_inference import extract_tiles
+        from stcd_tpu.serving import (calibrate_conv_scales,
+                                      n_quantized_sites, quantize_fn)
+        if not args.calib_dir:
+            sys.exit("--int8 needs --calib_dir (representative scene "
+                     "images to calibrate activation scales on)")
+        paths = sorted(glob.glob(os.path.join(args.calib_dir, "*.*")))[:8]
+        if len(paths) < 2:
+            sys.exit(f"--calib_dir {args.calib_dir}: need >= 2 images")
+        tiles = [extract_tiles(read_image(f), args.tile, args.tile)[0][0]
+                 for f in paths]
+        half = len(tiles) // 2
+        ca = jnp.asarray(np.stack(tiles[:half]))
+        cb = jnp.asarray(np.stack(tiles[half:2 * half]))
+        scales = calibrate_conv_scales(base_fn, [(ca, cb)])
+        print(f"int8: {n_quantized_sites(scales)}/{scales.shape[0]} "
+              "conv sites quantized")
+        base_fn = quantize_fn(base_fn, scales)
+
+    predict_fn = jax.jit(base_fn)
+    # warm the one compiled shape before accepting traffic
+    z = jnp.zeros((args.batch, args.tile, args.tile, 3))
+    np.asarray(predict_fn(z, z))
+    print(f"compiled batch={args.batch} tile={args.tile} on "
+          f"{jax.devices()[0].platform}")
+
+    engine = BatchingEngine(predict_fn, tile=args.tile, batch=args.batch,
+                            max_wait_ms=args.max_wait_ms)
+    httpd = serve(engine, args.host, args.port, args.threshold)
+    print(f"serving on http://{args.host}:{args.port} "
+          "(/predict, /healthz, /stats)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.close()
+
+
+if __name__ == "__main__":
+    main()
