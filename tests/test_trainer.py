@@ -49,3 +49,43 @@ def test_cdtrainer_losses(tmp_path, loaders):
                             vis_dir=str(tmp_path / "vis"))
         trainer = CDTrainer(cfg, loaders)
         trainer.train_models()
+
+
+def test_cdtrainer_normalize_semantics(tmp_path, loaders):
+    """normalize=True (the default; CLI datasets yield raw [0,1] images)
+    must equal feeding eval_preprocess'd batches to a normalize=False
+    trainer; augment=True must be deterministic in the step rng."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from stcd_tpu.data.augment import eval_preprocess
+
+    cfg = TrainerConfig(net_G="SiamUnet_abs", n_class=2, img_size=32,
+                        max_epochs=1, loss="ce", optimizer="adam", lr=1e-3,
+                        checkpoint_dir=str(tmp_path / "a"),
+                        vis_dir=str(tmp_path / "v"))
+    t1 = CDTrainer(cfg, loaders)
+    t2 = CDTrainer(dataclasses.replace(
+        cfg, normalize=False, checkpoint_dir=str(tmp_path / "b")), loaders)
+
+    batch = next(iter(loaders["val"]))
+    a = jnp.asarray(batch["A"])
+    b = jnp.asarray(batch["B"])
+    label = jnp.asarray(batch["label"]).astype(jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    _, loss1, cm1 = t1.train_step(t1._init_state(), a, b, label, rng)
+    _, loss2, cm2 = t2.train_step(t2._init_state(), eval_preprocess(a),
+                                  eval_preprocess(b), label, rng)
+    assert float(loss1) == pytest.approx(float(loss2), rel=1e-6)
+    np.testing.assert_array_equal(np.asarray(cm1), np.asarray(cm2))
+
+    t3 = CDTrainer(dataclasses.replace(
+        cfg, augment=True, checkpoint_dir=str(tmp_path / "c")), loaders)
+    _, l_a, _ = t3.train_step(t3._init_state(), a, b, label, rng)
+    _, l_b, _ = t3.train_step(t3._init_state(), a, b, label, rng)
+    assert float(l_a) == float(l_b)  # same rng -> same augmentation draws
+    _, l_c, _ = t3.train_step(t3._init_state(), a, b, label,
+                              jax.random.PRNGKey(1))
+    assert float(l_c) != float(l_a)  # different rng -> different draws
