@@ -50,10 +50,12 @@ def main():
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="max added latency while filling a batch")
     p.add_argument("--calib_dir", default=None,
-                   help="--int8 calibration images (pairs are formed "
-                        "from the sorted listing; defaults to zeros-free "
-                        "random calibration being impossible, so --int8 "
-                        "REQUIRES this flag here)")
+                   help="--int8 calibration images. Either a directory "
+                        "with A/ and B/ subdirs (bi-temporal pairs matched "
+                        "by filename) or a flat directory whose sorted "
+                        "listing pairs CONSECUTIVE files (0_A,0_B,1_A,...). "
+                        "--int8 REQUIRES this flag here (no scene to "
+                        "self-calibrate on, unlike predict.py)")
     args = p.parse_args()
 
     state = build_state(args)
@@ -66,14 +68,34 @@ def main():
         if not args.calib_dir:
             sys.exit("--int8 needs --calib_dir (representative scene "
                      "images to calibrate activation scales on)")
-        paths = sorted(glob.glob(os.path.join(args.calib_dir, "*.*")))[:8]
-        if len(paths) < 2:
-            sys.exit(f"--calib_dir {args.calib_dir}: need >= 2 images")
-        tiles = [extract_tiles(read_image(f), args.tile, args.tile)[0][0]
-                 for f in paths]
-        half = len(tiles) // 2
-        ca = jnp.asarray(np.stack(tiles[:half]))
-        cb = jnp.asarray(np.stack(tiles[half:2 * half]))
+        # real bi-temporal pairs: A/ + B/ subdirs matched by filename, or
+        # consecutive files of the sorted flat listing (0_A,0_B,1_A,1_B...)
+        dir_a = os.path.join(args.calib_dir, "A")
+        dir_b = os.path.join(args.calib_dir, "B")
+        if os.path.isdir(dir_a) and os.path.isdir(dir_b):
+            names = sorted(set(os.listdir(dir_a)) & set(os.listdir(dir_b)))
+            pairs = [(os.path.join(dir_a, n), os.path.join(dir_b, n))
+                     for n in names]
+        else:
+            flat = sorted(glob.glob(os.path.join(args.calib_dir, "*.*")))
+            pairs = list(zip(flat[0::2], flat[1::2]))
+        tiles_a, tiles_b = [], []
+        for fa, fb in pairs[:8]:
+            im_a, im_b = read_image(fa), read_image(fb)
+            # skip scenes smaller than the serving tile: extract_tiles
+            # would return an undersized tile and break the batch stack
+            if (min(im_a.shape[:2]) < args.tile
+                    or min(im_b.shape[:2]) < args.tile):
+                print(f"calib: skipping {fa} (< {args.tile}px)")
+                continue
+            tiles_a.append(extract_tiles(im_a, args.tile, args.tile)[0][0])
+            tiles_b.append(extract_tiles(im_b, args.tile, args.tile)[0][0])
+        if not tiles_a:
+            sys.exit(f"--calib_dir {args.calib_dir}: need >= 1 usable "
+                     f"pair of images >= {args.tile}px (A/+B/ subdirs or "
+                     "an even sorted flat listing)")
+        ca = jnp.asarray(np.stack(tiles_a))
+        cb = jnp.asarray(np.stack(tiles_b))
         scales = calibrate_conv_scales(base_fn, [(ca, cb)])
         print(f"int8: {n_quantized_sites(scales)}/{scales.shape[0]} "
               "conv sites quantized")

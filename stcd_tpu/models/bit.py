@@ -235,6 +235,11 @@ class BASETransformer(nn.Module):
     with_decoder: bool = True
     output_sigmoid: bool = False
     dtype: Optional[Dtype] = None
+    # Optional GPipe routing of the transformer_decoder stack (beyond
+    # parity): dict(mesh=, n_micro=, stage_axis=) — see
+    # parallel/pipeline.bit_pipeline_forward. None = sequential decoder.
+    # Static hyperparameter: the SAME checkpoint runs either way.
+    pipeline_decoder: Optional[Any] = None
 
     def _semantic_tokens(self, x, conv_a):
         """Spatial-attention tokenizer (ref :359-367)."""
@@ -301,7 +306,17 @@ class BASETransformer(nn.Module):
                 b, h, w, c = x.shape
                 if pos_dec is not None:
                     x = x + pos_dec
-                out = dec(x.reshape(b, h * w, c), m, train)
+                xx = x.reshape(b, h * w, c)
+                if self.pipeline_decoder is not None and not self.is_initializing():
+                    # GPipe the depth-D block stack over the 'stage' mesh
+                    # axis; params are read directly (dec is never called,
+                    # so this path shares the sequential param structure)
+                    from stcd_tpu.parallel.pipeline import pipelined_decoder_apply
+                    out = pipelined_decoder_apply(
+                        dec, self.variables["params"]["transformer_decoder"],
+                        xx, m, **self.pipeline_decoder)
+                else:
+                    out = dec(xx, m, train)
                 return out.reshape(b, h, w, c)
 
             f1 = decode(f1, token1)

@@ -33,8 +33,7 @@ asserts forward AND gradients match to fp32 tolerance).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -184,109 +183,21 @@ def bit_pipeline_forward(model, variables, x1, x2, *, mesh: Mesh,
     """BASETransformer forward with the token decoder run as a GPipe
     pipeline over ``mesh[stage_axis]``.
 
-    Functional mirror of ``BASETransformer.__call__`` (models/bit.py —
-    itself parity with ref networks.py:307-441) that routes the
-    ``transformer_decoder`` stack through ``pipelined_decoder_apply``; the
-    backbone / tokenizer / classifier apply the same flax submodules on the
-    same ``variables`` subtrees, so any BASETransformer checkpoint runs
-    pipelined with no conversion. Equality with ``model.apply`` is pinned
-    by tests/test_pipeline_parallel.py.
+    Thin wrapper: clones ``model`` with ``pipeline_decoder`` set, so the
+    ONE forward implementation (``BASETransformer.__call__``, parity with
+    ref networks.py:307-441) routes its ``transformer_decoder`` stack
+    through ``pipelined_decoder_apply`` — every other branch (tokenizer
+    modes, pos embeddings, token_trans, classifier) is the model's own
+    code and can never drift from the sequential path. Any BASETransformer
+    checkpoint runs pipelined with no conversion. Equality with
+    ``model.apply`` is pinned by tests/test_pipeline_parallel.py.
 
     Returns logits (train=False) or (logits, new_batch_stats) (train=True).
     """
-    from stcd_tpu.models.bit import (TransformerDecoder, Transformer,
-                                     TwoLayerConv2d, _DilatedBackbone)
-    from stcd_tpu.layers.modules import resize_bilinear, upsample_nearest
-    from flax import linen as nn
-
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    new_stats = {}
-    n = x1.shape[0]
-    dim = 32
-
-    backbone = _DilatedBackbone(model.backbone, model.resnet_stages_num,
-                                model.if_upsample_2x, dtype=model.dtype)
-    bvars = {"params": params["backbone"],
-             "batch_stats": batch_stats["backbone"]}
+    pmodel = model.clone(pipeline_decoder={
+        "mesh": mesh, "n_micro": n_micro, "stage_axis": stage_axis})
     if train:
-        f, mut = backbone.apply(bvars, jnp.concatenate([x1, x2], 0), True,
+        out, mut = pmodel.apply(variables, x1, x2, True,
                                 mutable=["batch_stats"])
-        new_stats["backbone"] = mut["batch_stats"]
-    else:
-        f = backbone.apply(bvars, jnp.concatenate([x1, x2], 0))
-    f1, f2 = f[:n], f[n:]
-
-    token_len = model.token_len
-    if model.tokenizer:
-        conv_a = nn.Conv(token_len, (1, 1), use_bias=False, dtype=model.dtype)
-
-        def semantic_tokens(x):
-            b, h, w, c = x.shape
-            att = conv_a.apply({"params": params["conv_a"]}, x)
-            att = jax.nn.softmax(att.reshape(b, h * w, -1), axis=1)
-            feats = x.reshape(b, h * w, c)
-            return jnp.einsum("bnl,bnc->blc", att, feats,
-                              preferred_element_type=jnp.float32
-                              ).astype(x.dtype)
-
-        token1, token2 = semantic_tokens(f1), semantic_tokens(f2)
-    else:
-        token_len = model.pool_size ** 2
-
-        def pool_tokens(x):
-            b, h, w, c = x.shape
-            ph = h // model.pool_size
-            xr = x.reshape(b, model.pool_size, ph, model.pool_size,
-                           w // model.pool_size, c)
-            t = xr.max(axis=(2, 4)) if model.pool_mode == "max" \
-                else xr.mean(axis=(2, 4))
-            return t.reshape(b, token_len, c)
-
-        token1, token2 = pool_tokens(f1), pool_tokens(f2)
-
-    if model.token_trans:
-        tokens = jnp.concatenate([token1, token2], axis=1)
-        if model.with_pos == "learned":
-            tokens = tokens + params["pos_embedding"]
-        enc = Transformer(model.enc_depth, 8, model.dim_head, 2 * dim,
-                          dtype=model.dtype)
-        tokens = enc.apply({"params": params["transformer"]}, tokens)
-        token1, token2 = jnp.split(tokens, 2, axis=1)
-
-    if model.with_decoder:
-        dec = TransformerDecoder(model.dec_depth, 8, model.decoder_dim_head,
-                                 2 * dim, softmax=model.decoder_softmax,
-                                 dtype=model.dtype)
-        pos_dec = (params["pos_embedding_decoder"]
-                   if model.with_decoder_pos in ("fix", "learned") else None)
-
-        def decode(x, m):
-            b, h, w, c = x.shape
-            if pos_dec is not None:
-                x = x + pos_dec
-            out = pipelined_decoder_apply(
-                dec, params["transformer_decoder"], x.reshape(b, h * w, c),
-                m, mesh=mesh, n_micro=n_micro, stage_axis=stage_axis)
-            return out.reshape(b, h, w, c)
-
-        f1, f2 = decode(f1, token1), decode(f2, token2)
-    else:
-        f1 = f1 + token1.sum(axis=1)[:, None, None, :]
-        f2 = f2 + token2.sum(axis=1)[:, None, None, :]
-
-    x = jnp.abs(f1 - f2)
-    if not model.if_upsample_2x:
-        x = upsample_nearest(x, 2)
-    x = resize_bilinear(x, (x.shape[1] * 4, x.shape[2] * 4))
-    classifier = TwoLayerConv2d(model.output_nc, dtype=model.dtype)
-    cvars = {"params": params["classifier"],
-             "batch_stats": batch_stats["classifier"]}
-    if train:
-        x, mut = classifier.apply(cvars, x, True, mutable=["batch_stats"])
-        new_stats["classifier"] = mut["batch_stats"]
-    else:
-        x = classifier.apply(cvars, x)
-    if model.output_sigmoid:
-        x = jax.nn.sigmoid(x)
-    return (x, new_stats) if train else x
+        return out, mut["batch_stats"]
+    return pmodel.apply(variables, x1, x2)

@@ -80,11 +80,16 @@ class BatchingEngine:
         tiles_a, origins = extract_tiles(image_a, self.tile, self.stride)
         tiles_b, _ = extract_tiles(image_b, self.tile, self.stride)
         futs = []
-        for ta, tb in zip(tiles_a, tiles_b):
-            fut: Future = Future()
-            self._q.put((ta, tb, fut))
-            futs.append(fut)
+        # enqueue under the lock: close() drains the queue under the same
+        # lock after setting _stop, so a request can never slip tiles past
+        # the drain and block for the full future timeout
         with self._lock:
+            if self._stop.is_set():
+                raise RuntimeError("serving engine closed")
+            for ta, tb in zip(tiles_a, tiles_b):
+                fut: Future = Future()
+                self._q.put((ta, tb, fut))
+                futs.append(fut)
             self.stats["requests"] += 1
             self.stats["tiles"] += len(futs)
         probs = np.stack([f.result(timeout=self.timeout_s) for f in futs])
@@ -93,6 +98,15 @@ class BatchingEngine:
     def close(self):
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # fail anything still queued: blocked callers get an immediate
+        # error instead of waiting out the 120 s future timeout
+        with self._lock:
+            while True:
+                try:
+                    _, _, fut = self._q.get_nowait()
+                except queue.Empty:
+                    break
+                fut.set_exception(RuntimeError("serving engine closed"))
 
     # --- device side (single worker thread) ------------------------------
     def _take_batch(self):

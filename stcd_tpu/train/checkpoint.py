@@ -104,11 +104,14 @@ class CheckpointManager:
             os.remove(marker)
         _barrier("save_last_post")
 
-    def restore_last(self, state, name: str = "last_ckpt"):
-        """Returns (state, epoch_id, best_val_acc, best_epoch_id) or None.
+    def repair(self, name: str = "last_ckpt") -> bool:
+        """Crash-recovery repair for a named checkpoint; True if it exists.
 
-        Multi-host: process 0 performs any crash-recovery filesystem
-        repairs first, then every process reads the (shared-FS) artifact.
+        Recovers the swap-window crash states save_last can leave behind
+        (a complete '<name>.new' with or without its '.ok' marker) so ANY
+        reader — restore_last or a weights-only evaluator load — sees the
+        finished checkpoint. Multi-host: process 0 performs the filesystem
+        renames; the probe restore is an orbax collective on all processes.
         """
         path = os.path.join(self.directory, name)
         new_path, marker = path + ".new", path + ".new.ok"
@@ -142,8 +145,13 @@ class CheckpointManager:
                         # keep the bytes for forensics instead of deleting
                         os.rename(new_path, new_path + ".corrupt")
         _barrier("restore_repair")  # all processes: wait for 0's renames
-        if not os.path.exists(path):
+        return os.path.exists(path)
+
+    def restore_last(self, state, name: str = "last_ckpt"):
+        """Returns (state, epoch_id, best_val_acc, best_epoch_id) or None."""
+        if not self.repair(name):
             return None
+        path = os.path.join(self.directory, name)
         restored = self._ckptr.restore(path)  # collective: all processes
         tmpl = jax.tree_util.tree_structure(state.opt_state)
         opt_state = jax.tree_util.tree_unflatten(

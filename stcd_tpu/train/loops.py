@@ -81,8 +81,12 @@ def run_training(train_step, eval_step, state, train_loader, eval_loader,
     history = []
     meter = Throughput()
     # keep the TensorBoard step axis aligned across a resume: the restored
-    # state.step counts the optimizer steps already taken
-    global_step = int(jax.device_get(state.step)) if start_epoch > 1 else 0
+    # state.step counts the optimizer steps already taken (0 for a fresh
+    # state; weights-only stage hand-offs don't restore step). No
+    # start_epoch gate — a run preempted DURING epoch 1 resumes with
+    # start_epoch=1 but step>0, and restarting the axis at 0 would
+    # overwrite the already-logged scalar range.
+    global_step = int(jax.device_get(state.step))
     for epoch in range(start_epoch, n_epochs + 1):
         # per-epoch rate: without the reset the meter accumulates eval /
         # checkpoint / logging time from every prior epoch and reports a

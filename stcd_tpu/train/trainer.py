@@ -388,7 +388,10 @@ class CDEvaluator:
     def load(self, ckpt_name: str = "best_ckpt") -> TrainState:
         state = self.trainer._init_state()
         path = os.path.join(self.cfg.checkpoint_dir, ckpt_name)
-        if not os.path.exists(path):
+        # repair() first: a crash inside save_last's swap window leaves a
+        # complete '<name>.new' (+marker) that is recoverable — the bare
+        # exists() check alone would refuse to evaluate after such a crash
+        if not self.trainer.ckpt.repair(ckpt_name):
             raise FileNotFoundError(f"no checkpoint {ckpt_name} in "
                                     f"{self.cfg.checkpoint_dir}")
         # weights-only: evaluation must not depend on the training run's

@@ -192,3 +192,36 @@ def test_serve_cli_end_to_end(tmp_path):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_engine_close_fails_pending_and_rejects_new():
+    """close() must fail queued futures immediately (not leave callers
+    blocking out the 120 s future timeout) and reject new requests."""
+    from concurrent.futures import Future
+
+    release = threading.Event()
+
+    def slow_fn(a, b):
+        release.wait(5.0)
+        return np.zeros(a.shape[:3] + (1,), np.float32)
+
+    engine = BatchingEngine(slow_fn, tile=8, batch=1, max_wait_ms=1.0,
+                            timeout_s=5.0)
+    t = np.zeros((8, 8, 3), np.float32)
+    f1, f2 = Future(), Future()
+    engine._q.put((t, t, f1))  # worker picks this up and blocks in slow_fn
+    time.sleep(0.2)
+    engine._q.put((t, t, f2))  # stays queued behind the blocked batch
+
+    closer = threading.Thread(target=engine.close)
+    closer.start()
+    time.sleep(0.2)  # _stop is now set while the worker is still blocked
+    release.set()    # let the in-flight batch finish
+    closer.join(timeout=10.0)
+    assert not closer.is_alive()
+
+    assert f1.result(timeout=1.0) is not None  # in-flight work completed
+    with pytest.raises(RuntimeError, match="closed"):
+        f2.result(timeout=1.0)  # drained, not hung
+    with pytest.raises(RuntimeError, match="closed"):
+        engine.predict_pair(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))

@@ -89,3 +89,26 @@ def test_cdtrainer_normalize_semantics(tmp_path, loaders):
     _, l_c, _ = t3.train_step(t3._init_state(), a, b, label,
                               jax.random.PRNGKey(1))
     assert float(l_c) != float(l_a)  # different rng -> different draws
+
+
+def test_cdevaluator_recovers_swap_window_crash(tmp_path, loaders):
+    """CDEvaluator.load must repair the 'ckpt.new' + '.new.ok' state a
+    crash inside save_last's swap window leaves behind (review finding:
+    a bare os.path.exists check refused to evaluate a recoverable
+    checkpoint)."""
+    import os
+
+    cfg = TrainerConfig(net_G="SiamUnet_abs", n_class=2, img_size=32,
+                        max_epochs=1, loss="ce", optimizer="adamw", lr=1e-3,
+                        checkpoint_dir=str(tmp_path / "ck"),
+                        vis_dir=str(tmp_path / "vis"))
+    CDTrainer(cfg, loaders).train_models()
+
+    ck = tmp_path / "ck"
+    # simulate SIGKILL between rmtree(path) and rename(new_path, path)
+    os.rename(ck / "best_ckpt", ck / "best_ckpt.new")
+    (ck / "best_ckpt.new.ok").touch()
+
+    scores = CDEvaluator(cfg, loaders["val"]).eval_models(save_vis=False)
+    assert 0.0 <= scores["mf1"] <= 1.0
+    assert (ck / "best_ckpt").exists()  # repaired in place
