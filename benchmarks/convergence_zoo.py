@@ -24,6 +24,14 @@ Families (protocol = the CDTrainer loss that fits the head):
                    statistical under the +-0.1 contract)
   ifnet            ref models/DSIFN.py (1-channel head: ref models/losses.py
                    cd_loss = BCE+Dice on sigmoid, threshold-0.5 eval)
+  unet_ef          ref models/Unet.py (FC-EF early fusion; 2-class CE)
+  siamunet_crossconc ref models/SiamUnet_crossconc.py (interleave +
+                   grouped-conv skip fusion; 2-class CE)
+
+(ChangeGNNV2 is excluded: the reference's own class hardcodes a 256^2
+pos_embed — EncoderV2's img_size arg is never forwarded, ChangeVIG.py:649
+— so the ref model cannot run at the reduced resolutions this CPU harness
+needs; its coverage is the golden forward/grad tests instead.)
 
 Each side runs in its own subprocess (torch TRAINING corrupts XLA:CPU
 conv precision process-wide — CLAUDE.md; torch must also run first since
@@ -58,6 +66,9 @@ FAMILIES = {
     "changeformer_v6": dict(ref_module="ChangeFormer", ref_cls="ChangeFormerV6",
                             protocol="ce"),
     "ifnet": dict(ref_module="DSIFN", ref_cls="DSIFN", protocol="bce"),
+    "unet_ef": dict(ref_module="Unet", ref_cls="Unet", protocol="ce"),
+    "siamunet_crossconc": dict(ref_module="SiamUnet_crossconc",
+                               ref_cls="SiamUnet_cross_conc", protocol="ce"),
 }
 
 
@@ -78,6 +89,8 @@ def _build_ref(model_key):
     if model_key == "ifnet":
         base = mod.vgg16_base()
         return cls(base, base)  # ref networks.py:166: shared instance
+    if model_key in ("unet_ef", "siamunet_crossconc"):
+        return cls(3, 2)  # ref networks.py:145,153 (input_nbr=3, n_class)
     return cls(in_ch=3, out_ch=2)  # snunet
 
 
@@ -102,6 +115,11 @@ def _build_jax(model_key, init):
         from stcd_tpu.models.dsifn import DSIFN
         params, stats = cv.convert_dsifn(init)
         return DSIFN(), params, stats
+    if model_key in ("unet_ef", "siamunet_crossconc"):
+        from stcd_tpu.models.siam_unet import SiamUnet
+        fusion = "ef" if model_key == "unet_ef" else "crossconc"
+        params, stats = cv.convert_siam_unet(init, fusion)
+        return SiamUnet(fusion=fusion, label_nbr=2), params, stats
     from stcd_tpu.models.snunet import SNUNetECAM
     params, stats = cv.convert_snunet(init, ecam=True)
     return SNUNetECAM(out_ch=2), params, stats

@@ -25,12 +25,15 @@ Endpoints (stdlib http.server; JSON/base64 — zero extra dependencies):
   ["threshold": 0.5]} -> {"mask_png": <b64 png>, "changed": fraction,
   "shape": [h, w], "latency_ms": ...}
 - ``GET /healthz`` -> {"status": "ok", ...}
-- ``GET /stats``   -> request/batch counters + mean batch occupancy.
+- ``GET /stats``   -> request/batch counters, mean batch occupancy, and
+  latency percentiles: ``request_latency_ms`` (end-to-end predict_pair,
+  p50/p90/p99 over a sliding window) + ``step_ms`` (device batch step).
 """
 
 from __future__ import annotations
 
 import base64
+import collections
 import io
 import json
 import queue
@@ -63,6 +66,10 @@ class BatchingEngine:
         self._lock = threading.Lock()
         self.stats = {"requests": 0, "tiles": 0, "batches": 0,
                       "batch_tiles": 0, "errors": 0}
+        # sliding windows for the /stats latency percentiles (appends are
+        # guarded by _lock; 2048 keeps the snapshot cost trivial)
+        self._req_lat_ms: collections.deque = collections.deque(maxlen=2048)
+        self._step_ms: collections.deque = collections.deque(maxlen=2048)
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="stcd-serving-batcher")
         self._thread.start()
@@ -77,6 +84,7 @@ class BatchingEngine:
         if min(image_a.shape[:2]) < self.tile:
             raise ValueError(f"scene {image_a.shape[:2]} smaller than the "
                              f"server tile {self.tile}")
+        t0 = time.monotonic()
         tiles_a, origins = extract_tiles(image_a, self.tile, self.stride)
         tiles_b, _ = extract_tiles(image_b, self.tile, self.stride)
         futs = []
@@ -93,7 +101,10 @@ class BatchingEngine:
             self.stats["requests"] += 1
             self.stats["tiles"] += len(futs)
         probs = np.stack([f.result(timeout=self.timeout_s) for f in futs])
-        return stitch_tiles(probs, origins, image_a.shape[:2])
+        out = stitch_tiles(probs, origins, image_a.shape[:2])
+        with self._lock:
+            self._req_lat_ms.append((time.monotonic() - t0) * 1e3)
+        return out
 
     def close(self):
         self._stop.set()
@@ -139,6 +150,7 @@ class BatchingEngine:
                 zeros = np.zeros((pad,) + a.shape[1:], a.dtype)
                 a = np.concatenate([a, zeros])
                 b = np.concatenate([b, zeros])
+            t0 = time.monotonic()
             try:
                 probs = np.asarray(self.predict_fn(jnp.asarray(a),
                                                    jnp.asarray(b)))
@@ -151,8 +163,31 @@ class BatchingEngine:
             with self._lock:
                 self.stats["batches"] += 1
                 self.stats["batch_tiles"] += len(items)
+                self._step_ms.append((time.monotonic() - t0) * 1e3)
             for (_ta, _tb, fut), p in zip(items, probs):
                 fut.set_result(p)
+
+    def stats_snapshot(self) -> dict:
+        """Counters + mean batch occupancy + latency percentiles (the
+        /stats payload; also usable directly when embedding the engine)."""
+        def pct(window):
+            if not window:
+                return {}
+            v = np.sort(np.asarray(window, np.float64))
+            at = lambda q: float(v[min(len(v) - 1, int(q * len(v)))])  # noqa: E731
+            return {"p50": round(at(0.50), 1), "p90": round(at(0.90), 1),
+                    "p99": round(at(0.99), 1), "n": len(v)}
+
+        with self._lock:
+            s = dict(self.stats)
+            req_lat = pct(self._req_lat_ms)
+            step = pct(self._step_ms)
+        s["mean_batch_occupancy"] = (
+            s["batch_tiles"] / (s["batches"] * self.batch)
+            if s["batches"] else 0.0)
+        s["request_latency_ms"] = req_lat
+        s["step_ms"] = step
+        return s
 
 
 def _decode_image(b64: str) -> np.ndarray:
@@ -186,12 +221,7 @@ def make_handler(engine: BatchingEngine, default_threshold: float = 0.5):
                 self._send(200, {"status": "ok", "tile": engine.tile,
                                  "batch": engine.batch})
             elif self.path == "/stats":
-                with engine._lock:
-                    s = dict(engine.stats)
-                s["mean_batch_occupancy"] = (
-                    s["batch_tiles"] / (s["batches"] * engine.batch)
-                    if s["batches"] else 0.0)
-                self._send(200, s)
+                self._send(200, engine.stats_snapshot())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -36,6 +36,17 @@ def main():
     assert jax.process_count() == nprocs, jax.process_count()
     assert jax.device_count() == 2 * nprocs, jax.device_count()
 
+    # Warm BOTH gloo cliques (all-devices, and the one-device-per-process
+    # clique process_allgather uses) NOW, while the processes are still in
+    # lockstep: gloo context creation has a 30 s rendezvous deadline, and
+    # on a 1-core host the model-compile skew between the two processes
+    # can exceed it if the contexts are first created lazily at the first
+    # real collective (observed as GetKeyValue() DEADLINE_EXCEEDED).
+    import numpy as np
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("stcd_mp_warmup")
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
     import jax.numpy as jnp
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -72,17 +72,24 @@ def test_convergence_parity_bit_reduced():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("family", ["siamunet_conc", "snunet"])
+@pytest.mark.parametrize("family", ["siamunet_conc", "snunet",
+                                    "unet_ef", "siamunet_crossconc"])
 def test_convergence_parity_zoo_reduced(family):
     """Bespoke-zoo convergence parity (benchmarks/convergence_zoo.py): the
-    reference's OWN model file (SiamUnet_conc.py / SNUNet.py) + its own
-    models/losses.py cross_entropy vs our port, identical init/batches,
-    CDTrainer protocol. DTCDSCN is exercised at full size offline only
-    (31M params — too slow for the suite); full-size numbers for all
-    three are in BASELINE.md."""
+    reference's OWN model file (SiamUnet_conc.py / SNUNet.py / Unet.py /
+    SiamUnet_crossconc.py) + its own models/losses.py cross_entropy vs our
+    port, identical init/batches, CDTrainer protocol. DTCDSCN is exercised
+    at full size offline only (31M params — too slow for the suite);
+    full-size numbers for every family are in BASELINE.md."""
     from convergence_zoo import main
 
-    report = main(["--model", family, "--epochs", "3", "--n-train", "12",
+    # crossconc's grouped-conv fusion needs more steps before either side
+    # starts learning at 32px (both frameworks — its full-size 10x48
+    # numbers are in BASELINE.md like the rest)
+    epochs, n_train = (("6", "16") if family == "siamunet_crossconc"
+                       else ("3", "12"))
+    report = main(["--model", family, "--epochs", epochs,
+                   "--n-train", n_train,
                    "--n-val", "8", "--size", "32", "--seed", "3"])
     assert report["torch_best_f1"] > 0.4, report
     assert report["jax_best_f1"] > 0.4, report

@@ -59,12 +59,17 @@ def test_batching_engine_matches_direct():
         for (a, b), got in zip(scenes, results):
             want = np.abs(a - b).mean(-1, keepdims=True)
             np.testing.assert_allclose(got, want, atol=1e-6)
-        with engine._lock:
-            stats = dict(engine.stats)
+        stats = engine.stats_snapshot()
         assert stats["requests"] == 3
         assert stats["tiles"] == 12  # 3 scenes x 4 tiles
         assert stats["batches"] >= 3  # 12 tiles / batch 4
         assert stats["batch_tiles"] == 12
+        # latency percentiles over the completed requests/steps
+        assert stats["request_latency_ms"]["n"] == 3
+        assert (0 < stats["request_latency_ms"]["p50"]
+                <= stats["request_latency_ms"]["p99"])
+        assert stats["step_ms"]["n"] == stats["batches"]
+        assert 0 < stats["step_ms"]["p50"] <= stats["step_ms"]["p99"]
     finally:
         engine.close()
 
@@ -132,6 +137,8 @@ def test_http_server_endpoints():
             stats = json.load(r)
         assert stats["requests"] == 1 and stats["tiles"] == 4
         assert 0 < stats["mean_batch_occupancy"] <= 1
+        assert stats["request_latency_ms"]["n"] == 1
+        assert stats["step_ms"]["n"] == stats["batches"]
 
         # malformed request -> 400, not a hung future
         with pytest.raises(urllib.error.HTTPError) as ei:
