@@ -80,7 +80,11 @@ def main():
             flat = sorted(glob.glob(os.path.join(args.calib_dir, "*.*")))
             pairs = list(zip(flat[0::2], flat[1::2]))
         tiles_a, tiles_b = [], []
-        for fa, fb in pairs[:8]:
+        for fa, fb in pairs:  # all pairs, stop at 8 USABLE ones: slicing
+            # before the size filter would discard usable pairs whenever
+            # the first 8 happen to be undersized (review finding)
+            if len(tiles_a) >= 8:
+                break
             im_a, im_b = read_image(fa), read_image(fb)
             # skip scenes smaller than the serving tile: extract_tiles
             # would return an undersized tile and break the batch stack

@@ -143,18 +143,22 @@ class BatchingEngine:
             items = self._take_batch()
             if not items:
                 continue
-            pad = self.batch - len(items)
-            a = np.stack([it[0] for it in items])
-            b = np.stack([it[1] for it in items])
-            if pad:
-                zeros = np.zeros((pad,) + a.shape[1:], a.dtype)
-                a = np.concatenate([a, zeros])
-                b = np.concatenate([b, zeros])
             t0 = time.monotonic()
             try:
+                # batch assembly INSIDE the try: direct embedders can
+                # submit tiles with heterogeneous shapes/dtypes, and a
+                # np.stack failure must fail THESE futures, not kill the
+                # worker thread and hang every later request
+                pad = self.batch - len(items)
+                a = np.stack([it[0] for it in items])
+                b = np.stack([it[1] for it in items])
+                if pad:
+                    zeros = np.zeros((pad,) + a.shape[1:], a.dtype)
+                    a = np.concatenate([a, zeros])
+                    b = np.concatenate([b, zeros])
                 probs = np.asarray(self.predict_fn(jnp.asarray(a),
                                                    jnp.asarray(b)))
-            except Exception as exc:  # surface device errors to callers
+            except Exception as exc:  # surface device/assembly errors
                 with self._lock:
                     self.stats["errors"] += 1
                 for _, _, fut in items:

@@ -388,16 +388,30 @@ class CDEvaluator:
     def load(self, ckpt_name: str = "best_ckpt") -> TrainState:
         state = self.trainer._init_state()
         path = os.path.join(self.cfg.checkpoint_dir, ckpt_name)
-        # repair() first: a crash inside save_last's swap window leaves a
-        # complete '<name>.new' (+marker) that is recoverable — the bare
-        # exists() check alone would refuse to evaluate after such a crash
-        if not self.trainer.ckpt.repair(ckpt_name):
-            raise FileNotFoundError(f"no checkpoint {ckpt_name} in "
-                                    f"{self.cfg.checkpoint_dir}")
         # weights-only: evaluation must not depend on the training run's
         # optimizer choice (a full restore_last would fail restoring e.g.
         # an adamw opt_state into an evaluator built with the default sgd)
-        return self.trainer.ckpt.load_weights(state, path)
+        if os.path.exists(path):
+            return self.trainer.ckpt.load_weights(state, path)
+        # Crash fallback: a crash inside save_last's swap window leaves a
+        # complete '<name>.new' that is loadable IN PLACE. The evaluator is
+        # a READER — it must never run repair()'s renames, because a LIVE
+        # trainer may own the swap window right now (repair would quarantine
+        # its half-written '.new' and crash its save — review finding).
+        # Only the training process itself repairs, at resume time.
+        new_path = path + ".new"
+        if os.path.exists(new_path):
+            try:
+                return self.trainer.ckpt.load_weights(state, new_path)
+            except Exception as exc:
+                raise FileNotFoundError(
+                    f"no checkpoint {ckpt_name} in {self.cfg.checkpoint_dir} "
+                    f"({new_path} exists but is not restorable: a save may "
+                    f"be in progress, or it is a partial-crash leftover — "
+                    f"run resume/repair from the training entry point)"
+                ) from exc
+        raise FileNotFoundError(f"no checkpoint {ckpt_name} in "
+                                f"{self.cfg.checkpoint_dir}")
 
     def eval_models(self, ckpt_name: str = "best_ckpt",
                     save_vis: bool = True) -> dict:

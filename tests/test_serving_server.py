@@ -232,3 +232,38 @@ def test_engine_close_fails_pending_and_rejects_new():
         f2.result(timeout=1.0)  # drained, not hung
     with pytest.raises(RuntimeError, match="closed"):
         engine.predict_pair(np.zeros((8, 8, 3)), np.zeros((8, 8, 3)))
+
+
+def test_engine_survives_malformed_tile_batch():
+    """Direct embedders can submit tiles with heterogeneous shapes; the
+    np.stack failure must fail THOSE futures, not kill the worker thread
+    (review finding: assembly ran outside the try, so one bad batch hung
+    every later request for the full future timeout)."""
+    from concurrent.futures import Future
+
+    def mean_fn(a, b):
+        return np.abs(np.asarray(a) - np.asarray(b)).mean(-1, keepdims=True)
+
+    engine = BatchingEngine(mean_fn, tile=8, batch=2, max_wait_ms=20.0,
+                            timeout_s=10.0)
+    try:
+        bad1, bad2 = Future(), Future()
+        t1 = np.zeros((8, 8, 1), np.float32)  # 1-channel
+        t3 = np.zeros((8, 8, 3), np.float32)  # 3-channel: unstackable pair
+        with engine._lock:
+            engine._q.put((t1, t1, bad1))
+            engine._q.put((t3, t3, bad2))
+        with pytest.raises(ValueError):
+            bad1.result(timeout=5.0)
+        with pytest.raises(ValueError):
+            bad2.result(timeout=5.0)
+        assert engine.stats_snapshot()["errors"] == 1
+
+        # the worker thread is still alive and serves the next request
+        scene = np.random.default_rng(0).random((16, 16, 3)).astype(np.float32)
+        out = engine.predict_pair(scene, scene * 0.5)
+        np.testing.assert_allclose(
+            out, np.abs(scene - scene * 0.5).mean(-1, keepdims=True),
+            atol=1e-6)
+    finally:
+        engine.close()

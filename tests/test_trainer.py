@@ -92,10 +92,13 @@ def test_cdtrainer_normalize_semantics(tmp_path, loaders):
 
 
 def test_cdevaluator_recovers_swap_window_crash(tmp_path, loaders):
-    """CDEvaluator.load must repair the 'ckpt.new' + '.new.ok' state a
-    crash inside save_last's swap window leaves behind (review finding:
-    a bare os.path.exists check refused to evaluate a recoverable
-    checkpoint)."""
+    """CDEvaluator.load must evaluate from the 'ckpt.new' + '.new.ok'
+    state a crash inside save_last's swap window leaves behind (review
+    finding 1: a bare os.path.exists check refused to evaluate a
+    recoverable checkpoint) — WITHOUT renaming anything: the evaluator is
+    a reader, and a LIVE trainer may own the swap window concurrently
+    (review finding 2: running repair() from the evaluator could
+    quarantine a half-written '.new' and crash the trainer's save)."""
     import os
 
     cfg = TrainerConfig(net_G="SiamUnet_abs", n_class=2, img_size=32,
@@ -111,4 +114,36 @@ def test_cdevaluator_recovers_swap_window_crash(tmp_path, loaders):
 
     scores = CDEvaluator(cfg, loaders["val"]).eval_models(save_vis=False)
     assert 0.0 <= scores["mf1"] <= 1.0
-    assert (ck / "best_ckpt").exists()  # repaired in place
+    # loaded IN PLACE: the reader must leave the swap-window files alone
+    # (the trainer repairs them itself at resume time)
+    assert (ck / "best_ckpt.new").exists()
+    assert (ck / "best_ckpt.new.ok").exists()
+    assert not (ck / "best_ckpt").exists()
+
+    # the trainer-side resume path still repairs the same state
+    t = CDTrainer(cfg, loaders)
+    assert t.ckpt.repair("best_ckpt")
+    assert (ck / "best_ckpt").exists()
+
+
+def test_cdevaluator_never_quarantines_live_save(tmp_path, loaders):
+    """A partial '<name>.new' without a marker is indistinguishable from a
+    trainer mid-save. The evaluator must raise FileNotFoundError and MUST
+    NOT rename it to '.corrupt' (that would crash the live trainer's
+    rename(new_path, path) and quarantine a healthy in-progress save)."""
+    import pytest
+
+    cfg = TrainerConfig(net_G="SiamUnet_abs", n_class=2, img_size=32,
+                        max_epochs=1, loss="ce", optimizer="adamw", lr=1e-3,
+                        checkpoint_dir=str(tmp_path / "ck"),
+                        vis_dir=str(tmp_path / "vis"))
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    partial = ck / "best_ckpt.new"  # half-written orbax dir, no marker
+    partial.mkdir()
+    (partial / "garbage").write_text("not a checkpoint")
+
+    with pytest.raises(FileNotFoundError):
+        CDEvaluator(cfg, loaders["val"]).load("best_ckpt")
+    assert partial.exists()  # untouched
+    assert not (ck / "best_ckpt.new.corrupt").exists()
