@@ -65,11 +65,29 @@ def relative_pos_bias(channels: int, n: int, m: int,
     the (h, w) node grid for non-square maps; default assumes square."""
     pe = _get_2d_sincos_pos_embed(
         channels, grid_hw if grid_hw is not None else int(round(n ** 0.5)))
-    rel = 2.0 * (pe @ pe.T) / pe.shape[1]
-    bias = -jnp.asarray(rel, jnp.float32)[None, :, :, None]  # (1, n, n, 1)
-    if bias.shape[2] != m:
-        bias = jax.image.resize(bias, (1, n, m, 1), method="linear")
-    return bias[..., 0]  # (1, n, m)
+    if pe.shape[1] == 0:
+        # channels < 4 leaves no sin-cos frequencies (dim_half // 2 == 0).
+        # The unfactored gram formulation silently produced an all-NaN
+        # bias here (0/0); no positional information exists, so the
+        # correct degenerate bias is zero. Real ViG configs (>= 48 ch)
+        # never hit this — only toy/test shapes do.
+        return jnp.zeros((1, n, m), jnp.float32)
+    pe_j = jnp.asarray(pe, jnp.float32)  # (n, d) — the only HLO constant
+    if n != m:
+        # The resize acts on the SECOND node axis only and is linear in
+        # its input, so resize(pe @ pe.T) == pe @ resize(pe).T (same 1-D
+        # triangle/antialias kernel either way — jax.image.resize is
+        # separable and the untouched axes get identity weights).
+        # Factoring through pe keeps the trace to an (n, d) constant and
+        # an (n, d)x(d, m) matmul instead of materializing the (n, n)
+        # gram (~67 MB of HLO constant per stage-1 Grapher at 256²
+        # input, a pure compile-memory cost).
+        pe_m = jax.image.resize(pe_j, (m, pe_j.shape[1]), method="linear")
+    else:
+        pe_m = pe_j
+    bias = (-2.0 / pe.shape[1]) * jnp.einsum(
+        "nd,md->nm", pe_j, pe_m, precision=jax.lax.Precision.HIGHEST)
+    return bias[None]  # (1, n, m)
 
 
 def knn_graph(x: jax.Array, y: jax.Array, k: int, dilation: int = 1,
