@@ -137,6 +137,25 @@ def test_gather_neighbors_paths_agree(np_rng, monkeypatch):
     np.testing.assert_array_equal(np.asarray(onehot), np.asarray(fallback))
 
 
+def test_relative_pos_bias_factored_matches_gram(np_rng):
+    """The factored form pe @ resize(pe).T must equal resizing the full
+    (n, n) gram (the resize is linear along the second node axis only,
+    so it commutes with the product); channels < 4 — no sin-cos
+    frequencies — must yield the degenerate zero bias, not NaN."""
+    from stcd_tpu.models.gcn_lib import (relative_pos_bias,
+                                         _get_2d_sincos_pos_embed)
+    for c, n, m, grid in [(48, 64, 16, None), (64, 96, 24, (12, 8))]:
+        pe = _get_2d_sincos_pos_embed(c, grid if grid else int(round(n ** 0.5)))
+        gram = -jnp.asarray(2.0 * (pe @ pe.T) / pe.shape[1],
+                            jnp.float32)[None, :, :, None]
+        want = np.asarray(jax.image.resize(gram, (1, n, m, 1),
+                                           method="linear")[..., 0])
+        got = np.asarray(relative_pos_bias(c, n, m, grid_hw=grid))
+        np.testing.assert_allclose(got, want, atol=2e-6)
+    degenerate = np.asarray(relative_pos_bias(3, 16, 4))
+    np.testing.assert_array_equal(degenerate, np.zeros((1, 16, 4), np.float32))
+
+
 def test_grapher_shapes(ab):
     from stcd_tpu.models.gcn_lib import Grapher
     a, _ = ab
