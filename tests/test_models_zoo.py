@@ -154,6 +154,11 @@ def test_relative_pos_bias_factored_matches_gram(np_rng):
         np.testing.assert_allclose(got, want, atol=2e-6)
     degenerate = np.asarray(relative_pos_bias(3, 16, 4))
     np.testing.assert_array_equal(degenerate, np.zeros((1, 16, 4), np.float32))
+    # non-perfect-square n without grid_hw: the factored form cannot
+    # resize the first node axis, so it must fail loudly (ADVICE r2)
+    # instead of returning a (1, round(sqrt(n))**2, m) mis-shaped bias
+    with pytest.raises(AssertionError, match="grid_hw"):
+        relative_pos_bias(48, 60, 16)
 
 
 def test_grapher_shapes(ab):
