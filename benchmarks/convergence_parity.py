@@ -126,6 +126,53 @@ def _poly_lr(step, total, base=1e-3, power=0.9):
 
 DEC_CHANNELS = (64, 32, 24, 16, 8)
 
+# --deployed (VERDICT r2 item 2): the jax side runs ON THE REAL CHIP with
+# the deployed perf stack — bf16 compute dtype (params/BN fp32), the fused
+# decoder (SegCD default), uint8 H2D transfer — while torch stays the
+# fp32-CPU reference. Input images are pre-quantized to the uint8 grid at
+# generation time so both sides see bit-identical pixels. Augmentation
+# stays off on both sides (the parity protocol is deterministic); the
+# Pallas augmentation kernel's equality with the jnp path is pinned
+# separately on chip (BASELINE.md, 2.4e-6).
+DEPLOYED = False
+
+
+def _configure_jax_side():
+    """CPU-parity default: force CPU + highest matmul precision (this
+    host's XLA:CPU otherwise runs f32 convs as bf16 passes — CLAUDE.md).
+    Deployed: leave the platform alone (the real axon TPU chip) and keep
+    the default MXU precision — that IS the deployed configuration."""
+    import jax
+    if not DEPLOYED:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def _model_dtype():
+    if DEPLOYED:
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    return None
+
+
+def _image_nhwc(x):
+    """CHW float batch -> NHWC device array. Deployed ships uint8 (exact:
+    --deployed pre-quantized the data to the uint8 grid) and the jitted
+    step scales 1/255 on device (data/augment.to_float01)."""
+    import jax.numpy as jnp
+    x = x.transpose(0, 2, 3, 1)
+    if DEPLOYED:
+        return jnp.asarray(np.round(x * 255.0).astype(np.uint8))
+    return jnp.asarray(x)
+
+
+def _jax_modes():
+    """Deployed runs only the deployed default (folded Siamese batching);
+    the CPU harness also exercises the bit-faithful sequential mode."""
+    if DEPLOYED:
+        return (("jax_folded", True),)
+    return (("jax_folded", True), ("jax_seq", False))
+
 
 # ----------------------------------------------------------- torch side
 
@@ -291,8 +338,7 @@ def run_torch_sup(data_path, init_path, out_path, epochs):
 
 def run_jax_sup(data_path, init_path, out_path, epochs):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_default_matmul_precision", "highest")
+    _configure_jax_side()
     import jax.numpy as jnp
 
     from stcd_tpu.convert.torch_to_flax import convert_unetseg
@@ -311,7 +357,7 @@ def run_jax_sup(data_path, init_path, out_path, epochs):
 
     params, stats = convert_unetseg(init, (2, 2, 2, 2))
     model = UnetSeg(encoder_name="resnet18", classes=1,
-                    decoder_channels=DEC_CHANNELS)
+                    decoder_channels=DEC_CHANNELS, dtype=_model_dtype())
     state = TrainState.create_with_stats(
         apply_fn=model.apply,
         params=jax.tree_util.tree_map(jnp.asarray, params),
@@ -321,14 +367,14 @@ def run_jax_sup(data_path, init_path, out_path, epochs):
     curve, t = [], 0
     for ep in range(epochs):
         for idx in order[ep]:
-            batch = {"image": nhwc(d["train_img"][idx]),
+            batch = {"image": _image_nhwc(d["train_img"][idx]),
                      "label": nhwc(d["train_label"][idx])}
             state, metrics = train_step(state, batch, jax.random.PRNGKey(t))
             t += 1
         cm = np.zeros((2, 2), np.float64)
         for s in range(0, d["val_img"].shape[0], 8):
             sl = slice(s, s + 8)
-            out = eval_step(state, {"image": nhwc(d["val_img"][sl]),
+            out = eval_step(state, {"image": _image_nhwc(d["val_img"][sl]),
                                     "label": nhwc(d["val_label"][sl])})
             cm += np.asarray(out["cm"], np.float64)
         f1, iou = _f1_iou(cm[1, 1], cm[0, 1], cm[1, 0])
@@ -475,8 +521,7 @@ def run_torch_semi(data_path, init_path, out_path, epochs):
 
 def run_jax_semi(data_path, init_path, out_path, epochs):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_default_matmul_precision", "highest")
+    _configure_jax_side()
     import jax.numpy as jnp
 
     from stcd_tpu.convert.torch_to_flax import convert_unetseg
@@ -494,10 +539,11 @@ def run_jax_semi(data_path, init_path, out_path, epochs):
         return jnp.asarray(x.transpose(0, 2, 3, 1))
 
     results = {}
-    for mode, batched in (("jax_folded", True), ("jax_seq", False)):
+    for mode, batched in _jax_modes():
         params, stats = convert_unetseg(init, (2, 2, 2, 2))
         model = SegCD(encoder_name="resnet18", classes=1,
-                      decoder_channels=DEC_CHANNELS, siamese_batched=batched)
+                      decoder_channels=DEC_CHANNELS, siamese_batched=batched,
+                      dtype=_model_dtype())
         state = TrainState.create_with_stats(
             apply_fn=model.apply,
             params=jax.tree_util.tree_map(jnp.asarray, params),
@@ -507,10 +553,10 @@ def run_jax_semi(data_path, init_path, out_path, epochs):
         curve, t = [], 0
         for ep in range(epochs):
             for idx in order[ep]:
-                batch = {"A": nhwc(d["train_A"][idx]),
-                         "B": nhwc(d["train_B"][idx]),
-                         "CA": nhwc(d["train_CA"][idx]),
-                         "CB": nhwc(d["train_CB"][idx]),
+                batch = {"A": _image_nhwc(d["train_A"][idx]),
+                         "B": _image_nhwc(d["train_B"][idx]),
+                         "CA": _image_nhwc(d["train_CA"][idx]),
+                         "CB": _image_nhwc(d["train_CB"][idx]),
                          "s_label_A": nhwc(d["train_sA"][idx]),
                          "c_label": nhwc(d["train_cl"][idx]),
                          "CL": nhwc(d["train_CL"][idx])}
@@ -519,8 +565,8 @@ def run_jax_semi(data_path, init_path, out_path, epochs):
             cm = np.zeros((2, 2), np.float64)
             for s in range(0, d["val_A"].shape[0], 8):
                 sl = slice(s, s + 8)
-                out = eval_step(state, {"A": nhwc(d["val_A"][sl]),
-                                        "B": nhwc(d["val_B"][sl]),
+                out = eval_step(state, {"A": _image_nhwc(d["val_A"][sl]),
+                                        "B": _image_nhwc(d["val_B"][sl]),
                                         "label": nhwc(d["val_label"][sl])})
                 cm += np.asarray(out["cm"], np.float64)
             f1, iou = _f1_iou(cm[1, 1], cm[0, 1], cm[1, 0])
@@ -537,8 +583,7 @@ def run_jax_semi(data_path, init_path, out_path, epochs):
 
 def run_jax(data_path, init_path, out_path, epochs):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_default_matmul_precision", "highest")
+    _configure_jax_side()
     import jax.numpy as jnp
 
     from stcd_tpu.convert.torch_to_flax import convert_unetseg
@@ -556,10 +601,11 @@ def run_jax(data_path, init_path, out_path, epochs):
         return jnp.asarray(x.transpose(0, 2, 3, 1))
 
     results = {}
-    for mode, batched in (("jax_folded", True), ("jax_seq", False)):
+    for mode, batched in _jax_modes():
         params, stats = convert_unetseg(init, (2, 2, 2, 2))
         model = SegCD(encoder_name="resnet18", classes=1,
-                      decoder_channels=DEC_CHANNELS, siamese_batched=batched)
+                      decoder_channels=DEC_CHANNELS, siamese_batched=batched,
+                      dtype=_model_dtype())
         state = TrainState.create_with_stats(
             apply_fn=model.apply,
             params=jax.tree_util.tree_map(jnp.asarray, params),
@@ -569,16 +615,16 @@ def run_jax(data_path, init_path, out_path, epochs):
         curve, t = [], 0
         for ep in range(epochs):
             for idx in order[ep]:
-                batch = {"A": nhwc(d["train_A"][idx]),
-                         "B": nhwc(d["train_B"][idx]),
+                batch = {"A": _image_nhwc(d["train_A"][idx]),
+                         "B": _image_nhwc(d["train_B"][idx]),
                          "label": nhwc(d["train_label"][idx])}
                 state, metrics = train_step(state, batch, jax.random.PRNGKey(t))
                 t += 1
             cm = np.zeros((2, 2), np.float64)
             for s in range(0, d["val_A"].shape[0], 8):
                 sl = slice(s, s + 8)
-                out = eval_step(state, {"A": nhwc(d["val_A"][sl]),
-                                        "B": nhwc(d["val_B"][sl]),
+                out = eval_step(state, {"A": _image_nhwc(d["val_A"][sl]),
+                                        "B": _image_nhwc(d["val_B"][sl]),
                                         "label": nhwc(d["val_label"][sl])})
                 cm += np.asarray(out["cm"], np.float64)
             f1, iou = _f1_iou(cm[1, 1], cm[0, 1], cm[1, 0])
@@ -611,7 +657,16 @@ def main(argv=None):
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--side", choices=["torch", "jax"], default=None,
                     help="internal: run one side in this process")
+    ap.add_argument("--deployed", action="store_true",
+                    help="jax side on the REAL TPU chip with the deployed "
+                         "perf stack (bf16, fused decoder, uint8 H2D); "
+                         "images pre-quantized to the uint8 grid for both "
+                         "sides. Run with --size 256 for the chip-scale "
+                         "parity evidence (VERDICT r2 item 2).")
     args = ap.parse_args(argv)
+
+    global DEPLOYED
+    DEPLOYED = args.deployed
 
     torch_fn = {1: run_torch_sup, 2: run_torch, 3: run_torch_semi}[args.stage]
     jax_fn = {1: run_jax_sup, 2: run_jax, 3: run_jax_semi}[args.stage]
@@ -630,10 +685,24 @@ def main(argv=None):
 
     gen_fn(data, args.n_train, args.n_val, args.size, args.epochs,
            args.bs, args.seed)
+    if args.deployed:
+        # snap images to the uint8 grid so the fp32 torch side and the
+        # uint8-shipping jax side consume bit-identical pixel values
+        d = dict(np.load(data))
+        for k in d:
+            if k.rsplit("_", 1)[-1] in ("A", "B", "CA", "CB", "img"):
+                d[k] = (np.round(d[k] * 255.0) / 255.0).astype(np.float32)
+        np.savez(data, **d)
+    # append (not replace) PYTHONPATH: the axon TPU plugin loads via the
+    # sitecustomize on the inherited path (CLAUDE.md) — required --deployed
+    inherited = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ,
-               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}")
+               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}"
+                          + (f":{inherited}" if inherited else ""))
     base = [sys.executable, os.path.abspath(__file__), "--workdir", wd,
             "--epochs", str(args.epochs), "--stage", str(args.stage)]
+    if args.deployed:
+        base.append("--deployed")
     for side in ("torch", "jax"):  # torch first: it writes init.npz
         subprocess.run(base + ["--side", side], env=env, cwd=REPO, check=True)
 
@@ -651,6 +720,25 @@ def main(argv=None):
             "contract": 0.1,
         }
         report["pass"] = report["delta_f1"] <= 0.1
+        print(json.dumps(report))
+        return report
+    if args.deployed:  # single jax mode: the deployed (folded) config
+        report = {
+            "stage": args.stage,
+            "deployed": True,
+            "size": args.size,
+            "torch_best_f1": torch_res["best_f1"],
+            "torch_best_iou": torch_res["best_iou"],
+            "jax_folded_best_f1": jax_res["jax_folded"]["best_f1"],
+            "jax_folded_best_iou": jax_res["jax_folded"]["best_iou"],
+            "delta_f1_folded": round(abs(torch_res["best_f1"]
+                                         - jax_res["jax_folded"]["best_f1"]),
+                                     4),
+            "torch_curve": torch_res["curve"],
+            "jax_curve": jax_res["jax_folded"]["curve"],
+            "contract": 0.1,
+        }
+        report["pass"] = report["delta_f1_folded"] <= 0.1
         print(json.dumps(report))
         return report
     report = {

@@ -49,6 +49,32 @@ def test_train_pse_cd_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_ffctl_cli(tmp_path):
+    """The reference's alternate train_ffctl loop (train_stcd.py:229-331,
+    dead in the ref's own live path): FFCDataset pairs labeled from
+    ff_label/, plain BCE_DICE(sigmoid(diff)) loss, FFCTLCD model."""
+    _make_tree(str(tmp_path))
+    for split in ("train", "val"):  # ff_label/ = generated pseudo labels
+        d = os.path.join(str(tmp_path), "LEVIR", split)
+        os.makedirs(os.path.join(d, "ff_label"), exist_ok=True)
+        for name in os.listdir(os.path.join(d, "label")):
+            os.link(os.path.join(d, "label", name),
+                    os.path.join(d, "ff_label", name))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STCD_FORCE_CPU="1")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_ffctl.py"),
+         "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+         "--CDdataset_name", "LEVIR", "--n_epochs", "1", "--batch_size", "2",
+         "--img_height", "32", "--img_width", "32", "--encoder", "resnet18",
+         "--decoder_channels", "16,12,8,6,4",
+         "--save_name", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "best cd IoU" in out.stdout
+    assert (tmp_path / "run" / "last_ckpt").exists()
+
+
+@pytest.mark.slow
 def test_train_pse_cd_cli_spatial(tmp_path):
     """--space_axis: the stage-2 script trains with image rows sharded
     over a 2(data) x 2(space) virtual-CPU mesh (spatial partitioning;
