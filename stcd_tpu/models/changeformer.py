@@ -126,15 +126,18 @@ class SRAttention(nn.Module):
         kv = kv.reshape(b, m, 2, self.num_heads, hd).transpose(2, 0, 3, 1, 4)
         k, v = kv[0], kv[1]
         scale = hd ** -0.5
+        from stcd_tpu.ops.attention import cross_attention
         if train and self.attn_drop > 0.0:
-            # attention-matrix dropout requires the materialized matrix
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                              preferred_element_type=jnp.float32) * scale
-            attn = jax.nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.attn_drop, deterministic=not train)(attn)
-            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+            # in-kernel attention-matrix dropout: a stateless hash mask
+            # recomputed in the fused forward AND backward (and matched
+            # bit-for-bit by the einsum fallback), so V6's real training
+            # config (attn_drop=0.1, ref :1682) rides the flash path —
+            # the (N, M) matrix/mask never touches HBM
+            seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32)
+            out = cross_attention(q, k, v, scale=scale,
+                                  dropout_rate=self.attn_drop,
+                                  dropout_seed=seed)
         else:
-            from stcd_tpu.ops.attention import cross_attention
             out = cross_attention(q, k, v, scale=scale)
         out = out.transpose(0, 2, 1, 3).reshape(b, h, w, c)
         out = nn.Dense(c, dtype=self.dtype, name="proj")(out)

