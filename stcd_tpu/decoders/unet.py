@@ -189,10 +189,16 @@ class UnetDecoder(nn.Module):
         if self.center:
             x = CenterBlock(head.shape[-1], use_batchnorm=self.use_batchnorm,
                             dtype=self.dtype, name="center")(x, train)
+        from stcd_tpu.parallel.mesh import constrain_spatial
         for i, out_ch in enumerate(self.decoder_channels):
             skip = skips[i] if i < len(skips) else None
+            prev_h = x.shape[1]
             x = DecoderBlock(out_ch, use_batchnorm=self.use_batchnorm,
                              attention_type=self.attention_type,
                              fused=self.fused, dtype=self.dtype,
                              name=f"block{i}")(x, skip, train)
+            # no-op unless a 'space' mesh is registered: pins each stage
+            # to the canonical spatial layout so GSPMD never picks the
+            # degenerate H-over-space conv partitioning (mesh.py)
+            x = constrain_spatial(x, prev_h=prev_h)
         return x

@@ -167,6 +167,42 @@ class Block(nn.Module):
         return x + DropPath(self.drop_path_rate, name="dp2")(h, train)
 
 
+class SegFormerStage(nn.Module):
+    """One MiT encoder stage (patch embed + blocks + norm) with child
+    names matching SegFormerEncoder's flat layout, so an encoder param
+    subset applies directly — the unit the heterogeneous GPipe pipelines
+    (parallel/pipeline.gpipe_hetero; VERDICT r2 item 5)."""
+
+    index: int  # 0-based stage
+    dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: int
+    sr_ratio: int
+    patch: int
+    stride: int
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dpr: Sequence[float] = ()
+    norm_eps: float = 1e-6
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        s = self.index
+        x = OverlapPatchEmbed(self.patch, self.stride, self.dim,
+                              dtype=self.dtype, name=f"patch_embed{s + 1}")(x)
+        for i in range(self.depth):
+            x = Block(self.num_heads, self.mlp_ratio, self.sr_ratio,
+                      self.qkv_bias, self.drop, self.attn_drop,
+                      self.dpr[i] if i < len(self.dpr) else 0.0,
+                      norm_eps=self.norm_eps, dtype=self.dtype,
+                      name=f"block{s + 1}_{i}")(x, train)
+        return nn.LayerNorm(epsilon=self.norm_eps, dtype=self.dtype,
+                            name=f"norm{s + 1}")(x)
+
+
 class SegFormerEncoder(nn.Module):
     """Parameterized MiT encoder covering EncoderTransformer (/4 first
     stride), EncoderTransformer_x2 (/2 first stride, 5 stages) and
@@ -187,9 +223,68 @@ class SegFormerEncoder(nn.Module):
     norm_eps: float = 1e-6  # Tenc/V5/V6 pass partial(LayerNorm, eps=1e-6);
     # V4's EncoderTransformer_x2 defaults to nn.LayerNorm (1e-5)
     dtype: Optional[Dtype] = None
+    # Optional heterogeneous-GPipe routing of the stage chain (beyond
+    # parity): dict(mesh=, n_micro=, stage_axis=) with the 'stage' axis
+    # sized len(embed_dims). None = sequential. Static hyperparameter:
+    # the SAME checkpoint runs either way (init always runs sequential).
+    pipeline: Optional[Any] = None
+
+    def _stage_cfg(self, s):
+        total = sum(self.depths)
+        dpr = [self.drop_path_rate * i / max(total - 1, 1)
+               for i in range(total)]
+        cur = sum(self.depths[:s])
+        return dict(
+            index=s, dim=self.embed_dims[s], depth=self.depths[s],
+            num_heads=self.num_heads[s], mlp_ratio=self.mlp_ratios[s],
+            sr_ratio=self.sr_ratios[s],
+            patch=self.first_patch if s == 0 else self.patch_size,
+            stride=self.first_stride if s == 0 else 2,
+            qkv_bias=self.qkv_bias, drop=self.drop_rate,
+            attn_drop=self.attn_drop_rate,
+            dpr=tuple(dpr[cur:cur + self.depths[s]]),
+            norm_eps=self.norm_eps, dtype=self.dtype)
+
+    def _pipelined(self, x, train) -> List[jax.Array]:
+        """Route the stage chain through gpipe_hetero: each mesh 'stage'
+        device owns one encoder stage; the carry grows the per-stage
+        feature tuple. Under train, each stage folds its own dropout key
+        from one base key (masks are then shared across microbatches of a
+        stage — valid dropout, noted deviation from sequential)."""
+        from stcd_tpu.parallel.pipeline import gpipe_hetero
+
+        cfg = dict(self.pipeline)
+        params = self.variables["params"]
+        n_stages = len(self.embed_dims)
+        needs_rng = train and (self.drop_rate > 0 or self.attn_drop_rate > 0
+                               or self.drop_path_rate > 0)
+        base_key = self.make_rng("dropout") if needs_rng else None
+        stage_fns, stage_params = [], []
+        for s in range(n_stages):
+            blk = SegFormerStage(**self._stage_cfg(s))
+            keys = ([f"patch_embed{s + 1}", f"norm{s + 1}"]
+                    + [f"block{s + 1}_{i}" for i in range(self.depths[s])])
+            sub = {"params": {k: params[k] for k in keys}}
+            if needs_rng:
+                sub["key"] = jax.random.fold_in(base_key, s)
+
+            def fn(p, carry, blk=blk):
+                rngs = {"dropout": p["key"]} if "key" in p else None
+                y = blk.apply({"params": p["params"]}, carry["x"], train,
+                              rngs=rngs)
+                return {"x": y, "feats": carry["feats"] + (y,)}
+
+            stage_fns.append(fn)
+            stage_params.append(sub)
+        out = gpipe_hetero(stage_fns, stage_params, {"x": x, "feats": ()},
+                           mesh=cfg["mesh"], n_micro=cfg["n_micro"],
+                           stage_axis=cfg.get("stage_axis", "stage"))
+        return list(out["feats"])
 
     @nn.compact
     def __call__(self, x, train=False) -> List[jax.Array]:
+        if self.pipeline is not None and not self.is_initializing():
+            return self._pipelined(x, train)
         total = sum(self.depths)
         dpr = [self.drop_path_rate * i / max(total - 1, 1) for i in range(total)]
         outs = []
@@ -466,6 +561,10 @@ class _SiamBase(nn.Module):
     output_nc: int = 2
     decoder_softmax: bool = False
     dtype: Optional[Dtype] = None
+    # Optional heterogeneous-GPipe routing of the MiT encoder stages
+    # (SegFormerEncoder.pipeline): dict(mesh=, n_micro=, stage_axis=).
+    # None = sequential; same checkpoint runs either way.
+    pipeline_encoder: Optional[Any] = None
 
     def encode_pair(self, enc, x1, x2, train):
         n = x1.shape[0]
@@ -524,7 +623,8 @@ class ChangeFormerV4(_SiamBase):
             embed_dims=(32, 64, 128, 320, 512), depths=(3, 3, 4, 12, 3),
             num_heads=(2, 2, 4, 8, 16), mlp_ratios=(2, 2, 2, 2, 2),
             sr_ratios=(8, 4, 2, 1, 1), first_patch=7, first_stride=2,
-            qkv_bias=False, norm_eps=1e-5, dtype=self.dtype, name="Tenc_x2")
+            qkv_bias=False, norm_eps=1e-5, dtype=self.dtype,
+            pipeline=self.pipeline_encoder, name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerX2(256, self.output_nc, self.decoder_softmax,
                                     dtype=self.dtype, name="TDec_x2")(f1, f2, train)
@@ -546,7 +646,8 @@ class ChangeFormerV5(_SiamBase):
             embed_dims=(64, 128, 320, 512), depths=(3, 6, 16, 3),
             num_heads=(1, 2, 5, 8), sr_ratios=(8, 4, 2, 1), first_patch=7,
             first_stride=4, patch_size=3, qkv_bias=True, drop_path_rate=0.1,
-            dtype=self.dtype, name="Tenc_x2")
+            dtype=self.dtype, pipeline=self.pipeline_encoder,
+            name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerV3(self.embed_dim, self.output_nc,
                                     self.decoder_softmax, dtype=self.dtype,
@@ -566,7 +667,7 @@ class ChangeFormerV6(_SiamBase):
             num_heads=(1, 2, 4, 8), sr_ratios=(8, 4, 2, 1), first_patch=7,
             first_stride=4, patch_size=7, qkv_bias=True, drop_rate=0.1,
             attn_drop_rate=0.1, drop_path_rate=0.1, dtype=self.dtype,
-            name="Tenc_x2")
+            pipeline=self.pipeline_encoder, name="Tenc_x2")
         f1, f2 = self.encode_pair(enc, x1, x2, train)
         return DecoderTransformerV3(self.embed_dim, self.output_nc,
                                     self.decoder_softmax, dtype=self.dtype,

@@ -97,7 +97,9 @@ class _EncDecHead(PredictMixin, nn.Module):
 
     def encode(self, x, train=False):
         self.check_input_shape(x)
-        return self.encoder(x, train)
+        from stcd_tpu.parallel.mesh import constrain_spatial
+        # no-op unless a 'space' mesh is registered (VERDICT r2 item 3)
+        return [constrain_spatial(f) for f in self.encoder(x, train)]
 
     def decode(self, features, train=False):
         return self.decoder(features, train)

@@ -55,6 +55,58 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# --- spatial-partitioning activation constraints (VERDICT r2 item 3) ---
+# Under a 'space' axis > 1, GSPMD left to its own devices re-shards the
+# encoder bottleneck (H collapsed to 1) into a degenerate H-over-space +
+# batch-replicated layout for the first decoder transposed-conv, hitting
+# an "Involuntary full rematerialization" (spmd_partitioner.cc:652,
+# MULTICHIP_r02.json). The fix: models pin NHWC activations to
+# P('data', 'space') wherever every space-shard keeps >= 2 rows, and to
+# P('data') (space-replicated) at the tiny deep maps — so space-sharded
+# activations never bounce through a conv-spatial-partitioned layout.
+# Disabled (no-op) unless the run registers its mesh here.
+
+_SPATIAL_MESH: Optional[Mesh] = None
+
+
+def set_spatial_mesh(mesh: Optional[Mesh]) -> None:
+    """Enable `constrain_spatial` inside model code for this process.
+    Call with the active mesh when its 'space' axis > 1 (scripts/common.py
+    make_mesh and the driver dryrun do); None — or a mesh without a real
+    'space' axis — disables (the default: zero effect on 1-axis runs)."""
+    global _SPATIAL_MESH
+    if mesh is not None and dict(mesh.shape).get("space", 1) > 1:
+        _SPATIAL_MESH = mesh
+    else:
+        _SPATIAL_MESH = None
+
+
+def constrain_spatial(x, prev_h: Optional[int] = None):
+    """Pin a (traced) NHWC activation to the canonical spatial-partition
+    layout; identity when no spatial mesh is registered or x is not 4-D.
+
+    ``prev_h``: the producing block's INPUT height. When that input was
+    too short to space-shard (H %% space != 0, e.g. the 1-row encoder
+    bottleneck) the producing conv must run batch-parallel on both sides
+    — so the output is first pinned to P('data') and only the copy is
+    re-pinned to P('data', 'space'). The space transition then happens on
+    an elementwise copy (a local slice) instead of through the conv's
+    spatial partitioner, which is what triggered the involuntary-full-
+    rematerialization resharding (spmd_partitioner.cc:652)."""
+    m = _SPATIAL_MESH
+    if m is None or getattr(x, "ndim", 0) != 4:
+        return x
+    sp = m.shape["space"]
+    if x.shape[1] % sp != 0:  # too short to split: replicate over 'space'
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(m, P("data")))
+    if prev_h is not None and prev_h % sp != 0:
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(m, P("data")))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(m, P("data", "space")))
+
+
 # Attention projections that split the (heads * head_dim) inner dim over
 # 'model' (column parallel: each device computes its share of heads), and
 # output projections that consume the sharded inner dim (row parallel:

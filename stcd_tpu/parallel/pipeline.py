@@ -37,6 +37,7 @@ from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -133,6 +134,134 @@ def gpipe(block_fn: Callable[[Any, Any], Any], stacked_params, act, *,
 
 
 # ---------------------------------------------------------------------------
+# Heterogeneous GPipe (VERDICT r2 item 5): per-stage DISTINCT functions,
+# params and activation shapes — the mit encoder's 4 downsampling stages,
+# ViG's [2,2,6,2] stacks — where the homogeneous gpipe() above cannot go.
+# ---------------------------------------------------------------------------
+
+
+def _flat_size(shapes) -> int:
+    return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes))
+
+
+def _pack_to(tree, bmax: int):
+    """Flatten a pytree of arrays into one f32 vector padded to bmax."""
+    flats = [jnp.ravel(l).astype(jnp.float32)
+             for l in jax.tree_util.tree_leaves(tree)]
+    flat = jnp.concatenate(flats) if len(flats) > 1 else flats[0]
+    return jnp.pad(flat, (0, bmax - flat.shape[0]))
+
+
+def _unpack_from(flat, shapes, lead: int = 0):
+    """Inverse of _pack_to against a pytree of ShapeDtypeStructs. With
+    ``lead`` > 0, ``flat`` has that many leading (e.g. microbatch) dims
+    kept intact and the element layout is sliced along the last axis."""
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    out, off = [], 0
+    for l in leaves:
+        n = int(np.prod(l.shape))
+        sl = flat[..., off:off + n] if lead else flat[off:off + n]
+        out.append(sl.reshape(flat.shape[:lead] + tuple(l.shape))
+                   .astype(l.dtype))
+        off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
+                 stage_params: Sequence[Any], act, *, mesh: Mesh,
+                 n_micro: int, stage_axis: str = "stage"):
+    """S-stage GPipe over per-stage DISTINCT stage_fns/stage_params.
+
+    stage_fns[s](stage_params[s], act_s) -> act_{s+1}; activation pytrees
+    may change structure/shape/dtype at every boundary (the per-boundary
+    shapes are derived once with jax.eval_shape). Inter-stage transport is
+    one f32 ring buffer of the max boundary size, ppermuted to the next
+    stage each tick — every stage device runs the same program and
+    lax.switch selects its own branch, so the pipeline stays SPMD and
+    composes with GSPMD 'data'/'model' axes exactly like gpipe().
+
+    stage_params are passed replicated (every device holds all stages —
+    acceptable at this zoo's param sizes; the pipeline's memory win is on
+    activations). Differentiable end-to-end: switch/ppermute/scan all
+    carry transposes, so jax.grad gives the mirrored backward pipeline
+    (tests/test_pipeline_parallel.py pins fwd+grad equality for a
+    4-stage heterogeneous chain).
+
+    S = mesh.shape[stage_axis] must equal len(stage_fns); B % n_micro == 0.
+    With S == 1 this reduces to sequentially applying the stages.
+    """
+    s = mesh.shape[stage_axis]
+    assert len(stage_fns) == len(stage_params), "fns/params length mismatch"
+    if s == 1:  # no pipeline axis: plain sequential application
+        for fn, p in zip(stage_fns, stage_params):
+            act = fn(p, act)
+        return act
+    assert len(stage_fns) == s, (
+        f"{len(stage_fns)} stages != {s} devices on '{stage_axis}'")
+
+    xs = _microbatch(act, n_micro)
+    mb_tmpl = jax.tree_util.tree_map(lambda a: a[0], xs)
+    shapes = [jax.eval_shape(lambda a: a, mb_tmpl)]
+    for fn, p in zip(stage_fns, stage_params):
+        shapes.append(jax.eval_shape(fn, p, shapes[-1]))
+    bmax = max(_flat_size(sh) for sh in shapes)
+    out_shapes = shapes[-1]
+
+    # pre-pack the microbatched input: (n_micro, bmax)
+    xs_flat = jnp.stack([
+        _pack_to(jax.tree_util.tree_map(lambda a, i=i: a[i], xs), bmax)
+        for i in range(n_micro)])
+
+    def spmd(params, xs_flat):
+        stage = lax.axis_index(stage_axis)
+        n_ticks = n_micro + s - 1
+        vary = lambda v: lax.pcast(v, stage_axis, to="varying")
+        # pcast the replicated inputs to stage-varying HERE, outside the
+        # scan and the per-stage lax.switch: the pcast transpose is a
+        # psum over 'stage', and a psum born inside a switch branch would
+        # execute on only the devices taking that branch — a mismatched
+        # collective that aborts the backward (hit on XLA:CPU).
+        params = jax.tree_util.tree_map(vary, params)
+        xs_flat = vary(xs_flat)
+        zero = vary(jnp.zeros((bmax,), jnp.float32))
+        out0 = vary(jnp.zeros((n_micro, bmax), jnp.float32))
+        ring = [(i, (i + 1) % s) for i in range(s)]
+
+        def branch(si):
+            def run(feed_flat):
+                a = _unpack_from(feed_flat, shapes[si])
+                y = stage_fns[si](params[si], a)
+                return _pack_to(y, bmax)
+            return run
+
+        branches = [branch(si) for si in range(s)]
+
+        def tick(carry, t):
+            recv, out = carry
+            idx = jnp.minimum(t, n_micro - 1)
+            feed = jnp.where(stage == 0, xs_flat[idx], recv)
+            y = lax.switch(stage, branches, feed)
+            slot = t - (s - 1)
+            write = jnp.logical_and(stage == s - 1, slot >= 0)
+            sl = jnp.maximum(slot, 0)
+            out = out.at[sl].set(jnp.where(write, y, out[sl]))
+            nxt = lax.ppermute(y, stage_axis, ring)
+            return (nxt, out), None
+
+        (_, out), _ = lax.scan(tick, (zero, out0), jnp.arange(n_ticks))
+        return lax.psum(out, stage_axis)
+
+    in_specs = (jax.tree_util.tree_map(lambda _: P(), tuple(stage_params)),
+                P())
+    out_flat = jax.shard_map(spmd, mesh=mesh, in_specs=in_specs,
+                             out_specs=P(),
+                             axis_names=frozenset({stage_axis}))(
+        tuple(stage_params), xs_flat)
+    per_micro = _unpack_from(out_flat, out_shapes, lead=1)
+    return _unmicrobatch(per_micro)
+
+
+# ---------------------------------------------------------------------------
 # BIT TransformerDecoder pipelining (ref models/help_funcs.py:170-186;
 # networks.py '_dd8' configs run dec_depth=8 identical cross-attn blocks).
 # ---------------------------------------------------------------------------
@@ -175,6 +304,35 @@ def pipelined_decoder_apply(dec, dec_params, x, m, *, mesh: Mesh,
     out, _ = gpipe(block_fn, stacked, (x, m), mesh=mesh, n_micro=n_micro,
                    stage_axis=stage_axis)
     return out
+
+
+def changeformer_pipeline_forward(model, variables, x1, x2, *, mesh: Mesh,
+                                  n_micro: int, train: bool = False,
+                                  rngs=None, stage_axis: str = "stage"):
+    """ChangeFormer V4/V5/V6 forward with the MiT encoder's stages run as
+    a heterogeneous GPipe pipeline over ``mesh[stage_axis]`` (whose size
+    must equal the encoder's stage count — 4 for V5/V6, 5 for V4).
+
+    Thin wrapper like ``bit_pipeline_forward``: clones the model with
+    ``pipeline_encoder`` set so the ONE forward implementation routes
+    SegFormerEncoder through ``gpipe_hetero`` (models/changeformer.py
+    SegFormerEncoder._pipelined); the decoder and every other branch stay
+    the model's own code. Any checkpoint runs pipelined unchanged.
+    Eval-mode equality with ``model.apply`` is pinned by
+    tests/test_pipeline_parallel.py; under train, per-stage dropout keys
+    fold from one base key (masks shared across microbatches — valid
+    dropout, a documented deviation from the sequential RNG stream).
+
+    Returns preds (train=False) or (preds, new_batch_stats) (train=True;
+    the BatchNorms live in the decoder, outside the pipeline).
+    """
+    pmodel = model.clone(pipeline_encoder={
+        "mesh": mesh, "n_micro": n_micro, "stage_axis": stage_axis})
+    if train:
+        out, mut = pmodel.apply(variables, x1, x2, True,
+                                mutable=["batch_stats"], rngs=rngs)
+        return out, mut["batch_stats"]
+    return pmodel.apply(variables, x1, x2)
 
 
 def bit_pipeline_forward(model, variables, x1, x2, *, mesh: Mesh,

@@ -199,23 +199,37 @@ class CDTrainer:
         pp_fwd = None
         if self.cfg.pp_stages > 1:
             from stcd_tpu.models.bit import BASETransformer
+            from stcd_tpu.models.changeformer import _SiamBase
             from stcd_tpu.parallel.mesh import create_mesh
-            from stcd_tpu.parallel.pipeline import bit_pipeline_forward
+            from stcd_tpu.parallel.pipeline import (
+                bit_pipeline_forward, changeformer_pipeline_forward)
 
-            if not isinstance(model, BASETransformer):
-                raise NotImplementedError(
-                    "pp_stages > 1 pipelines the BIT transformer-decoder "
-                    f"stack; net_G={self.cfg.net_G!r} has no homogeneous "
-                    "block stack to pipeline (use the 'data'/'space' axes)")
             n_micro = self.cfg.pp_microbatches or self.cfg.pp_stages
             mesh = create_mesh(
                 data=len(jax.devices()) // self.cfg.pp_stages,
                 stage=self.cfg.pp_stages)
 
-            def pp_fwd(params, batch_stats, a, b, train):
-                return bit_pipeline_forward(
-                    model, {"params": params, "batch_stats": batch_stats},
-                    a, b, mesh=mesh, n_micro=n_micro, train=train)
+            if isinstance(model, BASETransformer):
+                def pp_fwd(params, batch_stats, a, b, train, rng=None):
+                    return bit_pipeline_forward(
+                        model, {"params": params, "batch_stats": batch_stats},
+                        a, b, mesh=mesh, n_micro=n_micro, train=train)
+            elif isinstance(model, _SiamBase):
+                # ChangeFormer V4/V5/V6: heterogeneous GPipe over the MiT
+                # encoder's stages (VERDICT r2 item 5); pp_stages must
+                # equal the encoder stage count (4; V4: 5)
+                def pp_fwd(params, batch_stats, a, b, train, rng=None):
+                    out = changeformer_pipeline_forward(
+                        model, {"params": params, "batch_stats": batch_stats},
+                        a, b, mesh=mesh, n_micro=n_micro, train=train,
+                        rngs=None if rng is None else {"dropout": rng})
+                    return out
+            else:
+                raise NotImplementedError(
+                    "pp_stages > 1 pipelines the BIT transformer-decoder "
+                    "stack or the ChangeFormer MiT encoder stages; "
+                    f"net_G={self.cfg.net_G!r} has neither (use the "
+                    "'data'/'space' axes)")
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def train_step(state, a, b, label, rng):
@@ -228,7 +242,7 @@ class CDTrainer:
             def loss_fn(params):
                 if pp_fwd is not None:
                     preds, new_stats = pp_fwd(params, state.batch_stats,
-                                              a, b, True)
+                                              a, b, True, drop_rng)
                     mutated = {"batch_stats": new_stats}
                 else:
                     preds, mutated = state.apply_fn(

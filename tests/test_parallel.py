@@ -239,7 +239,16 @@ def test_spatial_partition_matches_single_device(setup):
     # the input really is split into 8-row strips across 'space'
     a_shard_shape = batch_sharded["A"].addressable_shards[0].data.shape
     assert a_shard_shape == (4, 8, 32, 3)
-    s2, out2 = train_step(state2, batch_sharded, jax.random.PRNGKey(3))
+    from stcd_tpu.parallel.mesh import set_spatial_mesh
+    set_spatial_mesh(mesh)  # exercise the constrain_spatial layout pins
+    try:
+        # fresh step builder: the flag is read at TRACE time, and the
+        # earlier single-placement call already traced train_step
+        train_step_sp, _ = make_cd_steps(model, augment=False)
+        s2, out2 = train_step_sp(state2, batch_sharded,
+                                 jax.random.PRNGKey(3))
+    finally:
+        set_spatial_mesh(None)
 
     # looser than the DP/TP checks: splitting H changes the ORDER of the
     # BN-stat / loss-mean reductions (per-strip partials then a psum), so

@@ -246,3 +246,184 @@ def test_cdtrainer_pp_stages_rejects_cnn():
     cfg = TrainerConfig(net_G="SiamUnet_abs", img_size=32, pp_stages=2)
     with pytest.raises(NotImplementedError):
         CDTrainer(cfg, loaders)
+
+
+# ------------------------- heterogeneous GPipe (VERDICT r2 item 5) ----------
+
+def _hetero_setup(batch=8):
+    """4 DISTINCT stages with changing activation shapes/structures: a
+    downsampling conv-ish chain like the mit encoder's stages —
+    (B,8,8,4) -> (B,4,4,8) -> (B,2,2,16) -> dict(x,(B,2,2,16),pooled
+    (B,16)) -> (B,8)."""
+    k = jax.random.split(jax.random.PRNGKey(0), 8)
+    params = [
+        {"w": jax.random.normal(k[0], (4, 8)) * 0.4},
+        {"w": jax.random.normal(k[1], (8, 16)) * 0.4,
+         "b": jnp.ones((16,)) * 0.1},
+        {"w": jax.random.normal(k[2], (16, 16)) * 0.4},
+        {"w": jax.random.normal(k[3], (16, 8)) * 0.4},
+    ]
+
+    def s0(p, x):  # (B,8,8,4) -> (B,4,4,8): 2x2 mean-pool + channel mix
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        return jnp.tanh(x @ p["w"])
+
+    def s1(p, x):  # (B,4,4,8) -> (B,2,2,16)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))
+        return jnp.tanh(x @ p["w"] + p["b"])
+
+    def s2(p, x):  # (B,2,2,16) -> dict: structure change mid-pipeline
+        y = jnp.tanh(x @ p["w"]) + x
+        return {"x": y, "pooled": y.mean(axis=(1, 2))}
+
+    def s3(p, d):  # dict -> (B,8)
+        return d["pooled"] @ p["w"] + d["x"].sum(axis=(1, 2, 3))[:, None]
+
+    x0 = jax.random.normal(jax.random.PRNGKey(9), (batch, 8, 8, 4))
+    return [s0, s1, s2, s3], params, x0
+
+
+@pytest.mark.parametrize("n_micro", [2, 4])
+def test_gpipe_hetero_forward_matches_sequential(n_micro):
+    from stcd_tpu.parallel.pipeline import gpipe_hetero
+    fns, params, x0 = _hetero_setup()
+    ref = x0
+    for f, p in zip(fns, params):
+        ref = f(p, ref)
+    mesh = create_mesh(stage=4)
+    out = jax.jit(lambda ps, a: gpipe_hetero(fns, ps, a, mesh=mesh,
+                                             n_micro=n_micro))(params, x0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gpipe_hetero_grads_match_sequential():
+    from stcd_tpu.parallel.pipeline import gpipe_hetero
+    fns, params, x0 = _hetero_setup()
+    mesh = create_mesh(stage=4)
+
+    def loss_seq(ps):
+        a = x0
+        for f, p in zip(fns, ps):
+            a = f(p, a)
+        return jnp.sum(a ** 2)
+
+    def loss_pp(ps):
+        return jnp.sum(gpipe_hetero(fns, ps, x0, mesh=mesh, n_micro=4) ** 2)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_seq))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_gpipe_hetero_composes_with_data_parallel():
+    from stcd_tpu.parallel.pipeline import gpipe_hetero
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    fns, params, x0 = _hetero_setup()
+    mesh = create_mesh(data=2, stage=4)
+    ref = x0
+    for f, p in zip(fns, params):
+        ref = f(p, ref)
+    xsh = jax.device_put(x0, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda ps, a: gpipe_hetero(fns, ps, a, mesh=mesh,
+                                             n_micro=2))(params, xsh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gpipe_hetero_single_stage_reduces_to_sequential():
+    from stcd_tpu.parallel.pipeline import gpipe_hetero
+    fns, params, x0 = _hetero_setup()
+    mesh = create_mesh(stage=1)
+    ref = x0
+    for f, p in zip(fns, params):
+        ref = f(p, ref)
+    out = gpipe_hetero(fns, params, x0, mesh=mesh, n_micro=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_segformer_encoder_pipeline_matches_sequential():
+    """The MiT encoder with its 4 heterogeneous stages run as a GPipe
+    pipeline (SegFormerEncoder.pipeline -> gpipe_hetero) must reproduce
+    the sequential forward exactly in eval mode, and its grads."""
+    from stcd_tpu.models.changeformer import SegFormerEncoder
+
+    enc = SegFormerEncoder(embed_dims=(8, 12, 16, 24), depths=(1, 1, 2, 1),
+                           num_heads=(1, 2, 2, 4), sr_ratios=(4, 2, 2, 1),
+                           mlp_ratios=(2, 2, 2, 2))
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    v = enc.init(jax.random.PRNGKey(1), x)
+    ref = enc.apply(v, x)
+
+    mesh = create_mesh(data=2, stage=4)
+    penc = enc.clone(pipeline={"mesh": mesh, "n_micro": 2})
+    out = jax.jit(lambda p, a: penc.apply({"params": p}, a))(v["params"], x)
+    assert len(out) == len(ref) == 4
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+    def loss_seq(p):
+        return sum(jnp.mean(o ** 2) for o in enc.apply({"params": p}, x))
+
+    def loss_pp(p):
+        return sum(jnp.mean(o ** 2) for o in penc.apply({"params": p}, x))
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_seq))(v["params"])
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(v["params"])
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for (k1, a), b2 in zip(jax.tree_util.tree_leaves_with_path(g1),
+                           jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k1))
+
+
+@pytest.mark.slow
+def test_cdtrainer_pp_stages_changeformer(tmp_path):
+    """CDTrainer(pp_stages=4) with net_G=ChangeFormerV6: the encoder
+    pipeline trains (finite loss, params move) and eval logits equal the
+    sequential trainer's (VERDICT r2 item 5 wiring criterion)."""
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.train.trainer import CDTrainer, TrainerConfig
+
+    ds = SyntheticCDDataset(length=4, size=32)
+    loaders = {"train": DataLoader(ds, 4, prefetch=0),
+               "val": DataLoader(ds, 4, prefetch=0)}
+
+    def make(pp):
+        cfg = TrainerConfig(net_G="ChangeFormerV6", n_class=2,
+                            img_size=32, max_epochs=1, loss="ce",
+                            optimizer="adam", lr=1e-3, seed=11,
+                            checkpoint_dir=str(tmp_path / f"ck{pp}"),
+                            pp_stages=pp, pp_microbatches=2 if pp > 1 else 0)
+        return CDTrainer(cfg, loaders)
+
+    t_seq, t_pp = make(1), make(4)
+    batch = next(iter(loaders["train"]))
+    a = jnp.asarray(batch["A"])
+    b = jnp.asarray(batch["B"])
+    label = jnp.asarray(batch["label"]).astype(jnp.float32)
+
+    s_seq = t_seq._init_state()
+    s_pp = t_pp._init_state()
+    f_seq, _ = t_seq.eval_step(s_seq, a, b, label)
+    f_pp, _ = t_pp.eval_step(s_pp, a, b, label)
+    np.testing.assert_allclose(np.asarray(f_pp), np.asarray(f_seq),
+                               rtol=2e-4, atol=2e-4)
+
+    rng = jax.random.PRNGKey(0)
+    s_pp, loss_pp, cm_pp = t_pp.train_step(s_pp, a, b, label, rng)
+    assert np.isfinite(float(loss_pp))
+    moved = jax.tree_util.tree_map(
+        lambda p0, p1: float(jnp.max(jnp.abs(p0 - p1))),
+        t_pp._init_state().params, s_pp.params)
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
