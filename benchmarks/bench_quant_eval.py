@@ -52,6 +52,18 @@ def main():
         def fwd(xa, xb):
             return model.apply(variables, eval_preprocess(xa),
                                eval_preprocess(xb), False)[-1]
+    elif MODEL not in ("segcd",):
+        # bespoke-zoo sweep (VERDICT r2 item 9): any define_G net_G key
+        from stcd_tpu.models.factory import define_G
+
+        model = define_G(MODEL, n_class=2, img_size=SIZE,
+                         dtype=jnp.bfloat16)
+        variables = model.init(jax.random.PRNGKey(0), a[:2], b[:2])
+
+        def fwd(xa, xb):
+            out = model.apply(variables, eval_preprocess(xa),
+                              eval_preprocess(xb))
+            return out[-1] if isinstance(out, (list, tuple)) else out
     else:
         model = SegCD(encoder_name="resnet50", classes=1,
                       decoder_channels=(256, 128, 64, 32, 16),

@@ -54,10 +54,18 @@ class BatchingEngine:
 
     def __init__(self, predict_fn: Callable, tile: int = 256,
                  stride: Optional[int] = None, batch: int = 8,
-                 max_wait_ms: float = 5.0, timeout_s: float = 120.0):
+                 max_wait_ms: float = 5.0, timeout_s: float = 120.0,
+                 sharding=None):
+        """``sharding``: optional jax.sharding.Sharding for the device
+        batch (VERDICT r2 item 7 — mesh-sharded serving). Each fixed-size
+        tile batch is placed with it before the jitted step, so one
+        server process drives every chip of a slice (the same 'data'-axis
+        placement scripts/predict.py uses); ``batch`` must divide by the
+        sharded axis. None = single-device placement (the default)."""
         self.predict_fn = predict_fn
         self.tile = tile
         self.stride = stride or tile
+        self.sharding = sharding
         self.batch = batch
         self.max_wait_s = max_wait_ms / 1e3
         self.timeout_s = timeout_s
@@ -156,8 +164,13 @@ class BatchingEngine:
                     zeros = np.zeros((pad,) + a.shape[1:], a.dtype)
                     a = np.concatenate([a, zeros])
                     b = np.concatenate([b, zeros])
-                probs = np.asarray(self.predict_fn(jnp.asarray(a),
-                                                   jnp.asarray(b)))
+                if self.sharding is not None:
+                    import jax
+                    da = jax.device_put(a, self.sharding)
+                    db = jax.device_put(b, self.sharding)
+                else:
+                    da, db = jnp.asarray(a), jnp.asarray(b)
+                probs = np.asarray(self.predict_fn(da, db))
             except Exception as exc:  # surface device/assembly errors
                 with self._lock:
                     self.stats["errors"] += 1
@@ -191,6 +204,9 @@ class BatchingEngine:
             if s["batches"] else 0.0)
         s["request_latency_ms"] = req_lat
         s["step_ms"] = step
+        s["mesh_sharded"] = self.sharding is not None
+        s["devices"] = (len(self.sharding.mesh.devices.flat)
+                        if self.sharding is not None else 1)
         return s
 
 

@@ -315,3 +315,102 @@ def test_quantized_trained_segcd_f1():
 
     assert f1_float > 0.5, f1_float  # the model actually learned
     assert abs(f1_q - f1_float) <= 0.02, (f1_float, f1_q)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("net_G", ["Unet", "SiamUnet_abs", "SiamUnet_conc",
+                                   "DTCDSCN", "SNUNet"])
+def test_quantized_zoo_f1(net_G):
+    """Bespoke-zoo serving gate (VERDICT r2 item 9): short-train each
+    net_G on the synthetic CD task, then the int8-quantized eval must
+    (a) agree with the float decision map on >= 95% of pixels and
+    (b) reproduce the float F1 within 0.03 whenever the model learned
+    (float F1 >= 0.4). Chip throughput for the same sweep lives in
+    BASELINE.md (benchmarks/bench_quant_eval.py <net_G>)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "benchmarks"))
+    import optax
+    from convergence_parity import _f1_iou, _gen_pair
+
+    from stcd_tpu.data.augment import eval_preprocess
+    from stcd_tpu.losses.functional import cross_entropy
+    from stcd_tpu.models.factory import define_G
+
+    rng = np.random.default_rng(7)
+    size, n_train, n_val, bs = 32, 16, 8, 4
+    tr = [_gen_pair(rng, size) for _ in range(n_train)]
+    va = [_gen_pair(rng, size) for _ in range(n_val)]
+
+    def nhwc(chw_list, i):
+        return jnp.asarray(np.stack([t[i] for t in chw_list])
+                           .transpose(0, 2, 3, 1))
+
+    tr_a, tr_b, tr_l = nhwc(tr, 0), nhwc(tr, 1), nhwc(tr, 2)
+    va_a, va_b, va_l = nhwc(va, 0), nhwc(va, 1), nhwc(va, 2)
+
+    model = define_G(net_G, n_class=2, img_size=size)
+    variables = model.init(jax.random.PRNGKey(0), tr_a[:bs], tr_b[:bs])
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, a, b, lab, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                eval_preprocess(a), eval_preprocess(b), True,
+                mutable=["batch_stats"], rngs={"dropout": key})
+            logits = out[-1] if isinstance(out, (list, tuple)) else out
+            return cross_entropy(logits, lab.astype(jnp.int32)), mut
+        (loss, mut), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates),
+                mut["batch_stats"], opt_state, loss)
+
+    t = 0
+    for _ in range(3):
+        for s in range(0, n_train, bs):
+            params, batch_stats, opt_state, loss = step(
+                params, batch_stats, opt_state, tr_a[s:s + bs],
+                tr_b[s:s + bs], tr_l[s:s + bs], jax.random.PRNGKey(t))
+            t += 1
+    assert np.isfinite(float(loss))
+
+    final = {"params": params, "batch_stats": batch_stats}
+
+    def fwd(a, b):
+        out = model.apply(final, eval_preprocess(a), eval_preprocess(b))
+        return out[-1] if isinstance(out, (list, tuple)) else out
+
+    def decide(logits):
+        arr = np.asarray(logits, np.float32)
+        if arr.shape[-1] == 1:
+            return (1.0 / (1.0 + np.exp(-arr[..., 0]))) > 0.5
+        return arr.argmax(-1) == 1
+
+    def f1_of(mask):
+        lab = np.asarray(va_l[..., 0]) > 0.5
+        tp = float(np.sum(mask & lab))
+        fp = float(np.sum(mask & ~lab))
+        fn = float(np.sum(~mask & lab))
+        return _f1_iou(tp, fp, fn)[0]
+
+    float_logits = fwd(va_a, va_b)
+    scales = calibrate_conv_scales(fwd, [(tr_a[:8], tr_b[:8])])
+    assert int(np.isfinite(scales).sum()) > 0, "no conv site quantized"
+    q_logits = jax.jit(quantize_fn(fwd, scales))(va_a, va_b)
+
+    m_f, m_q = decide(float_logits), decide(q_logits)
+    agreement = float(np.mean(m_f == m_q))
+    # 0.95, not higher: a 12-iteration model still has near-tie pixels
+    # whose decisions flip under int8 rounding (the SegCD test above
+    # documents the same); the F1-delta gate below is the real contract
+    assert agreement >= 0.95, (net_G, agreement)
+    f1_f, f1_q = f1_of(m_f), f1_of(m_q)
+    if f1_f >= 0.4:
+        assert abs(f1_q - f1_f) <= 0.03, (net_G, f1_f, f1_q)
