@@ -93,6 +93,13 @@ def base_parser(dataset_default: str, save_default: str) -> argparse.ArgumentPar
                         "drop below one image; data_axis x space_axis "
                         "devices are used. Forces the jnp augmentation path "
                         "(the fused Pallas kernel is batch-partitioned only)")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="tensor-parallel mesh size: shard wide conv kernels "
+                        "and transformer attention/MLP Dense kernels over "
+                        "this many devices (Megatron column/row layout, "
+                        "parallel/mesh.py param_sharding); a memory lever — "
+                        "prefer pure DP until HBM forces sharding "
+                        "(docs/SCALING.md)")
     return p
 
 
@@ -131,6 +138,7 @@ def configure_host_transfer(args) -> None:
 def make_mesh(args):
     from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
     space = getattr(args, "space_axis", 1) or 1
+    model = getattr(args, "model_axis", 1) or 1
     if space > 1:
         # the fused Pallas augmentation kernel partitions over batch only;
         # under a spatial sharding GSPMD would all-gather H around it, so
@@ -138,16 +146,17 @@ def make_mesh(args):
         from stcd_tpu.data.augment import set_pallas_augment
         set_pallas_augment("off")
     n_dev = len(jax.devices())
-    if space > n_dev:
+    if space * model > n_dev:
         raise SystemExit(
-            f"--space_axis {space} exceeds the {n_dev} available device(s)")
-    data = args.data_axis or n_dev // space
-    n = data * space
+            f"--space_axis {space} x --model_axis {model} exceeds the "
+            f"{n_dev} available device(s)")
+    data = args.data_axis or n_dev // (space * model)
+    n = data * space * model
     if n > n_dev:
         raise SystemExit(
-            f"--data_axis {data} x --space_axis {space} = {n} devices "
-            f"> {n_dev} available")
-    mesh = create_mesh(data=data, model=1, space=space,
+            f"--data_axis {data} x --model_axis {model} x --space_axis "
+            f"{space} = {n} devices > {n_dev} available")
+    mesh = create_mesh(data=data, model=model, space=space,
                        devices=jax.devices()[:n])
     if space > 1:
         # pin the canonical P('data','space') activation layout inside
@@ -156,3 +165,18 @@ def make_mesh(args):
         from stcd_tpu.parallel.mesh import set_spatial_mesh
         set_spatial_mesh(mesh)
     return mesh, batch_sharding(mesh, spatial=space > 1)
+
+
+def place_state(mesh, state):
+    """Place a fresh TrainState onto ``mesh``: params through the
+    tensor-parallel sharding map (replication when model axis == 1),
+    batch_stats/opt_state replicated. No-op cost on a 1-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.parallel.mesh import param_sharding
+    repl = NamedSharding(mesh, P())
+    return state.replace(
+        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+    )

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from scripts.common import (base_parser, configure_host_transfer, make_mesh,
-                            resume_and_guard)
+                            place_state, resume_and_guard)
 from stcd_tpu.data.datasets import CDDataset, LEVIRDataset
 from stcd_tpu.data.loader import DataLoader
 from stcd_tpu.models import SegCD
@@ -101,6 +101,7 @@ def main():
         return
 
     state, run_kwargs = resume_and_guard(args, state)
+    state = place_state(mesh, state)  # TP/replicated placement on the mesh
     state, best, history = run_training(
         train_step, eval_step, state, train_loader, val_loader,
         n_epochs=args.n_epochs, save_dir=args.save_name, rng=rng,

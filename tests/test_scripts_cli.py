@@ -49,6 +49,28 @@ def test_train_pse_cd_cli(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_pse_cd_cli_tensor_parallel(tmp_path):
+    """--model_axis: stage-2 training with the tensor-parallel sharding
+    map (wide conv kernels + transformer Dense rules over 'model';
+    scripts/common.place_state) on a 2(data) x 2(model) virtual mesh."""
+    _make_tree(str(tmp_path))
+    env = dict(os.environ, JAX_PLATFORMS="cpu", STCD_FORCE_CPU="1",
+               STCD_CPU_DEVICES="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_pse_cd.py"),
+         "--root_path", str(tmp_path), "--dataset_name", "LEVIR",
+         "--CDdataset_name", "LEVIR", "--n_epochs", "1", "--batch_size", "2",
+         "--img_height", "32", "--img_width", "32", "--encoder", "resnet18",
+         "--decoder_channels", "16,12,8,6,4",
+         "--data_axis", "2", "--model_axis", "2",
+         "--save_name", str(tmp_path / "run")],
+        capture_output=True, text=True, timeout=560, env=env, cwd=REPO)
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "best cd IoU" in out.stdout
+    assert (tmp_path / "run" / "last_ckpt").exists()
+
+
+@pytest.mark.slow
 def test_train_ffctl_cli(tmp_path):
     """The reference's alternate train_ffctl loop (train_stcd.py:229-331,
     dead in the ref's own live path): FFCDataset pairs labeled from
