@@ -78,8 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 compute dtype (params/BN stats stay fp32)")
     p.add_argument("--pp_stages", type=int, default=1,
                    help="GPipe pipeline parallelism over the BIT "
-                        "transformer-decoder stack (parallel/pipeline.py)")
+                        "transformer-decoder stack or the ChangeFormer "
+                        "MiT encoder stages (parallel/pipeline.py)")
     p.add_argument("--pp_microbatches", type=int, default=0)
+    p.add_argument("--tp_axis", type=int, default=1,
+                   help="tensor parallelism over a 'model' mesh axis: "
+                        "transformer attention/MLP Dense + wide conv "
+                        "kernels sharded Megatron-style "
+                        "(parallel/mesh.py param_sharding)")
     p.add_argument("--eval_only", action="store_true",
                    help="skip training; CDEvaluator on best_ckpt")
     p.add_argument("--eval_ckpt", default="best_ckpt",
@@ -117,7 +123,7 @@ def main():
         vis_dir=args.vis_dir or os.path.join(args.checkpoint_dir, "vis"),
         dtype=jnp.bfloat16 if args.bf16 else None,
         augment=args.augment, pp_stages=args.pp_stages,
-        pp_microbatches=args.pp_microbatches)
+        pp_microbatches=args.pp_microbatches, tp_axis=args.tp_axis)
     loaders = make_loaders(args)
 
     if not args.eval_only:

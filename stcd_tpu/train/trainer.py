@@ -84,6 +84,12 @@ class TrainerConfig:
     # pipelined step equals the sequential one (tests/test_pipeline_parallel.py).
     pp_stages: int = 1
     pp_microbatches: int = 0
+    # beyond parity: tensor parallelism over a 'model' mesh axis —
+    # wide conv kernels + the transformer families' attention/MLP Dense
+    # kernels sharded Megatron-style (parallel/mesh.py param_sharding);
+    # tp_axis x pp_stages must divide the device count. A memory lever;
+    # numerically equal to the replicated step (tests/test_trainer.py).
+    tp_axis: int = 1
 
 
 def get_alpha_from_loader(loader) -> np.ndarray:
@@ -196,6 +202,15 @@ class CDTrainer:
     def _build_steps(self):
         model = self.model
 
+        self._tp_mesh = None
+        if self.cfg.tp_axis > 1:
+            from stcd_tpu.parallel.mesh import create_mesh
+            n_dev = len(jax.devices())
+            denom = self.cfg.tp_axis * self.cfg.pp_stages
+            self._tp_mesh = create_mesh(
+                data=n_dev // denom, model=self.cfg.tp_axis,
+                stage=self.cfg.pp_stages)
+
         pp_fwd = None
         if self.cfg.pp_stages > 1:
             from stcd_tpu.models.bit import BASETransformer
@@ -205,7 +220,7 @@ class CDTrainer:
                 bit_pipeline_forward, changeformer_pipeline_forward)
 
             n_micro = self.cfg.pp_microbatches or self.cfg.pp_stages
-            mesh = create_mesh(
+            mesh = self._tp_mesh if self._tp_mesh is not None else create_mesh(
                 data=len(jax.devices()) // self.cfg.pp_stages,
                 stage=self.cfg.pp_stages)
 
@@ -285,9 +300,22 @@ class CDTrainer:
         rng = jax.random.PRNGKey(cfg.seed)
         zeros = jnp.zeros((1, cfg.img_size, cfg.img_size, 3))
         variables = self.model.init(rng, zeros, zeros)
-        return TrainState.create_with_stats(
+        state = TrainState.create_with_stats(
             apply_fn=self.model.apply, params=variables["params"],
             batch_stats=variables.get("batch_stats", {}), tx=self.tx)
+        if self._tp_mesh is not None:
+            # tensor-parallel placement: params through the sharding map,
+            # stats/opt replicated (cfg.tp_axis; parallel/mesh.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from stcd_tpu.parallel.mesh import param_sharding
+            repl = NamedSharding(self._tp_mesh, P())
+            state = state.replace(
+                params=jax.device_put(
+                    state.params, param_sharding(self._tp_mesh, state.params)),
+                batch_stats=jax.device_put(state.batch_stats, repl),
+                opt_state=jax.device_put(state.opt_state, repl),
+            )
+        return state
 
     @staticmethod
     def scores(metric: SegmentationMetric) -> dict:

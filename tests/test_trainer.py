@@ -147,3 +147,47 @@ def test_cdevaluator_never_quarantines_live_save(tmp_path, loaders):
         CDEvaluator(cfg, loaders["val"]).load("best_ckpt")
     assert partial.exists()  # untouched
     assert not (ck / "best_ckpt.new.corrupt").exists()
+
+
+def test_cdtrainer_tp_axis_matches_replicated(tmp_path):
+    """TrainerConfig.tp_axis: a CDTrainer training BIT with attention/MLP
+    Dense kernels sharded over a 4(data) x 2(model) mesh computes the
+    same train-step loss/confusion and eval logits as the replicated
+    trainer (VERDICT r2 item 1 at the CDTrainer user surface)."""
+    import jax
+    import jax.numpy as jnp
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.train.trainer import CDTrainer, TrainerConfig
+
+    ds = SyntheticCDDataset(length=4, size=32)
+    loaders = {"train": DataLoader(ds, 4, prefetch=0),
+               "val": DataLoader(ds, 4, prefetch=0)}
+
+    def make(tp):
+        cfg = TrainerConfig(net_G="base_transformer_pos_s4_dd8", n_class=2,
+                            img_size=32, max_epochs=1, loss="ce",
+                            optimizer="adam", lr=1e-3, seed=11,
+                            checkpoint_dir=str(tmp_path / f"ck{tp}"),
+                            tp_axis=tp)
+        return CDTrainer(cfg, loaders)
+
+    t_rep, t_tp = make(1), make(2)
+    assert t_tp._tp_mesh is not None and t_tp._tp_mesh.shape["model"] == 2
+    batch = next(iter(loaders["train"]))
+    a = jnp.asarray(batch["A"])
+    b = jnp.asarray(batch["B"])
+    label = jnp.asarray(batch["label"]).astype(jnp.float32)
+
+    s_rep = t_rep._init_state()
+    s_tp = t_tp._init_state()  # same seed -> identical init, TP-placed
+    rng = jax.random.PRNGKey(0)
+    s_rep, loss_rep, cm_rep = t_rep.train_step(s_rep, a, b, label, rng)
+    s_tp, loss_tp, cm_tp = t_tp.train_step(s_tp, a, b, label, rng)
+    np.testing.assert_allclose(float(loss_tp), float(loss_rep), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cm_tp), np.asarray(cm_rep))
+
+    f_rep, _ = t_rep.eval_step(s_rep, a, b, label)
+    f_tp, _ = t_tp.eval_step(s_tp, a, b, label)
+    np.testing.assert_allclose(np.asarray(f_tp), np.asarray(f_rep),
+                               rtol=2e-4, atol=2e-4)
