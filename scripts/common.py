@@ -168,15 +168,7 @@ def make_mesh(args):
 
 
 def place_state(mesh, state):
-    """Place a fresh TrainState onto ``mesh``: params through the
-    tensor-parallel sharding map (replication when model axis == 1),
-    batch_stats/opt_state replicated. No-op cost on a 1-device mesh."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from stcd_tpu.parallel.mesh import param_sharding
-    repl = NamedSharding(mesh, P())
-    return state.replace(
-        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
-        batch_stats=jax.device_put(state.batch_stats, repl),
-        opt_state=jax.device_put(state.opt_state, repl),
-    )
+    """CLI wrapper over the canonical mesh placement; called AFTER
+    resume_and_guard so restored checkpoints get re-placed too."""
+    from stcd_tpu.parallel.mesh import place_train_state
+    return place_train_state(mesh, state)

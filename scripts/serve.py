@@ -47,6 +47,9 @@ def main():
     p.add_argument("--batch", type=int, default=16,
                    help="fixed device batch size (static shape — one "
                         "compile; partial batches are zero-padded)")
+    p.add_argument("--no_shard", action="store_true",
+                   help="serve from one device even when a multi-device "
+                        "mesh is visible")
     p.add_argument("--max_wait_ms", type=float, default=5.0,
                    help="max added latency while filling a batch")
     p.add_argument("--calib_dir", default=None,
@@ -108,15 +111,19 @@ def main():
     predict_fn = jax.jit(base_fn)
     # mesh-sharded serving (VERDICT r2 item 7): with >1 device the fixed
     # tile batch is sharded over the mesh 'data' axis — the same
-    # placement scripts/predict.py uses — so one server drives the slice
+    # placement scripts/predict.py uses — so one server drives the slice.
+    # --no_shard opts out; a non-dividing --batch falls back to
+    # single-device with a warning rather than refusing to start.
     sharding = None
     n_dev = len(jax.devices())
-    if n_dev > 1:
+    if n_dev > 1 and not args.no_shard:
         from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
         if args.batch % n_dev:
-            sys.exit(f"--batch {args.batch} must divide across the "
-                     f"{n_dev} devices for sharded serving")
-        sharding = batch_sharding(create_mesh(model=1))
+            print(f"warning: --batch {args.batch} does not divide across "
+                  f"{n_dev} devices; serving single-device (pass a "
+                  f"multiple of {n_dev}, or --no_shard to silence)")
+        else:
+            sharding = batch_sharding(create_mesh(model=1))
     # warm the one compiled shape before accepting traffic
     z = jnp.zeros((args.batch, args.tile, args.tile, 3))
     if sharding is not None:

@@ -247,10 +247,12 @@ class SegFormerEncoder(nn.Module):
 
     def _pipelined(self, x, train) -> List[jax.Array]:
         """Route the stage chain through gpipe_hetero: each mesh 'stage'
-        device owns one encoder stage; the carry grows the per-stage
-        feature tuple. Under train, each stage folds its own dropout key
-        from one base key (masks are then shared across microbatches of a
-        stage — valid dropout, noted deviation from sequential)."""
+        device owns one encoder stage; the per-stage feature pyramid is
+        emitted through the collect_aux channel (device-resident slot
+        buffers — earlier features never ride the inter-stage ring).
+        Under train, each stage folds its own dropout key from one base
+        key (masks are then shared across microbatches of a stage —
+        valid dropout, noted deviation from sequential)."""
         from stcd_tpu.parallel.pipeline import gpipe_hetero
 
         cfg = dict(self.pipeline)
@@ -268,18 +270,18 @@ class SegFormerEncoder(nn.Module):
             if needs_rng:
                 sub["key"] = jax.random.fold_in(base_key, s)
 
-            def fn(p, carry, blk=blk):
+            def fn(p, xx, blk=blk):
                 rngs = {"dropout": p["key"]} if "key" in p else None
-                y = blk.apply({"params": p["params"]}, carry["x"], train,
-                              rngs=rngs)
-                return {"x": y, "feats": carry["feats"] + (y,)}
+                y = blk.apply({"params": p["params"]}, xx, train, rngs=rngs)
+                return y, y  # next-stage input AND this stage's feature
 
             stage_fns.append(fn)
             stage_params.append(sub)
-        out = gpipe_hetero(stage_fns, stage_params, {"x": x, "feats": ()},
-                           mesh=cfg["mesh"], n_micro=cfg["n_micro"],
-                           stage_axis=cfg.get("stage_axis", "stage"))
-        return list(out["feats"])
+        _, feats = gpipe_hetero(stage_fns, stage_params, x,
+                                mesh=cfg["mesh"], n_micro=cfg["n_micro"],
+                                stage_axis=cfg.get("stage_axis", "stage"),
+                                collect_aux=True)
+        return list(feats)
 
     @nn.compact
     def __call__(self, x, train=False) -> List[jax.Array]:

@@ -65,11 +65,12 @@ def relative_pos_bias(channels: int, n: int, m: int,
     the (h, w) node grid for non-square maps; default assumes square."""
     pe = _get_2d_sincos_pos_embed(
         channels, grid_hw if grid_hw is not None else int(round(n ** 0.5)))
-    assert pe.shape[0] == n, (
-        f"relative_pos_bias: node grid {pe.shape[0]} != n={n}; pass "
-        "grid_hw=(h, w) for non-square node counts (ADVICE r2: the "
-        "factored form no longer resizes the first node axis, so the "
-        "default square-grid assumption must hold exactly)")
+    if pe.shape[0] != n:  # ValueError (not assert): must survive python -O
+        raise ValueError(
+            f"relative_pos_bias: node grid {pe.shape[0]} != n={n}; pass "
+            "grid_hw=(h, w) for non-square node counts (ADVICE r2: the "
+            "factored form no longer resizes the first node axis, so the "
+            "default square-grid assumption must hold exactly)")
     if pe.shape[1] == 0:
         # channels < 4 leaves no sin-cos frequencies (dim_half // 2 == 0).
         # The unfactored gram formulation silently produced an all-NaN

@@ -55,6 +55,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def place_train_state(mesh: Mesh, state):
+    """Place a TrainState onto ``mesh``: params through the
+    tensor-parallel ``param_sharding`` map (pure replication when the
+    'model' axis is 1), batch_stats/opt_state replicated. The single
+    canonical placement used by the CLI scripts, CDTrainer and the driver
+    dryrun — call it AFTER any checkpoint restore (restored arrays arrive
+    with no sharding)."""
+    repl = NamedSharding(mesh, P())
+    return state.replace(
+        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
+        batch_stats=jax.device_put(state.batch_stats, repl),
+        opt_state=jax.device_put(state.opt_state, repl),
+    )
+
+
 # --- spatial-partitioning activation constraints (VERDICT r2 item 3) ---
 # Under a 'space' axis > 1, GSPMD left to its own devices re-shards the
 # encoder bottleneck (H collapsed to 1) into a degenerate H-over-space +

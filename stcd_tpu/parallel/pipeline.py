@@ -169,7 +169,8 @@ def _unpack_from(flat, shapes, lead: int = 0):
 
 def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
                  stage_params: Sequence[Any], act, *, mesh: Mesh,
-                 n_micro: int, stage_axis: str = "stage"):
+                 n_micro: int, stage_axis: str = "stage",
+                 collect_aux: bool = False):
     """S-stage GPipe over per-stage DISTINCT stage_fns/stage_params.
 
     stage_fns[s](stage_params[s], act_s) -> act_{s+1}; activation pytrees
@@ -179,6 +180,15 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
     stage each tick — every stage device runs the same program and
     lax.switch selects its own branch, so the pipeline stays SPMD and
     composes with GSPMD 'data'/'model' axes exactly like gpipe().
+
+    ``collect_aux=True`` changes the stage contract to
+    ``fn(p, act_s) -> (act_{s+1}, aux_s)`` and returns
+    ``(final_act, [aux_0..aux_{S-1}])``. Each stage's aux stays RESIDENT
+    on its own device (written into a stage-local slot buffer emitted
+    through a stage-sharded output) — it never rides the ring. This is
+    how the MiT encoder exposes its per-stage feature pyramid without
+    re-serializing every earlier feature across every later boundary
+    (r3 review finding).
 
     stage_params are passed replicated (every device holds all stages —
     acceptable at this zoo's param sizes; the pipeline's memory win is on
@@ -193,18 +203,28 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
     s = mesh.shape[stage_axis]
     assert len(stage_fns) == len(stage_params), "fns/params length mismatch"
     if s == 1:  # no pipeline axis: plain sequential application
+        auxes = []
         for fn, p in zip(stage_fns, stage_params):
             act = fn(p, act)
-        return act
+            if collect_aux:
+                act, aux = act
+                auxes.append(aux)
+        return (act, auxes) if collect_aux else act
     assert len(stage_fns) == s, (
         f"{len(stage_fns)} stages != {s} devices on '{stage_axis}'")
 
     xs = _microbatch(act, n_micro)
     mb_tmpl = jax.tree_util.tree_map(lambda a: a[0], xs)
     shapes = [jax.eval_shape(lambda a: a, mb_tmpl)]
+    aux_shapes = []
     for fn, p in zip(stage_fns, stage_params):
-        shapes.append(jax.eval_shape(fn, p, shapes[-1]))
+        nxt = jax.eval_shape(fn, p, shapes[-1])
+        if collect_aux:
+            nxt, aux_sh = nxt
+            aux_shapes.append(aux_sh)
+        shapes.append(nxt)
     bmax = max(_flat_size(sh) for sh in shapes)
+    amax = max((_flat_size(sh) for sh in aux_shapes), default=1)
     out_shapes = shapes[-1]
 
     # pre-pack the microbatched input: (n_micro, bmax)
@@ -225,40 +245,62 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
         xs_flat = vary(xs_flat)
         zero = vary(jnp.zeros((bmax,), jnp.float32))
         out0 = vary(jnp.zeros((n_micro, bmax), jnp.float32))
+        aux0 = vary(jnp.zeros((n_micro, amax), jnp.float32))
         ring = [(i, (i + 1) % s) for i in range(s)]
 
         def branch(si):
             def run(feed_flat):
                 a = _unpack_from(feed_flat, shapes[si])
                 y = stage_fns[si](params[si], a)
-                return _pack_to(y, bmax)
+                if collect_aux:
+                    y, aux = y
+                    return _pack_to(y, bmax), _pack_to(aux, amax)
+                return _pack_to(y, bmax), jnp.zeros((amax,), jnp.float32)
             return run
 
         branches = [branch(si) for si in range(s)]
 
         def tick(carry, t):
-            recv, out = carry
+            recv, out, aux_out = carry
             idx = jnp.minimum(t, n_micro - 1)
             feed = jnp.where(stage == 0, xs_flat[idx], recv)
-            y = lax.switch(stage, branches, feed)
+            y, aux = lax.switch(stage, branches, feed)
             slot = t - (s - 1)
             write = jnp.logical_and(stage == s - 1, slot >= 0)
             sl = jnp.maximum(slot, 0)
             out = out.at[sl].set(jnp.where(write, y, out[sl]))
+            if collect_aux:
+                # stage s processes microbatch (t - s) at tick t; its aux
+                # stays in the device-local slot buffer — never ppermuted
+                a_slot = t - stage
+                a_write = jnp.logical_and(a_slot >= 0, a_slot < n_micro)
+                a_sl = jnp.clip(a_slot, 0, n_micro - 1)
+                aux_out = aux_out.at[a_sl].set(
+                    jnp.where(a_write, aux, aux_out[a_sl]))
             nxt = lax.ppermute(y, stage_axis, ring)
-            return (nxt, out), None
+            return (nxt, out, aux_out), None
 
-        (_, out), _ = lax.scan(tick, (zero, out0), jnp.arange(n_ticks))
-        return lax.psum(out, stage_axis)
+        (_, out, aux_out), _ = lax.scan(tick, (zero, out0, aux0),
+                                        jnp.arange(n_ticks))
+        # aux emitted stage-sharded (leading axis 1 per device -> (S, ...)
+        # globally); the final act still needs the psum replication
+        return lax.psum(out, stage_axis), aux_out[None]
 
     in_specs = (jax.tree_util.tree_map(lambda _: P(), tuple(stage_params)),
                 P())
-    out_flat = jax.shard_map(spmd, mesh=mesh, in_specs=in_specs,
-                             out_specs=P(),
-                             axis_names=frozenset({stage_axis}))(
-        tuple(stage_params), xs_flat)
+    out_flat, aux_flat = jax.shard_map(
+        spmd, mesh=mesh, in_specs=in_specs,
+        out_specs=(P(), P(stage_axis)),
+        axis_names=frozenset({stage_axis}))(tuple(stage_params), xs_flat)
     per_micro = _unpack_from(out_flat, out_shapes, lead=1)
-    return _unmicrobatch(per_micro)
+    final = _unmicrobatch(per_micro)
+    if not collect_aux:
+        return final
+    auxes = [
+        _unmicrobatch(_unpack_from(aux_flat[si], aux_shapes[si], lead=1))
+        for si in range(s)
+    ]
+    return final, auxes
 
 
 # ---------------------------------------------------------------------------

@@ -306,15 +306,8 @@ class CDTrainer:
         if self._tp_mesh is not None:
             # tensor-parallel placement: params through the sharding map,
             # stats/opt replicated (cfg.tp_axis; parallel/mesh.py)
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            from stcd_tpu.parallel.mesh import param_sharding
-            repl = NamedSharding(self._tp_mesh, P())
-            state = state.replace(
-                params=jax.device_put(
-                    state.params, param_sharding(self._tp_mesh, state.params)),
-                batch_stats=jax.device_put(state.batch_stats, repl),
-                opt_state=jax.device_put(state.opt_state, repl),
-            )
+            from stcd_tpu.parallel.mesh import place_train_state
+            state = place_train_state(self._tp_mesh, state)
         return state
 
     @staticmethod
@@ -378,6 +371,12 @@ class CDTrainer:
         train_curve, val_curve = [], []
         if restored is not None:
             state, last_epoch, self.best_val_acc, self.best_epoch_id = restored
+            if self._tp_mesh is not None:
+                # re-place AFTER restore: orbax returns host arrays with
+                # no sharding, which would silently drop the tp_axis
+                # placement from _init_state (r3 review finding)
+                from stcd_tpu.parallel.mesh import place_train_state
+                state = place_train_state(self._tp_mesh, state)
             self.epoch_to_start = last_epoch + 1
             # resume the saved accuracy curves instead of clobbering them
             # (ref trainer.py:268-274 appends to the loaded .npy history)

@@ -157,7 +157,8 @@ def test_relative_pos_bias_factored_matches_gram(np_rng):
     # non-perfect-square n without grid_hw: the factored form cannot
     # resize the first node axis, so it must fail loudly (ADVICE r2)
     # instead of returning a (1, round(sqrt(n))**2, m) mis-shaped bias
-    with pytest.raises(AssertionError, match="grid_hw"):
+    # (ValueError, not assert: the guard must survive python -O)
+    with pytest.raises(ValueError, match="grid_hw"):
         relative_pos_bias(48, 60, 16)
 
 

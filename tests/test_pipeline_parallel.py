@@ -427,3 +427,55 @@ def test_cdtrainer_pp_stages_changeformer(tmp_path):
         lambda p0, p1: float(jnp.max(jnp.abs(p0 - p1))),
         t_pp._init_state().params, s_pp.params)
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_gpipe_hetero_collect_aux_matches_sequential():
+    """collect_aux: per-stage auxiliary outputs (device-resident slot
+    buffers, never on the ring) must equal the sequential per-stage
+    values, for forward AND gradients."""
+    from stcd_tpu.parallel.pipeline import gpipe_hetero
+    fns, params, x0 = _hetero_setup()
+
+    def with_aux(f):
+        def g(p, a):
+            y = f(p, a)
+            leaf = y["pooled"] if isinstance(y, dict) else y
+            return y, leaf.reshape(leaf.shape[0], -1).sum(-1)
+        return g
+
+    afns = [with_aux(f) for f in fns]
+
+    def seq(ps):
+        a, auxes = x0, []
+        for f, p in zip(afns, ps):
+            a, aux = f(p, a)
+            auxes.append(aux)
+        return a, auxes
+
+    ref_final, ref_aux = seq(params)
+    mesh = create_mesh(stage=4)
+    out, auxes = jax.jit(lambda ps: gpipe_hetero(
+        afns, ps, x0, mesh=mesh, n_micro=4, collect_aux=True))(params)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_final),
+                               rtol=1e-5, atol=1e-5)
+    assert len(auxes) == 4
+    for a, r in zip(auxes, ref_aux):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5)
+
+    def loss_pp(ps):
+        _, aux = gpipe_hetero(afns, ps, x0, mesh=mesh, n_micro=4,
+                              collect_aux=True)
+        return sum(jnp.sum(a ** 2) for a in aux)
+
+    def loss_seq(ps):
+        _, aux = seq(ps)
+        return sum(jnp.sum(a ** 2) for a in aux)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_seq))(params)
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(params)
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

@@ -191,3 +191,48 @@ def test_cdtrainer_tp_axis_matches_replicated(tmp_path):
     f_tp, _ = t_tp.eval_step(s_tp, a, b, label)
     np.testing.assert_allclose(np.asarray(f_tp), np.asarray(f_rep),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_cdtrainer_tp_with_pp_matches_replicated(tmp_path):
+    """tp_axis x pp_stages composed (2 data x 2 model x 2 stage): the
+    TP-sharded decoder params flow through the GPipe shard_map restack;
+    loss/confusion and eval logits must equal the plain trainer's."""
+    import jax
+    import jax.numpy as jnp
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.train.trainer import CDTrainer, TrainerConfig
+
+    ds = SyntheticCDDataset(length=4, size=32)
+    loaders = {"train": DataLoader(ds, 4, prefetch=0),
+               "val": DataLoader(ds, 4, prefetch=0)}
+
+    def make(tp, pp):
+        cfg = TrainerConfig(net_G="base_transformer_pos_s4_dd8", n_class=2,
+                            img_size=32, max_epochs=1, loss="ce",
+                            optimizer="adam", lr=1e-3, seed=11,
+                            checkpoint_dir=str(tmp_path / f"ck{tp}{pp}"),
+                            tp_axis=tp, pp_stages=pp,
+                            pp_microbatches=2 if pp > 1 else 0)
+        return CDTrainer(cfg, loaders)
+
+    t_rep, t_tppp = make(1, 1), make(2, 2)
+    assert t_tppp._tp_mesh.shape == {"data": 2, "model": 2, "space": 1,
+                                     "stage": 2}
+    batch = next(iter(loaders["train"]))
+    a = jnp.asarray(batch["A"])
+    b = jnp.asarray(batch["B"])
+    label = jnp.asarray(batch["label"]).astype(jnp.float32)
+
+    s_rep = t_rep._init_state()
+    s_c = t_tppp._init_state()
+    rng = jax.random.PRNGKey(0)
+    s_rep, loss_rep, cm_rep = t_rep.train_step(s_rep, a, b, label, rng)
+    s_c, loss_c, cm_c = t_tppp.train_step(s_c, a, b, label, rng)
+    np.testing.assert_allclose(float(loss_c), float(loss_rep), rtol=2e-5)
+    np.testing.assert_array_equal(np.asarray(cm_c), np.asarray(cm_rep))
+
+    f_rep, _ = t_rep.eval_step(s_rep, a, b, label)
+    f_c, _ = t_tppp.eval_step(s_c, a, b, label)
+    np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_rep),
+                               rtol=2e-4, atol=2e-4)
