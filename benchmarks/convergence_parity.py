@@ -136,6 +136,15 @@ DEC_CHANNELS = (64, 32, 24, 16, 8)
 # separately on chip (BASELINE.md, 2.4e-6).
 DEPLOYED = False
 
+# Multi-seed null + ablation knobs (VERDICT r3 item 1). INIT_SEED varies
+# the torch weight init (the jax side always copies init.npz, so both
+# sides move together); the other three each peel one layer off the
+# deployed perf stack to attribute the bf16-chip parity delta.
+INIT_SEED = 1337
+JAX_COMPUTE = "bf16"   # "fp32": chip run at fp32 compute dtype
+TRANSFER = "uint8"     # "f32": ship float32 activations host->device
+DECODER = "fused"      # "plain": reference-shaped unfused decoder
+
 
 def _configure_jax_side():
     """CPU-parity default: force CPU + highest matmul precision (this
@@ -149,10 +158,14 @@ def _configure_jax_side():
 
 
 def _model_dtype():
-    if DEPLOYED:
+    if DEPLOYED and JAX_COMPUTE == "bf16":
         import jax.numpy as jnp
         return jnp.bfloat16
     return None
+
+
+def _decoder_fused():
+    return DECODER == "fused"
 
 
 def _image_nhwc(x):
@@ -161,7 +174,7 @@ def _image_nhwc(x):
     step scales 1/255 on device (data/augment.to_float01)."""
     import jax.numpy as jnp
     x = x.transpose(0, 2, 3, 1)
-    if DEPLOYED:
+    if DEPLOYED and TRANSFER == "uint8":
         return jnp.asarray(np.round(x * 255.0).astype(np.uint8))
     return jnp.asarray(x)
 
@@ -182,8 +195,11 @@ def run_torch(data_path, init_path, out_path, epochs):
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from _ref_stubs import load_ref_star_models
 
-    torch.manual_seed(1337)
     ref_unet = load_ref_star_models()
+    # seed AFTER the load: importing the encoder twin (tests/test_convert)
+    # seeds torch RNG to a fixed value at module import, so seeding before
+    # would make the init seed-independent
+    torch.manual_seed(INIT_SEED)
     model = ref_unet.SegCD(encoder_name="resnet18", encoder_weights=None,
                            decoder_channels=DEC_CHANNELS, classes=1)
     np.savez(init_path,
@@ -282,8 +298,11 @@ def run_torch_sup(data_path, init_path, out_path, epochs):
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from _ref_stubs import load_ref_star_models
 
-    torch.manual_seed(1337)
     ref_unet = load_ref_star_models()
+    # seed AFTER the load: importing the encoder twin (tests/test_convert)
+    # seeds torch RNG to a fixed value at module import, so seeding before
+    # would make the init seed-independent
+    torch.manual_seed(INIT_SEED)
     model = ref_unet.UnetSeg(encoder_name="resnet18", encoder_weights=None,
                              decoder_channels=DEC_CHANNELS, classes=1)
     np.savez(init_path,
@@ -357,7 +376,8 @@ def run_jax_sup(data_path, init_path, out_path, epochs):
 
     params, stats = convert_unetseg(init, (2, 2, 2, 2))
     model = UnetSeg(encoder_name="resnet18", classes=1,
-                    decoder_channels=DEC_CHANNELS, dtype=_model_dtype())
+                    decoder_channels=DEC_CHANNELS, dtype=_model_dtype(),
+                    decoder_fused=_decoder_fused())
     state = TrainState.create_with_stats(
         apply_fn=model.apply,
         params=jax.tree_util.tree_map(jnp.asarray, params),
@@ -456,7 +476,7 @@ def run_torch_semi(data_path, init_path, out_path, epochs):
     ref_ts = load_ref_train_stcd()  # also patches Tensor.cuda -> no-op
     ref_unet = load_ref_star_models()
 
-    torch.manual_seed(1337)
+    torch.manual_seed(INIT_SEED)
     model = ref_unet.SegCD(encoder_name="resnet18", encoder_weights=None,
                            decoder_channels=DEC_CHANNELS, classes=1)
     np.savez(init_path,
@@ -543,7 +563,7 @@ def run_jax_semi(data_path, init_path, out_path, epochs):
         params, stats = convert_unetseg(init, (2, 2, 2, 2))
         model = SegCD(encoder_name="resnet18", classes=1,
                       decoder_channels=DEC_CHANNELS, siamese_batched=batched,
-                      dtype=_model_dtype())
+                      dtype=_model_dtype(), decoder_fused=_decoder_fused())
         state = TrainState.create_with_stats(
             apply_fn=model.apply,
             params=jax.tree_util.tree_map(jnp.asarray, params),
@@ -605,7 +625,7 @@ def run_jax(data_path, init_path, out_path, epochs):
         params, stats = convert_unetseg(init, (2, 2, 2, 2))
         model = SegCD(encoder_name="resnet18", classes=1,
                       decoder_channels=DEC_CHANNELS, siamese_batched=batched,
-                      dtype=_model_dtype())
+                      dtype=_model_dtype(), decoder_fused=_decoder_fused())
         state = TrainState.create_with_stats(
             apply_fn=model.apply,
             params=jax.tree_util.tree_map(jnp.asarray, params),
@@ -663,10 +683,26 @@ def main(argv=None):
                          "images pre-quantized to the uint8 grid for both "
                          "sides. Run with --size 256 for the chip-scale "
                          "parity evidence (VERDICT r2 item 2).")
+    ap.add_argument("--init-seed", type=int, default=1337,
+                    help="torch weight-init seed (both sides share the "
+                         "resulting init.npz); varied by parity_null.py "
+                         "to build the seed-noise null distribution")
+    ap.add_argument("--jax-compute", choices=["bf16", "fp32"],
+                    default="bf16",
+                    help="deployed ablation: chip compute dtype")
+    ap.add_argument("--transfer", choices=["uint8", "f32"], default="uint8",
+                    help="deployed ablation: host->device image dtype")
+    ap.add_argument("--decoder", choices=["fused", "plain"], default="fused",
+                    help="ablation: fused upsample+concat+conv decoder vs "
+                         "the reference-shaped plain decoder")
     args = ap.parse_args(argv)
 
-    global DEPLOYED
+    global DEPLOYED, INIT_SEED, JAX_COMPUTE, TRANSFER, DECODER
     DEPLOYED = args.deployed
+    INIT_SEED = args.init_seed
+    JAX_COMPUTE = args.jax_compute
+    TRANSFER = args.transfer
+    DECODER = args.decoder
 
     torch_fn = {1: run_torch_sup, 2: run_torch, 3: run_torch_semi}[args.stage]
     jax_fn = {1: run_jax_sup, 2: run_jax, 3: run_jax_semi}[args.stage]
@@ -700,7 +736,10 @@ def main(argv=None):
                PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}"
                           + (f":{inherited}" if inherited else ""))
     base = [sys.executable, os.path.abspath(__file__), "--workdir", wd,
-            "--epochs", str(args.epochs), "--stage", str(args.stage)]
+            "--epochs", str(args.epochs), "--stage", str(args.stage),
+            "--init-seed", str(args.init_seed),
+            "--jax-compute", args.jax_compute,
+            "--transfer", args.transfer, "--decoder", args.decoder]
     if args.deployed:
         base.append("--deployed")
     for side in ("torch", "jax"):  # torch first: it writes init.npz
@@ -708,9 +747,15 @@ def main(argv=None):
 
     torch_res = json.load(open(os.path.join(wd, "torch.json")))
     jax_res = json.load(open(os.path.join(wd, "jax.json")))
+    knobs = {"init_seed": args.init_seed, "seed": args.seed}
+    if args.deployed:
+        knobs.update(jax_compute=args.jax_compute, transfer=args.transfer,
+                     decoder=args.decoder)
     if args.stage == 1:  # single jax mode: no Siamese fold in UnetSeg
         report = {
             "stage": 1,
+            **knobs,
+            "deployed": args.deployed,
             "torch_best_f1": torch_res["best_f1"],
             "torch_best_iou": torch_res["best_iou"],
             "jax_best_f1": jax_res["jax"]["best_f1"],
@@ -726,6 +771,7 @@ def main(argv=None):
         report = {
             "stage": args.stage,
             "deployed": True,
+            **knobs,
             "size": args.size,
             "torch_best_f1": torch_res["best_f1"],
             "torch_best_iou": torch_res["best_iou"],
