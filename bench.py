@@ -1,12 +1,18 @@
 """Throughput benchmark: SegCD(resnet50) train step, 256x256 pairs/sec/chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 vs_baseline = ours / PyTorch-CPU reference throughput (measured by
 benchmarks/torch_cpu_baseline.py, recorded in baseline_measured.json;
 BASELINE.md: the reference publishes no numbers, so the CPU baseline is
 ours to measure). Target >= 5x (BASELINE.json).
+
+"extra" (VERDICT r3 item 8) widens the artifact beyond the headline so
+BENCH_r*.json tracks the whole perf surface round-over-round: the bf16
+eval step, the int8-quantized eval step (serving/quant.py), and the
+ChangeFormerV6 512^2 bf16 train step. Each is measured best-effort
+(None on failure) and skipped entirely on CPU/BENCH_SMALL sanity runs.
 
 Runs on whatever jax.devices() offers (real TPU chip under the driver;
 CPU locally with BENCH_SMALL=1 for a quick sanity run).
@@ -61,6 +67,91 @@ def bench_changeformer():
         "unit": f"{size}x{size} bi-temporal pairs/sec/chip",
         "vs_baseline": None,
     }))
+
+
+def _timed_eval_chain(fwd, a, b, batch, iters=10):
+    """pairs/s for an eval forward, timed as one jitted scan of dependent
+    steps (2N-N subtraction cancels dispatch; fetch ONE scalar per timed
+    call — benchmarks/bench_quant_eval.py methodology, tunnel-safe)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("iters",))
+    def chain(xa, xb, iters):
+        def body(c, _):
+            d = fwd(xa + c, xb)
+            return jnp.mean(d).astype(jnp.float32) * 0.0, ()
+        c, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return c
+
+    float(chain(a, b, iters))
+    float(chain(a, b, 2 * iters))
+    t1 = t2 = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chain(a, b, iters))
+        t1 = min(t1, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(chain(a, b, 2 * iters))
+        t2 = min(t2, time.perf_counter() - t0)
+    return batch / (max(t2 - t1, 1e-9) / iters)
+
+
+def bench_extras(model, variables, a, b):
+    """The non-headline driver metrics (VERDICT r3 item 8): bf16 eval,
+    int8 eval, ChangeFormerV6-512 train. Best-effort: a failure records
+    None for that key and never sinks the headline."""
+    import numpy as np
+
+    from stcd_tpu.data.augment import eval_preprocess
+
+    extra = {}
+    batch = a.shape[0]
+
+    def fwd(xa, xb):
+        return model.apply(variables, eval_preprocess(xa),
+                           eval_preprocess(xb), False)[2]
+
+    try:
+        extra["segcd_eval_pairs_per_sec"] = round(
+            _timed_eval_chain(fwd, a, b, batch), 1)
+    except Exception as e:  # noqa: BLE001 - record, don't sink the bench
+        print(f"# eval extra failed: {e!r}", flush=True)
+        extra["segcd_eval_pairs_per_sec"] = None
+
+    try:
+        from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
+        scales = calibrate_conv_scales(fwd, [(a, b)])
+        extra["segcd_int8_eval_pairs_per_sec"] = round(
+            _timed_eval_chain(quantize_fn(fwd, scales), a, b, batch), 1)
+        extra["int8_sites"] = int(np.isfinite(scales).sum())
+    except Exception as e:  # noqa: BLE001
+        print(f"# int8 extra failed: {e!r}", flush=True)
+        extra["segcd_int8_eval_pairs_per_sec"] = None
+
+    try:
+        import sys
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "benchmarks"))
+        from cfv6_common import build_step
+        cf_batch, cf_size = 8, 512
+        step, (params, bs, opt_state, ca, cb, lab) = build_step(cf_batch,
+                                                                cf_size)
+        params, bs, opt_state, loss = step(params, bs, opt_state, ca, cb,
+                                           lab, jax.random.PRNGKey(3))
+        float(loss)
+        t0 = time.perf_counter()
+        cf_iters = 10
+        for i in range(cf_iters):
+            params, bs, opt_state, loss = step(params, bs, opt_state, ca,
+                                               cb, lab,
+                                               jax.random.PRNGKey(4 + i))
+        float(loss)
+        extra["changeformerv6_512_train_pairs_per_sec"] = round(
+            cf_batch * cf_iters / (time.perf_counter() - t0), 1)
+    except Exception as e:  # noqa: BLE001
+        print(f"# changeformer extra failed: {e!r}", flush=True)
+        extra["changeformerv6_512_train_pairs_per_sec"] = None
+    return extra
 
 
 def main():
@@ -118,14 +209,20 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
+    record = {
         "metric": "segcd_resnet50_train_pairs_per_sec_per_chip"
         if not (small or platform == "cpu") else "segcd_small_cpu_pairs_per_sec",
         "value": round(pairs_per_sec, 3),
         "unit": "256x256 bi-temporal pairs/sec/chip" if not (small or platform == "cpu")
         else f"{size}x{size} pairs/sec (cpu sanity)",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+    }
+    if not (small or platform == "cpu") \
+            and os.environ.get("BENCH_EXTRAS", "1") != "0":
+        record["extra"] = bench_extras(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats}, a, b)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

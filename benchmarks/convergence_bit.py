@@ -38,6 +38,12 @@ BIT_KW = dict(token_len=4, resnet_stages_num=4, with_pos="learned",
               enc_depth=1, dec_depth=8)
 LR = 1e-3
 
+# --deployed (VERDICT r3 item 2): jax side on the REAL TPU chip in the
+# deployed perf stack (bf16 compute, uint8 H2D) vs the fp32-CPU torch
+# reference, with images pre-quantized to the uint8 grid for both sides
+# — the same protocol as convergence_parity.py --deployed.
+DEPLOYED = False
+
 
 def _linear_factor(epoch, max_epochs):
     # ref networks.py:40-43: lr_l = 1.0 - epoch / (max_epochs + 1),
@@ -106,15 +112,16 @@ def run_torch(data_path, init_path, out_path, epochs):
 
 def run_jax(data_path, init_path, out_path, epochs):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_default_matmul_precision", "highest")
+    if not DEPLOYED:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
     import functools
 
     import jax.numpy as jnp
     import optax
 
     from stcd_tpu.convert.torch_to_flax import convert_bit
-    from stcd_tpu.data.augment import eval_preprocess
+    from stcd_tpu.data.augment import eval_preprocess, to_float01
     from stcd_tpu.losses.functional import cross_entropy
     from stcd_tpu.models.bit import BASETransformer
     from stcd_tpu.train.schedules import get_scheduler
@@ -126,13 +133,17 @@ def run_jax(data_path, init_path, out_path, epochs):
     iters = order.shape[1]
 
     def nhwc(x):
-        return jnp.asarray(x.transpose(0, 2, 3, 1))
+        x = x.transpose(0, 2, 3, 1)
+        if DEPLOYED:  # ship uint8, scale 1/255 on device (to_float01)
+            return jnp.asarray(np.round(x * 255.0).astype(np.uint8))
+        return jnp.asarray(x)
 
     params, stats = convert_bit(init, layers_per_stage=(2, 2, 2, 2),
                                 enc_depth=BIT_KW["enc_depth"],
                                 dec_depth=BIT_KW["dec_depth"],
                                 resnet_stages_num=BIT_KW["resnet_stages_num"])
-    model = BASETransformer(output_nc=2, **BIT_KW)
+    model = BASETransformer(output_nc=2, **BIT_KW,
+                            dtype=jnp.bfloat16 if DEPLOYED else None)
     schedule = get_scheduler("linear", LR, iters_per_epoch=iters,
                              max_epochs=epochs)
     state = TrainState.create_with_stats(
@@ -146,7 +157,8 @@ def run_jax(data_path, init_path, out_path, epochs):
         def loss_fn(p):
             logits, mut = state.apply_fn(
                 {"params": p, "batch_stats": state.batch_stats},
-                eval_preprocess(a), eval_preprocess(b), True,
+                eval_preprocess(to_float01(a)),
+                eval_preprocess(to_float01(b)), True,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.PRNGKey(0)})
             return cross_entropy(logits, target), mut
@@ -160,7 +172,7 @@ def run_jax(data_path, init_path, out_path, epochs):
     def eval_fwd(state, a, b):
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            eval_preprocess(a), eval_preprocess(b))
+            eval_preprocess(to_float01(a)), eval_preprocess(to_float01(b)))
         return jnp.argmax(logits, -1)
 
     curve = []
@@ -196,7 +208,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--side", choices=["torch", "jax"], default=None)
+    ap.add_argument("--deployed", action="store_true",
+                    help="jax side on the REAL TPU chip (bf16, uint8 H2D);"
+                         " images pre-quantized to the uint8 grid for both"
+                         " sides. Use --size 256 for chip-scale evidence.")
     args = ap.parse_args(argv)
+
+    global DEPLOYED
+    DEPLOYED = args.deployed
 
     wd = args.workdir or tempfile.mkdtemp(prefix="convergence_bit_")
     os.makedirs(wd, exist_ok=True)
@@ -211,10 +230,24 @@ def main(argv=None):
 
     gen_data(data, args.n_train, args.n_val, args.size, args.epochs,
              args.bs, args.seed)
+    if args.deployed:
+        # snap images to the uint8 grid so both sides consume
+        # bit-identical pixel values (convergence_parity.py protocol)
+        d = dict(np.load(data))
+        for k in d:
+            if k.rsplit("_", 1)[-1] in ("A", "B"):
+                d[k] = (np.round(d[k] * 255.0) / 255.0).astype(np.float32)
+        np.savez(data, **d)
+    # APPEND the inherited PYTHONPATH: the axon TPU plugin loads via the
+    # sitecustomize on it (CLAUDE.md) — required for --deployed
+    inherited = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ,
-               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}")
+               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}"
+                          + (f":{inherited}" if inherited else ""))
     base = [sys.executable, os.path.abspath(__file__), "--workdir", wd,
             "--epochs", str(args.epochs)]
+    if args.deployed:
+        base.append("--deployed")
     for side in ("torch", "jax"):  # torch first: it writes init.npz
         subprocess.run(base + ["--side", side], env=env, cwd=REPO, check=True)
 
@@ -222,6 +255,7 @@ def main(argv=None):
     jax_res = json.load(open(os.path.join(wd, "jax.json")))
     report = {
         "model": "base_transformer_pos_s4_dd8",
+        "deployed": args.deployed,
         "torch_best_f1": torch_res["best_f1"],
         "torch_best_iou": torch_res["best_iou"],
         "jax_best_f1": jax_res["best_f1"],

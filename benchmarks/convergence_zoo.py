@@ -58,6 +58,10 @@ from convergence_parity import _f1_iou, gen_data  # noqa: E402
 
 LR = 1e-3
 
+# --deployed (VERDICT r3 item 2): jax side on the REAL chip in the
+# deployed bf16 perf stack vs the fp32-CPU torch reference.
+DEPLOYED = False
+
 FAMILIES = {
     "siamunet_conc": dict(ref_module="SiamUnet_conc", ref_cls="SiamUnet_conc",
                           protocol="ce"),
@@ -94,35 +98,35 @@ def _build_ref(model_key):
     return cls(in_ch=3, out_ch=2)  # snunet
 
 
-def _build_jax(model_key, init):
+def _build_jax(model_key, init, dtype=None):
     """Returns (flax module, params, batch_stats) from the torch init."""
     from stcd_tpu.convert import torch_to_flax as cv
 
     if model_key == "siamunet_conc":
         from stcd_tpu.models.siam_unet import SiamUnet
         params, stats = cv.convert_siam_unet(init, "conc")
-        return SiamUnet(fusion="conc", label_nbr=2), params, stats
+        return SiamUnet(fusion="conc", label_nbr=2, dtype=dtype), params, stats
     if model_key == "dtcdscn":
         from stcd_tpu.models.dtcdscn import CDNet34
         params, stats = cv.convert_dtcdscn(init)
-        return CDNet34(num_classes=2), params, stats
+        return CDNet34(num_classes=2, dtype=dtype), params, stats
     if model_key == "changeformer_v6":
         from stcd_tpu.models.changeformer import ChangeFormerV6
         params, stats = cv.convert_changeformer_v6(init, depths=(3, 3, 4, 3))
         return (ChangeFormerV6(output_nc=2, decoder_softmax=False,
-                               embed_dim=256), params, stats)
+                               embed_dim=256, dtype=dtype), params, stats)
     if model_key == "ifnet":
         from stcd_tpu.models.dsifn import DSIFN
         params, stats = cv.convert_dsifn(init)
-        return DSIFN(), params, stats
+        return DSIFN(dtype=dtype), params, stats
     if model_key in ("unet_ef", "siamunet_crossconc"):
         from stcd_tpu.models.siam_unet import SiamUnet
         fusion = "ef" if model_key == "unet_ef" else "crossconc"
         params, stats = cv.convert_siam_unet(init, fusion)
-        return SiamUnet(fusion=fusion, label_nbr=2), params, stats
+        return SiamUnet(fusion=fusion, label_nbr=2, dtype=dtype), params, stats
     from stcd_tpu.models.snunet import SNUNetECAM
     params, stats = cv.convert_snunet(init, ecam=True)
-    return SNUNetECAM(out_ch=2), params, stats
+    return SNUNetECAM(out_ch=2, dtype=dtype), params, stats
 
 
 def _linear_factor(epoch, max_epochs):
@@ -198,14 +202,15 @@ def run_torch(model_key, data_path, init_path, out_path, epochs):
 
 def run_jax(model_key, data_path, init_path, out_path, epochs):
     import jax
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_default_matmul_precision", "highest")
+    if not DEPLOYED:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "highest")
     import functools
 
     import jax.numpy as jnp
     import optax
 
-    from stcd_tpu.data.augment import eval_preprocess
+    from stcd_tpu.data.augment import eval_preprocess, to_float01
     from stcd_tpu.losses.functional import cd_loss, cross_entropy
     from stcd_tpu.train.schedules import get_scheduler
     from stcd_tpu.train.state import TrainState
@@ -217,12 +222,17 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
     proto = FAMILIES[model_key]["protocol"]
 
     def nhwc(x):
-        return jnp.asarray(x.transpose(0, 2, 3, 1))
+        x = x.transpose(0, 2, 3, 1)
+        if DEPLOYED:  # ship uint8, scale 1/255 on device (to_float01)
+            return jnp.asarray(np.round(x * 255.0).astype(np.uint8))
+        return jnp.asarray(x)
 
     def _final(out):
         return out[-1] if isinstance(out, (list, tuple)) else out
 
-    model, params, stats = _build_jax(model_key, init)
+    import jax.numpy as _jnp
+    model, params, stats = _build_jax(
+        model_key, init, dtype=_jnp.bfloat16 if DEPLOYED else None)
     schedule = get_scheduler("linear", LR, iters_per_epoch=iters,
                              max_epochs=epochs)
     state = TrainState.create_with_stats(
@@ -236,7 +246,8 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
         def loss_fn(p):
             logits, mut = state.apply_fn(
                 {"params": p, "batch_stats": state.batch_stats},
-                eval_preprocess(a), eval_preprocess(b), True,
+                eval_preprocess(to_float01(a)),
+                eval_preprocess(to_float01(b)), True,
                 mutable=["batch_stats"],
                 rngs={"dropout": jax.random.fold_in(
                     jax.random.PRNGKey(0), step)})
@@ -256,7 +267,7 @@ def run_jax(model_key, data_path, init_path, out_path, epochs):
     def eval_fwd(state, a, b):
         logits = _final(state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
-            eval_preprocess(a), eval_preprocess(b)))
+            eval_preprocess(to_float01(a)), eval_preprocess(to_float01(b))))
         if proto == "ce":
             return jnp.argmax(logits, -1)
         return (jax.nn.sigmoid(logits[..., 0]) > 0.5).astype(jnp.int32)
@@ -302,7 +313,14 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--side", choices=["torch", "jax"], default=None)
+    ap.add_argument("--deployed", action="store_true",
+                    help="jax side on the REAL TPU chip (bf16, uint8 H2D);"
+                         " images pre-quantized to the uint8 grid for both"
+                         " sides. Use --size 256 for chip-scale evidence.")
     args = ap.parse_args(argv)
+
+    global DEPLOYED
+    DEPLOYED = args.deployed
 
     wd = args.workdir or tempfile.mkdtemp(prefix=f"conv_{args.model}_")
     os.makedirs(wd, exist_ok=True)
@@ -319,10 +337,24 @@ def main(argv=None):
 
     gen_data(data, args.n_train, args.n_val, args.size, args.epochs,
              args.bs, args.seed)
+    if args.deployed:
+        # snap images to the uint8 grid so both sides consume
+        # bit-identical pixel values (convergence_parity.py protocol)
+        dd = dict(np.load(data))
+        for k in dd:
+            if k.rsplit("_", 1)[-1] in ("A", "B"):
+                dd[k] = (np.round(dd[k] * 255.0) / 255.0).astype(np.float32)
+        np.savez(data, **dd)
+    # APPEND the inherited PYTHONPATH: the axon TPU plugin loads via the
+    # sitecustomize on it (CLAUDE.md) — required for --deployed
+    inherited = os.environ.get("PYTHONPATH", "")
     env = dict(os.environ,
-               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}")
+               PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}"
+                          + (f":{inherited}" if inherited else ""))
     base = [sys.executable, os.path.abspath(__file__), "--model", args.model,
             "--workdir", wd, "--epochs", str(args.epochs)]
+    if args.deployed:
+        base.append("--deployed")
     for side in ("torch", "jax"):  # torch first: it writes init.npz
         subprocess.run(base + ["--side", side], env=env, cwd=REPO, check=True)
 
@@ -330,6 +362,7 @@ def main(argv=None):
     jax_res = json.load(open(os.path.join(wd, "jax.json")))
     report = {
         "model": args.model,
+        "deployed": args.deployed,
         "torch_best_f1": torch_res["best_f1"],
         "torch_best_iou": torch_res["best_iou"],
         "jax_best_f1": jax_res["best_f1"],

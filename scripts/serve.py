@@ -134,7 +134,8 @@ def main():
           + (" [mesh-sharded]" if sharding is not None else ""))
 
     engine = BatchingEngine(predict_fn, tile=args.tile, batch=args.batch,
-                            max_wait_ms=args.max_wait_ms, sharding=sharding)
+                            max_wait_ms=args.max_wait_ms, sharding=sharding,
+                            quantized=bool(args.int8))
     httpd = serve(engine, args.host, args.port, args.threshold)
     print(f"serving on http://{args.host}:{args.port} "
           "(/predict, /healthz, /stats)")

@@ -67,13 +67,21 @@ class _FusedUpConv(nn.Module):
                 if self.use_bias else None)
         x, skip, kernel, bias = nn.dtypes.promote_dtype(
             x, skip, kernel, bias, dtype=self.dtype)
-        k4 = _upsample_composed_kernel(kernel[:, :, : self.in_x, :])
+        # both derived kernels are pinned replicated under an active
+        # spatial mesh: as in-graph intermediates (slices/sums of the
+        # parameter) GSPMD propagation may otherwise shard them over an
+        # idle 'model' axis, which miscompiles the spatially-partitioned
+        # conv (mesh.constrain_replicated docstring; round-4 repro)
+        from stcd_tpu.parallel.mesh import constrain_replicated
+        k4 = constrain_replicated(
+            _upsample_composed_kernel(kernel[:, :, : self.in_x, :]))
         y = jax.lax.conv_general_dilated(
             x, k4, window_strides=(1, 1), padding=((2, 2), (2, 2)),
             lhs_dilation=(2, 2), dimension_numbers=_DN)
         if skip is not None:
             y = y + jax.lax.conv_general_dilated(
-                skip, kernel[:, :, self.in_x:, :], window_strides=(1, 1),
+                skip, constrain_replicated(kernel[:, :, self.in_x:, :]),
+                window_strides=(1, 1),
                 padding=((1, 1), (1, 1)), dimension_numbers=_DN)
         if bias is not None:
             y = y + bias

@@ -45,6 +45,12 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # interior spatial pins (no-ops without a 'space' mesh): leave
+        # GSPMD no freedom to route block interiors through a free
+        # 'model' axis — that freedom miscompiles the conv backward
+        # (parallel/mesh._space_shardable docstring, round-4 discovery)
+        from stcd_tpu.parallel.mesh import constrain_spatial
+
         identity = x
         # BasicBlock does NOT support dilation: torchvision raises, the
         # reference's local copy silently clamps to 1 (models/resnet.py:45-47).
@@ -57,19 +63,20 @@ class BasicBlock(nn.Module):
             dtype=self.dtype, name="conv1",
         )(x)
         out = _bn(train, self.dtype, "bn1")(out)
-        out = nn.relu(out)
+        out = constrain_spatial(nn.relu(out))
         out = nn.Conv(
             self.features, (3, 3), padding=[(d, d)] * 2, kernel_dilation=(d, d),
             use_bias=False, dtype=self.dtype, name="conv2",
         )(out)
-        out = _bn(train, self.dtype, "bn2")(out)
+        out = constrain_spatial(_bn(train, self.dtype, "bn2")(out))
         if self.downsample:
             identity = nn.Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = _bn(train, self.dtype, "downsample_bn")(identity)
-        return nn.relu(out + identity)
+            identity = constrain_spatial(
+                _bn(train, self.dtype, "downsample_bn")(identity))
+        return constrain_spatial(nn.relu(out + identity))
 
 
 class Bottleneck(nn.Module):
@@ -163,6 +170,14 @@ class ResNetLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # per-BLOCK spatial pins: on a mesh that carries a free 'model'
+        # axis next to 'space', GSPMD left to its own devices assigns
+        # free-axis shardings to block interiors and miscompiles the conv
+        # backward (parallel/mesh._space_shardable docstring); pinning
+        # every block boundary removes that freedom. No-op without a
+        # registered 'space' mesh.
+        from stcd_tpu.parallel.mesh import constrain_spatial
+
         in_c = x.shape[-1]
         out_c = self.features * self.block.expansion
         extra = (
@@ -178,11 +193,13 @@ class ResNetLayer(nn.Module):
             name="block0",
             **extra,
         )(x, train)
+        x = constrain_spatial(x)
         for i in range(1, self.blocks):
             x = self.block(
                 self.features, dilation=self.dilation, dtype=self.dtype,
                 name=f"block{i}", **extra,
             )(x, train)
+            x = constrain_spatial(x)
         return x
 
 
@@ -204,18 +221,30 @@ class ResNetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> List[jax.Array]:
+        # Stage-boundary spatial pins (no-ops unless a 'space' mesh is
+        # registered): each stage's INPUT is pinned against the stage's
+        # output height, so any stage whose maps fall below the
+        # >= 2-rows-per-shard floor runs batch-parallel end to end. The
+        # GSPMD partitioner computes wrong conv-kernel GRADIENTS for
+        # 1-row-shard residual stages (mesh._space_shardable docstring;
+        # round-4 discovery), so these pins are a correctness guard, not
+        # an optimization.
+        from stcd_tpu.parallel.mesh import constrain_spatial
+
         block, layers, groups, base_width = _resnet_cfg(self.arch)
         features = [x]
         if self.depth >= 1:
+            x = constrain_spatial(x, out_h=x.shape[1] // 2)
             h = nn.Conv(
                 64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2, use_bias=False,
                 dtype=self.dtype, name="conv1",
             )(x)
             h = _bn(train, self.dtype, "bn1")(h)
-            h = nn.relu(h)
+            h = constrain_spatial(nn.relu(h))
             features.append(h)
         if self.depth >= 2:
-            h = max_pool(h, window=3, stride=2, padding=1)
+            h = constrain_spatial(h, out_h=h.shape[1] // 2)
+            h = constrain_spatial(max_pool(h, window=3, stride=2, padding=1))
             h = ResNetLayer(block, 64, layers[0], groups=groups,
                             base_width=base_width, dtype=self.dtype,
                             name="layer1")(h, train)
@@ -232,6 +261,7 @@ class ResNetEncoder(nn.Module):
         for i in range(3):  # layer2..layer4 -> depth 3..5
             if self.depth >= 3 + i:
                 stride, dil, prev_dil = strides_dil[i]
+                h = constrain_spatial(h, out_h=h.shape[1] // stride)
                 # prev_dilation applies to the first block of the stage
                 h = ResNetLayer(
                     block, stage_feats[i], layers[1 + i], stride=stride,

@@ -176,15 +176,24 @@ class _DilatedBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, train=False):
+        from stcd_tpu.parallel.mesh import constrain_spatial
+
         depth = {3: 3, 4: 4, 5: 5}[self.resnet_stages_num]
         feats = ResNetEncoder(arch=self.backbone, depth=depth,
                               replace_stride_with_dilation=(False, True, True),
                               dtype=self.dtype)(x, train)
         h = feats[-1]
+        h_in = h.shape[1]
         if self.if_upsample_2x:
             h = upsample_nearest(h, 2)
-        return nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
-                       name="conv_pred")(h)
+        h = nn.Conv(32, (3, 3), padding=[(1, 1)] * 2, dtype=self.dtype,
+                    name="conv_pred")(h)
+        # re-enter the spatial layout on an elementwise copy AFTER the
+        # conv (prev_h = the pre-upsample height): when the deep maps ran
+        # batch-parallel (below the >= 2-rows floor), transitioning
+        # through conv_pred's spatial partitioner corrupts its backward
+        # (parallel/mesh._space_shardable); no-op without a 'space' mesh
+        return constrain_spatial(h, prev_h=h_in)
 
 
 class ResNetCD(nn.Module):
@@ -257,6 +266,15 @@ class BASETransformer(nn.Module):
         f = _DilatedBackbone(self.backbone, self.resnet_stages_num,
                              self.if_upsample_2x, dtype=self.dtype,
                              name="backbone")(jnp.concatenate([x1, x2], 0), train)
+        # CNN<->transformer boundary pin (no-op without a 'space' mesh):
+        # under TPxSP the transformer's 'model'-sharded Dense backward
+        # would otherwise send a 'model'-sharded cotangent into the
+        # space-sharded backbone, producing the feature x spatial
+        # partitioned grad-convs GSPMD miscompiles (parallel/mesh
+        # _space_shardable docstring). The constraint's transpose pins
+        # the cotangent to the same P('data','space') layout.
+        from stcd_tpu.parallel.mesh import constrain_spatial
+        f = constrain_spatial(f)
         f1, f2 = f[:n], f[n:]
 
         token_len = self.token_len

@@ -105,6 +105,44 @@ class FFN(nn.Module):
         return h + shortcut
 
 
+class VIGStage(nn.Module):
+    """One pipeline stage of ``VIGBackbone``: the optional Downsample plus
+    the stage's Grapher/FFN pairs. Submodule names match the sequential
+    parent exactly (``down{i}``, ``grapher{idx}``, ``ffn{idx}``), so the
+    SAME parameter tree slices per stage — any checkpoint runs pipelined
+    unchanged (the gpipe_hetero routing, VERDICT r3 item 6)."""
+
+    stage: int
+    blocks: Sequence[int] = (2, 2, 6, 2)
+    channels: Sequence[int] = (80, 160, 400, 640)
+    k: int = 9
+    conv: str = "mr"
+    act: str = "gelu"
+    drop_path_rate: float = 0.0
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        n_blocks = sum(self.blocks)
+        dpr = [self.drop_path_rate * i / max(n_blocks - 1, 1)
+               for i in range(n_blocks)]
+        max_dilation = 49 // self.k
+        reduce_ratios = [4, 2, 1, 1]
+        i = self.stage
+        ch = self.channels[i]
+        idx0 = sum(self.blocks[:i])
+        if i > 0:
+            x = Downsample(ch, dtype=self.dtype, name=f"down{i}")(x, train)
+        for j in range(self.blocks[i]):
+            idx = idx0 + j
+            x = Grapher(self.k, min(idx // 4 + 1, max_dilation), self.conv,
+                        self.act, reduce_ratios[i], dpr[idx],
+                        dtype=self.dtype, name=f"grapher{idx}")(x, train)
+            x = FFN(ch * 4, self.act, dpr[idx], dtype=self.dtype,
+                    name=f"ffn{idx}")(x, train)
+        return x
+
+
 class VIGBackbone(nn.Module):
     """Pyramid ViG encoder (ref pyramid_vig.py:103-174 DeepGCN and its
     ChangeVIG copies). Returns 4 features at /4 /8 /16 /32."""
@@ -117,9 +155,76 @@ class VIGBackbone(nn.Module):
     drop_path_rate: float = 0.0
     img_size: int = 256
     dtype: Optional[Dtype] = None
+    # Optional heterogeneous-GPipe routing of the 4 pyramid stages
+    # (VERDICT r3 item 6): dict(mesh=, n_micro=, stage_axis=) with the
+    # 'stage' axis sized len(blocks). None = sequential. Static
+    # hyperparameter: the SAME checkpoint runs either way (init always
+    # runs sequential). Inside the pipeline the stages run with
+    # train=False — BN uses (frozen) running statistics and DropPath is
+    # inactive — a DOCUMENTED deviation (docs/SCALING.md): per-microbatch
+    # BN batch stats would diverge from sequential semantics anyway, and
+    # the decoder (outside the pipeline) keeps full train-mode BN.
+    pipeline: Optional[Any] = None
+
+    def _stage_keys(self, s: int):
+        idx0 = sum(self.blocks[:s])
+        keys = [] if s == 0 else [f"down{s}"]
+        for j in range(self.blocks[s]):
+            keys += [f"grapher{idx0 + j}", f"ffn{idx0 + j}"]
+        return keys
+
+    def _pipelined(self, x, train) -> List[jax.Array]:
+        """Route the stage chain through gpipe_hetero: each mesh 'stage'
+        device owns one pyramid stage; the per-stage feature emits
+        through the collect_aux channel (device-resident slot buffers).
+        The stem + pos_embed run before the pipeline (data-parallel,
+        cheap), mirroring how the taps land on stage ENDS (the sequential
+        taps {1,4,11,14} for (2,2,6,2) are exactly the stage outputs)."""
+        from stcd_tpu.parallel.pipeline import gpipe_hetero
+
+        cfg = dict(self.pipeline)
+        params = self.variables["params"]
+        stats = self.variables.get("batch_stats", {})
+
+        h = Stem(self.channels[0], self.act, dtype=self.dtype,
+                 name="stem")(x, train)
+        hw = self.img_size // 4
+        pos = self.param("pos_embed", nn.initializers.zeros,
+                         (1, hw, hw, self.channels[0]))
+        if h.shape[1:3] != (hw, hw):
+            pos = jax.image.resize(
+                pos, (1, h.shape[1], h.shape[2], pos.shape[-1]), "linear")
+        h = h + pos
+
+        stage_fns, stage_params = [], []
+        for s in range(len(self.blocks)):
+            blk = VIGStage(stage=s, blocks=tuple(self.blocks),
+                           channels=tuple(self.channels), k=self.k,
+                           conv=self.conv, act=self.act,
+                           drop_path_rate=self.drop_path_rate,
+                           dtype=self.dtype)
+            keys = self._stage_keys(s)
+            sub = {"params": {k: params[k] for k in keys},
+                   "batch_stats": {k: stats[k] for k in keys
+                                   if k in stats}}
+
+            def fn(p, xx, blk=blk):
+                # train=False inside the pipeline: frozen BN running
+                # stats, no DropPath (documented deviation above)
+                return (y := blk.apply(p, xx, False)), y
+
+            stage_fns.append(fn)
+            stage_params.append(sub)
+        _, feats = gpipe_hetero(stage_fns, stage_params, h,
+                                mesh=cfg["mesh"], n_micro=cfg["n_micro"],
+                                stage_axis=cfg.get("stage_axis", "stage"),
+                                collect_aux=True)
+        return list(feats)
 
     @nn.compact
     def __call__(self, x, train=False) -> List[jax.Array]:
+        if self.pipeline is not None and not self.is_initializing():
+            return self._pipelined(x, train)
         n_blocks = sum(self.blocks)
         dpr = [self.drop_path_rate * i / max(n_blocks - 1, 1) for i in range(n_blocks)]
         max_dilation = 49 // self.k
@@ -491,11 +596,17 @@ class _VIGSiam(nn.Module):
     decoder_softmax: bool = False
     img_size: int = 256
     dtype: Optional[Dtype] = None
+    # Optional heterogeneous-GPipe routing of the ViG encoder's 4 stages
+    # over a 'stage' mesh axis (VERDICT r3 item 6; VIGBackbone.pipeline
+    # docstring for semantics/deviations). Wired by CDTrainer pp_stages
+    # via parallel/pipeline.changevig_pipeline_forward.
+    pipeline_encoder: Optional[Any] = None
     embed_dims = (80, 160, 400, 640)
 
     def encode_pair(self, x1, x2, train):
         enc = VIGBackbone(blocks=(2, 2, 6, 2), channels=self.embed_dims,
-                          img_size=self.img_size, dtype=self.dtype, name="encoder")
+                          img_size=self.img_size, dtype=self.dtype,
+                          pipeline=self.pipeline_encoder, name="encoder")
         n = x1.shape[0]
         feats = enc(jnp.concatenate([x1, x2], axis=0), train)
         return [f[:n] for f in feats], [f[n:] for f in feats]

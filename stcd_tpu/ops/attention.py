@@ -19,12 +19,16 @@ materialize four f32 (N, M) temporaries.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# one-shot log guard for the TP -> einsum routing notice (ADVICE r3)
+_TP_ROUTE_LOGGED = False
 
 
 def _round_up(x: int, m: int) -> int:
@@ -296,6 +300,22 @@ def cross_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         # faster on the plain einsum path (benchmarks/bench_attention.py:
         # SRA shapes 1.35-1.44x, M=4 0.59x)
         use_pallas = platform in ("tpu", "axon") and n >= 1024 and m >= 64
+        if use_pallas:
+            # pallas_call has no GSPMD partitioning rule: under a real
+            # tensor-parallel 'model' axis XLA would all-gather /
+            # replicate around the kernel, silently losing the Megatron
+            # head-sharding (ADVICE r3, docs/SCALING.md) — the einsum
+            # path partitions cleanly, so route TP runs there
+            from stcd_tpu.parallel.mesh import model_axis_size
+            if model_axis_size() > 1:
+                global _TP_ROUTE_LOGGED
+                if not _TP_ROUTE_LOGGED:
+                    _TP_ROUTE_LOGGED = True
+                    logging.getLogger(__name__).info(
+                        "cross_attention: 'model' axis > 1 active - "
+                        "using the einsum path (GSPMD-partitionable) "
+                        "instead of the fused Pallas kernel")
+                use_pallas = False
     if not use_pallas:
         return _einsum_attention(q, k, v, scale, dropout_rate, dropout_seed)
     block = min(block_n, _round_up(n, 128))

@@ -34,6 +34,25 @@ def create_mesh(data: Optional[int] = None, model: int = 1, space: int = 1,
         data = n // (model * space * stage)
     assert data * model * space * stage == n, \
         f"mesh {data}x{model}x{space}x{stage} != {n} devices"
+    if space > 1 and (model > 1 or stage > 1):
+        # Round-4 discovery, upheld by minimal repro
+        # (tests/test_parallel.py::test_gspmd_free_axis_kernel_grad_hazard):
+        # when the mesh carries a THIRD size>1 axis next to
+        # 'data' x 'space', the GSPMD partitioner (classic AND shardy)
+        # computes WRONG conv kernel GRADIENTS for spatially-sharded
+        # wide-channel convs — f64 error ~3e1 while the loss stays exact,
+        # so training silently diverges from the replicated math. The
+        # 2-axis data x space mesh is exact at every split tested, as is
+        # data x model (TP) without 'space'. Until the upstream
+        # partitioner is fixed, the 'space' axis composes with 'data'
+        # ONLY; compose TP/PP with DP freely on space=1 meshes.
+        raise ValueError(
+            f"mesh {data}x{model}x{space}x{stage}: a 'space' axis > 1 "
+            "cannot share a mesh with 'model'/'stage' > 1 — the GSPMD "
+            "partitioner miscompiles conv kernel gradients under a free "
+            "third axis (see parallel/mesh.create_mesh and docs/"
+            "SCALING.md 'TPxSP composition'). Use data x space alone, "
+            "or drop --space_axis when using --model_axis/--pp_stages.")
     arr = np.asarray(devices).reshape(data, model, space, stage)
     return Mesh(arr, ("data", "model", "space", "stage"))
 
@@ -58,15 +77,34 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def place_train_state(mesh: Mesh, state):
     """Place a TrainState onto ``mesh``: params through the
     tensor-parallel ``param_sharding`` map (pure replication when the
-    'model' axis is 1), batch_stats/opt_state replicated. The single
-    canonical placement used by the CLI scripts, CDTrainer and the driver
-    dryrun — call it AFTER any checkpoint restore (restored arrays arrive
-    with no sharding)."""
+    'model' axis is 1), batch_stats replicated, and opt_state subtrees
+    that MIRROR the param tree (Adam's mu/nu) sharded with the same map —
+    replicating the moments under tp_axis>1 would hold full fp32 Adam
+    state on every device, negating the TP memory lever (ADVICE r3), and
+    the first donated train_step would silently re-shard it anyway. The
+    single canonical placement used by the CLI scripts, CDTrainer and the
+    driver dryrun — call it AFTER any checkpoint restore (restored arrays
+    arrive with no sharding)."""
     repl = NamedSharding(mesh, P())
+    shard_map_tree = param_sharding(mesh, state.params)
+    params_def = jax.tree_util.tree_structure(state.params)
+
+    def _mirrors_params(node):
+        try:
+            return jax.tree_util.tree_structure(node) == params_def
+        except Exception:
+            return False
+
+    def _place_opt(node):
+        if _mirrors_params(node):
+            return jax.device_put(node, shard_map_tree)
+        return jax.device_put(node, repl)
+
     return state.replace(
-        params=jax.device_put(state.params, param_sharding(mesh, state.params)),
+        params=jax.device_put(state.params, shard_map_tree),
         batch_stats=jax.device_put(state.batch_stats, repl),
-        opt_state=jax.device_put(state.opt_state, repl),
+        opt_state=jax.tree_util.tree_map(_place_opt, state.opt_state,
+                                         is_leaf=_mirrors_params),
     )
 
 
@@ -82,6 +120,27 @@ def place_train_state(mesh: Mesh, state):
 # Disabled (no-op) unless the run registers its mesh here.
 
 _SPATIAL_MESH: Optional[Mesh] = None
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> None:
+    """Record the run's active mesh (CLI scripts, CDTrainer, the driver
+    dryrun). Feeds two consumers: `set_spatial_mesh` (the 'space'-axis
+    activation pinning) and `model_axis_size` (ops/attention routes away
+    from the un-partitionable Pallas kernel under a real 'model' axis —
+    ADVICE r3). None resets both."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    set_spatial_mesh(mesh)
+
+
+def model_axis_size() -> int:
+    """Size of the active mesh's 'model' (tensor-parallel) axis; 1 when
+    no mesh is registered."""
+    m = _ACTIVE_MESH
+    if m is None:
+        return 1
+    return int(dict(m.shape).get("model", 1))
 
 
 def set_spatial_mesh(mesh: Optional[Mesh]) -> None:
@@ -96,26 +155,65 @@ def set_spatial_mesh(mesh: Optional[Mesh]) -> None:
         _SPATIAL_MESH = None
 
 
-def constrain_spatial(x, prev_h: Optional[int] = None):
+def constrain_replicated(x):
+    """Pin an in-graph intermediate to FULL replication on the active
+    spatial mesh (identity when none is registered).
+
+    Guard for an upstream GSPMD value-miscompile found in round 4: on a
+    mesh with BOTH an idle 'model' axis and a 'space' axis, a conv whose
+    kernel operand is a derived intermediate (e.g. a slice of a wider
+    parameter) lets sharding propagation assign the kernel a 'model'
+    sharding, and the resulting feature-partitioned + spatially-
+    partitioned conv computes wrong values (minimal repro in
+    tests/test_parallel.py::test_gspmd_conv_kernel_slice_hazard; f64
+    error ~3e2 on a 2x2x2 mesh, exact once the kernel is pinned).
+    Model code pins derived conv kernels with this before use."""
+    m = _SPATIAL_MESH
+    if m is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(m, P()))
+
+
+def _space_shardable(h: int, sp: int) -> bool:
+    """The >= 2-rows-per-shard rule: a map is space-sharded only when H
+    divides evenly AND every shard keeps at least 2 rows. 1-row shards
+    are not just wasteful — round 4 found the GSPMD partitioner computes
+    WRONG conv-kernel GRADIENTS (f64 error ~2e2, loss exact) when a
+    strided residual diamond is followed by a halo conv at 1 row/shard
+    (tests/test_parallel.py::test_spatial_backward_tiny_maps); >= 2 rows
+    per shard is exact in the same repro."""
+    return h % sp == 0 and h // sp >= 2
+
+
+def constrain_spatial(x, prev_h: Optional[int] = None,
+                      out_h: Optional[int] = None):
     """Pin a (traced) NHWC activation to the canonical spatial-partition
     layout; identity when no spatial mesh is registered or x is not 4-D.
 
     ``prev_h``: the producing block's INPUT height. When that input was
-    too short to space-shard (H %% space != 0, e.g. the 1-row encoder
-    bottleneck) the producing conv must run batch-parallel on both sides
-    — so the output is first pinned to P('data') and only the copy is
-    re-pinned to P('data', 'space'). The space transition then happens on
-    an elementwise copy (a local slice) instead of through the conv's
-    spatial partitioner, which is what triggered the involuntary-full-
-    rematerialization resharding (spmd_partitioner.cc:652)."""
+    too short to space-shard (the _space_shardable rule, e.g. the 1-row
+    encoder bottleneck) the producing conv must run batch-parallel on
+    both sides — so the output is first pinned to P('data') and only the
+    copy is re-pinned to P('data', 'space'). The space transition then
+    happens on an elementwise copy (a local slice) instead of through the
+    conv's spatial partitioner, which is what triggered the involuntary-
+    full-rematerialization resharding (spmd_partitioner.cc:652).
+
+    ``out_h``: the CONSUMING stage's output height. When the stage this
+    activation feeds will shrink below the _space_shardable floor, the
+    whole stage must run batch-parallel (pinning only its output is NOT
+    enough — the wrong-gradient miscompile lives in the stage interior),
+    so the input is pinned P('data'). Used by the encoders' stage loop."""
     m = _SPATIAL_MESH
     if m is None or getattr(x, "ndim", 0) != 4:
         return x
     sp = m.shape["space"]
-    if x.shape[1] % sp != 0:  # too short to split: replicate over 'space'
+    if not _space_shardable(x.shape[1], sp) or (
+            out_h is not None and not _space_shardable(out_h, sp)):
+        # too short to split (or feeding a too-short stage): batch-parallel
         return jax.lax.with_sharding_constraint(
             x, NamedSharding(m, P("data")))
-    if prev_h is not None and prev_h % sp != 0:
+    if prev_h is not None and not _space_shardable(prev_h, sp):
         x = jax.lax.with_sharding_constraint(
             x, NamedSharding(m, P("data")))
     return jax.lax.with_sharding_constraint(
@@ -166,6 +264,14 @@ def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
         in_ffn = grand.startswith("ff") and parent.startswith("Dense_")
         in_mlp = "mlp" in keys
 
+        space_axis = dict(mesh.shape).get("space", 1)
+        if space_axis > 1:
+            # under TPxSP the MLP family keeps 'model' off entirely: its
+            # depthwise conv would otherwise be feature-partitioned (see
+            # the conv guard below), and a replicated dwconv between
+            # sharded fc1/fc2 only trades the win for reshards
+            in_mlp = in_ffn = False
+
         col = ((parent in _ATTN_COL and in_attn)
                or (parent == "fc1" and in_mlp)
                or (in_ffn and parent == "Dense_0"))
@@ -181,7 +287,16 @@ def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
         if row and leaf == "kernel" and x.ndim == 2 \
                 and x.shape[0] % model_axis == 0:
             return NamedSharding(mesh, P("model", None))
-        if parent == "dwconv" and in_mlp and x.shape[-1] % model_axis == 0:
+        # CONV kernels never take the 'model' axis when the mesh also has
+        # a real 'space' axis: a feature-partitioned conv meeting a
+        # spatially-partitioned input is value-MISCOMPILED by the current
+        # GSPMD partitioner (f64 error ~3e1 on a 2x2x2 mesh; minimal
+        # repro tests/test_parallel.py::test_gspmd_conv_kernel_slice_hazard
+        # and docs/SCALING.md "TPxSP composition"). Attention Dense TP
+        # above composes fine — under TPxSP only the attention blocks
+        # shard over 'model' and convs stay replicated.
+        if parent == "dwconv" and in_mlp \
+                and x.shape[-1] % model_axis == 0:
             # MixFFN's depthwise conv acts per-channel on the fc1-sharded
             # hidden dim: shard its kernels/bias identically so the hidden
             # activations never leave the device between fc1 and fc2
@@ -190,6 +305,7 @@ def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
             if leaf == "bias" and x.ndim == 1:
                 return NamedSharding(mesh, P("model"))
         if (x.ndim == 4 and x.size >= min_size_to_shard
+                and space_axis == 1
                 and x.shape[-1] % model_axis == 0):
             return NamedSharding(mesh, P(None, None, None, "model"))
         return repl

@@ -144,9 +144,29 @@ def _flat_size(shapes) -> int:
     return sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(shapes))
 
 
-def _pack_to(tree, bmax: int):
-    """Flatten a pytree of arrays into one f32 vector padded to bmax."""
-    flats = [jnp.ravel(l).astype(jnp.float32)
+def _ring_dtype(shape_trees):
+    """Transport dtype for the inter-stage ring buffer: bf16 when EVERY
+    boundary leaf is bf16 (native-width transport — half the inter-stage
+    bandwidth), f32 otherwise (bf16/f32 mixes upcast losslessly).
+    Non-float leaves are rejected loudly: an int leaf > 2^24 or a bool
+    would round-trip lossily through the float ring (ADVICE r3)."""
+    dtypes = {l.dtype for sh in shape_trees
+              for l in jax.tree_util.tree_leaves(sh)}
+    bad = {d for d in dtypes if not jnp.issubdtype(d, jnp.floating)}
+    if bad:
+        raise TypeError(
+            "gpipe_hetero stage boundaries must be float pytrees (the "
+            f"inter-stage ring transports floats); got {sorted(map(str, bad))}"
+            " — cast integer/bool features before the boundary")
+    if dtypes == {jnp.dtype(jnp.bfloat16)}:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+def _pack_to(tree, bmax: int, dtype=jnp.float32):
+    """Flatten a pytree of arrays into one ``dtype`` vector padded to
+    bmax."""
+    flats = [jnp.ravel(l).astype(dtype)
              for l in jax.tree_util.tree_leaves(tree)]
     flat = jnp.concatenate(flats) if len(flats) > 1 else flats[0]
     return jnp.pad(flat, (0, bmax - flat.shape[0]))
@@ -176,7 +196,9 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
     stage_fns[s](stage_params[s], act_s) -> act_{s+1}; activation pytrees
     may change structure/shape/dtype at every boundary (the per-boundary
     shapes are derived once with jax.eval_shape). Inter-stage transport is
-    one f32 ring buffer of the max boundary size, ppermuted to the next
+    one float ring buffer of the max boundary size — bf16 at native width
+    when every boundary leaf is bf16, f32 otherwise; non-float boundaries
+    are rejected (_ring_dtype) — ppermuted to the next
     stage each tick — every stage device runs the same program and
     lax.switch selects its own branch, so the pipeline stays SPMD and
     composes with GSPMD 'data'/'model' axes exactly like gpipe().
@@ -226,10 +248,14 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
     bmax = max(_flat_size(sh) for sh in shapes)
     amax = max((_flat_size(sh) for sh in aux_shapes), default=1)
     out_shapes = shapes[-1]
+    # all-bf16 boundaries ride the ring at native width; mixes upcast to
+    # f32; non-float boundary leaves are rejected loudly (ADVICE r3)
+    rdt = _ring_dtype(shapes)
+    adt = _ring_dtype(aux_shapes)
 
     # pre-pack the microbatched input: (n_micro, bmax)
     xs_flat = jnp.stack([
-        _pack_to(jax.tree_util.tree_map(lambda a, i=i: a[i], xs), bmax)
+        _pack_to(jax.tree_util.tree_map(lambda a, i=i: a[i], xs), bmax, rdt)
         for i in range(n_micro)])
 
     def spmd(params, xs_flat):
@@ -243,9 +269,9 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
         # collective that aborts the backward (hit on XLA:CPU).
         params = jax.tree_util.tree_map(vary, params)
         xs_flat = vary(xs_flat)
-        zero = vary(jnp.zeros((bmax,), jnp.float32))
-        out0 = vary(jnp.zeros((n_micro, bmax), jnp.float32))
-        aux0 = vary(jnp.zeros((n_micro, amax), jnp.float32))
+        zero = vary(jnp.zeros((bmax,), rdt))
+        out0 = vary(jnp.zeros((n_micro, bmax), rdt))
+        aux0 = vary(jnp.zeros((n_micro, amax), adt))
         ring = [(i, (i + 1) % s) for i in range(s)]
 
         def branch(si):
@@ -254,8 +280,8 @@ def gpipe_hetero(stage_fns: Sequence[Callable[[Any, Any], Any]],
                 y = stage_fns[si](params[si], a)
                 if collect_aux:
                     y, aux = y
-                    return _pack_to(y, bmax), _pack_to(aux, amax)
-                return _pack_to(y, bmax), jnp.zeros((amax,), jnp.float32)
+                    return _pack_to(y, bmax, rdt), _pack_to(aux, amax, adt)
+                return _pack_to(y, bmax, rdt), jnp.zeros((amax,), adt)
             return run
 
         branches = [branch(si) for si in range(s)]
@@ -399,5 +425,34 @@ def bit_pipeline_forward(model, variables, x1, x2, *, mesh: Mesh,
     if train:
         out, mut = pmodel.apply(variables, x1, x2, True,
                                 mutable=["batch_stats"])
+        return out, mut["batch_stats"]
+    return pmodel.apply(variables, x1, x2)
+
+
+def changevig_pipeline_forward(model, variables, x1, x2, *, mesh: Mesh,
+                               n_micro: int, train: bool = False,
+                               rngs=None, stage_axis: str = "stage"):
+    """ChangeVIG-family (_VIGSiam: ChangeGNNV1/V2/V2Compare, VIG) forward
+    with the pyramid ViG encoder's [2,2,6,2] DeepGCN stages run as a
+    heterogeneous GPipe pipeline over ``mesh[stage_axis]`` (size 4) —
+    VERDICT r3 item 6; ref models/pyramid_vig.py:103-174.
+
+    Thin wrapper like ``changeformer_pipeline_forward``: clones the model
+    with ``pipeline_encoder`` set so the ONE forward implementation
+    routes VIGBackbone through ``gpipe_hetero``
+    (models/changevig.py VIGBackbone._pipelined); the decoder and every
+    other branch stay the model's own code — any checkpoint runs
+    pipelined unchanged. Inside the pipelined encoder the stages run
+    train=False (frozen BN running stats, DropPath off — the documented
+    deviation in VIGBackbone.pipeline); the decoder keeps full train-mode
+    BN, so train=True still returns updated (decoder) batch_stats.
+
+    Returns preds (train=False) or (preds, new_batch_stats) (train=True).
+    """
+    pmodel = model.clone(pipeline_encoder={
+        "mesh": mesh, "n_micro": n_micro, "stage_axis": stage_axis})
+    if train:
+        out, mut = pmodel.apply(variables, x1, x2, True,
+                                mutable=["batch_stats"], rngs=rngs)
         return out, mut["batch_stats"]
     return pmodel.apply(variables, x1, x2)

@@ -55,7 +55,7 @@ class BatchingEngine:
     def __init__(self, predict_fn: Callable, tile: int = 256,
                  stride: Optional[int] = None, batch: int = 8,
                  max_wait_ms: float = 5.0, timeout_s: float = 120.0,
-                 sharding=None):
+                 sharding=None, quantized: bool = False):
         """``sharding``: optional jax.sharding.Sharding for the device
         batch (VERDICT r2 item 7 — mesh-sharded serving). Each fixed-size
         tile batch is placed with it before the jitted step, so one
@@ -66,7 +66,18 @@ class BatchingEngine:
         self.tile = tile
         self.stride = stride or tile
         self.sharding = sharding
+        self.quantized = bool(quantized)  # informational: /stats flag
         self.batch = batch
+        if sharding is not None:
+            # fail at construction, not as per-request device errors
+            # inside the worker thread (ADVICE r3): the fixed batch must
+            # divide evenly across the sharded batch axis
+            try:
+                sharding.shard_shape((batch, tile, tile, 3))
+            except Exception as e:
+                raise ValueError(
+                    f"batch={batch} does not divide across the sharded "
+                    f"batch axis of {sharding} (tile={tile}): {e}") from e
         self.max_wait_s = max_wait_ms / 1e3
         self.timeout_s = timeout_s
         self._q: "queue.SimpleQueue" = queue.SimpleQueue()
@@ -205,6 +216,7 @@ class BatchingEngine:
         s["request_latency_ms"] = req_lat
         s["step_ms"] = step
         s["mesh_sharded"] = self.sharding is not None
+        s["quantized"] = self.quantized
         s["devices"] = (len(self.sharding.mesh.devices.flat)
                         if self.sharding is not None else 1)
         return s

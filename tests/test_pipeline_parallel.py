@@ -479,3 +479,86 @@ def test_gpipe_hetero_collect_aux_matches_sequential():
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_vig_encoder_pipeline_matches_sequential():
+    """VERDICT r3 item 6: the pyramid ViG encoder's DeepGCN stages run as
+    a heterogeneous GPipe (VIGBackbone.pipeline -> gpipe_hetero) must
+    reproduce the sequential forward exactly in eval mode (frozen BN on
+    both sides -> bit-level agreement expected), and its grads."""
+    from stcd_tpu.models.changevig import VIGBackbone
+
+    enc = VIGBackbone(blocks=(1, 1, 1, 1), channels=(8, 12, 16, 24),
+                      k=4, img_size=32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 32, 32, 3))
+    v = enc.init(jax.random.PRNGKey(1), x)
+    ref = enc.apply(v, x)
+
+    mesh = create_mesh(data=2, stage=4)
+    penc = enc.clone(pipeline={"mesh": mesh, "n_micro": 2})
+    out = jax.jit(lambda vv, a: penc.apply(vv, a))(v, x)
+    assert len(out) == len(ref) == 4
+    for o, r in zip(out, ref):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+    def loss_seq(p):
+        outs = enc.apply({"params": p, "batch_stats": v["batch_stats"]}, x)
+        return sum(jnp.mean(o ** 2) for o in outs)
+
+    def loss_pp(p):
+        outs = penc.apply({"params": p, "batch_stats": v["batch_stats"]}, x)
+        return sum(jnp.mean(o ** 2) for o in outs)
+
+    l1, g1 = jax.jit(jax.value_and_grad(loss_seq))(v["params"])
+    l2, g2 = jax.jit(jax.value_and_grad(loss_pp))(v["params"])
+    np.testing.assert_allclose(float(l2), float(l1), rtol=1e-5)
+    for (k1, a), b2 in zip(jax.tree_util.tree_leaves_with_path(g1),
+                           jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b2), np.asarray(a),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(k1))
+
+
+@pytest.mark.slow
+def test_cdtrainer_pp_stages_changevig(tmp_path):
+    """CDTrainer(pp_stages=4) with net_G=ChangeGNNV2: the ViG encoder
+    pipeline trains (finite loss, params move) and eval logits equal the
+    sequential trainer's (VERDICT r3 item 6 wiring criterion; pipelined
+    encoder stages run frozen-BN — VIGBackbone.pipeline docstring)."""
+    from stcd_tpu.data.datasets import SyntheticCDDataset
+    from stcd_tpu.data.loader import DataLoader
+    from stcd_tpu.train.trainer import CDTrainer, TrainerConfig
+
+    ds = SyntheticCDDataset(length=4, size=32)
+    loaders = {"train": DataLoader(ds, 4, prefetch=0),
+               "val": DataLoader(ds, 4, prefetch=0)}
+
+    def make(pp):
+        cfg = TrainerConfig(net_G="ChangeGNNV2", n_class=2,
+                            img_size=32, max_epochs=1, loss="ce",
+                            optimizer="adam", lr=1e-3, seed=11,
+                            checkpoint_dir=str(tmp_path / f"ck{pp}"),
+                            pp_stages=pp, pp_microbatches=2 if pp > 1 else 0)
+        return CDTrainer(cfg, loaders)
+
+    t_seq, t_pp = make(1), make(4)
+    batch = next(iter(loaders["train"]))
+    a = jnp.asarray(batch["A"])
+    b = jnp.asarray(batch["B"])
+    label = jnp.asarray(batch["label"]).astype(jnp.float32)
+
+    s_seq = t_seq._init_state()
+    s_pp = t_pp._init_state()
+    f_seq, _ = t_seq.eval_step(s_seq, a, b, label)
+    f_pp, _ = t_pp.eval_step(s_pp, a, b, label)
+    np.testing.assert_allclose(np.asarray(f_pp), np.asarray(f_seq),
+                               rtol=2e-4, atol=2e-4)
+
+    s2, metrics = t_pp.train_step(s_pp, a, b, label, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    moved = any(
+        float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
+        for x, y in zip(jax.tree_util.tree_leaves(s_seq.params),
+                        jax.tree_util.tree_leaves(s2.params)))
+    assert moved, "pipelined ViG train step did not move params"

@@ -316,3 +316,58 @@ def test_batching_engine_mesh_sharded_matches_single_device():
         # bound is the conv-rewrite noise floor, not sharding math
         np.testing.assert_allclose(g, r, atol=5e-3)
         assert np.mean(np.abs(g - r)) < 5e-4
+
+
+def test_batching_engine_sharded_and_quantized():
+    """VERDICT r3 item 5 — the configuration a v5e-8 serving host would
+    actually run: the batching engine mesh-sharded over 'data' AND
+    int8-quantized (serving/quant.py scales applied to the sharded
+    step). Stitched maps must equal the single-device int8 engine, and
+    /stats must report both flags."""
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
+    from stcd_tpu.serving import calibrate_conv_scales, quantize_fn
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 8, 6, 4))
+    tile = 32
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, tile, tile, 3)),
+                           jnp.zeros((1, tile, tile, 3)))
+
+    def fwd(a, b):
+        return jax.nn.sigmoid(model.apply(variables, a, b)[2])
+
+    rng = np.random.default_rng(0)
+    calib = (jnp.asarray(rng.uniform(0, 1, (8, tile, tile, 3)), jnp.float32),
+             jnp.asarray(rng.uniform(0, 1, (8, tile, tile, 3)), jnp.float32))
+    scales = calibrate_conv_scales(fwd, [calib])
+    assert int(np.isfinite(scales).sum()) > 0, "nothing quantized"
+    qfn = jax.jit(quantize_fn(fwd, scales))
+
+    scenes = [_scene(i, hw=64) for i in range(2)]
+    single = BatchingEngine(qfn, tile=tile, batch=8, max_wait_ms=20.0,
+                            quantized=True)
+    try:
+        ref = [single.predict_pair(*s) for s in scenes]
+    finally:
+        single.close()
+
+    mesh = create_mesh(model=1)
+    engine = BatchingEngine(qfn, tile=tile, batch=8, max_wait_ms=20.0,
+                            sharding=batch_sharding(mesh), quantized=True)
+    try:
+        got = [engine.predict_pair(*s) for s in scenes]
+        stats = engine.stats_snapshot()
+    finally:
+        engine.close()
+
+    assert stats["mesh_sharded"] is True
+    assert stats["quantized"] is True
+    assert stats["devices"] == len(jax.devices())
+    for g, r in zip(got, ref):
+        # int8 conv outputs are integer-exact per tile; the residual
+        # float epilogues tolerate the XLA:CPU conv-rewrite noise floor
+        # (same bound as the bf16 mesh-sharded test above)
+        np.testing.assert_allclose(g, r, atol=5e-3)
+        assert np.mean(np.abs(g - r)) < 5e-4
