@@ -695,6 +695,10 @@ def main(argv=None):
     ap.add_argument("--decoder", choices=["fused", "plain"], default="fused",
                     help="ablation: fused upsample+concat+conv decoder vs "
                          "the reference-shaped plain decoder")
+    ap.add_argument("--reuse-torch", action="store_true",
+                    help="skip the torch side if torch.json already exists "
+                         "in --workdir (ablation sweeps vary the jax side "
+                         "only; same --seed/--init-seed => identical data)")
     args = ap.parse_args(argv)
 
     global DEPLOYED, INIT_SEED, JAX_COMPUTE, TRANSFER, DECODER
@@ -743,6 +747,13 @@ def main(argv=None):
     if args.deployed:
         base.append("--deployed")
     for side in ("torch", "jax"):  # torch first: it writes init.npz
+        if side == "torch" and args.reuse_torch \
+                and os.path.exists(os.path.join(wd, "torch.json")) \
+                and os.path.exists(os.path.join(wd, "init.npz")):
+            # ablation sweeps vary only the JAX side; with identical
+            # --seed/--init-seed the regenerated data is bit-identical,
+            # so the prior torch result is valid
+            continue
         subprocess.run(base + ["--side", side], env=env, cwd=REPO, check=True)
 
     torch_res = json.load(open(os.path.join(wd, "torch.json")))

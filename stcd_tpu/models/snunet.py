@@ -45,14 +45,48 @@ class ConvBlockNested(nn.Module):
         return nn.relu(x + identity)
 
 
-class Up(nn.Module):
-    """ConvTranspose2d(k=2, s=2) exact 2x upsample (ref SNUNet.py:29-43)."""
+class _D2SUp(nn.Module):
+    """Exact rewrite of ConvTranspose2d(k=2, s=2) as one matmul +
+    depth-to-space interleave: out[b,2i+u,2j+v,o] = x[b,i,j,:] @ K[u,v,o,:]
+    + bias — identical parameters (name/shape match nn.ConvTranspose with
+    transpose_kernel=True, so checkpoints are interchangeable) and
+    bit-matching math (tests/test_golden_zoo-level equality pinned in
+    benchmarks/ab_snunet_levers.py). Candidate perf lever: the einsum
+    lowers to one MXU matmul instead of XLA's transposed-conv path."""
 
     ch: int
+    in_ch: int
     dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, self.ch, self.in_ch), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.ch,), jnp.float32)
+        x, kernel, bias = nn.dtypes.promote_dtype(x, kernel, bias,
+                                                  dtype=self.dtype)
+        b, h, w, _ = x.shape
+        y = jnp.einsum("bhwc,uvoc->bhwuvo", x, kernel)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2, self.ch)
+        return y + bias
+
+
+class Up(nn.Module):
+    """ConvTranspose2d(k=2, s=2) exact 2x upsample (ref SNUNet.py:29-43).
+
+    ``mode="d2s"`` selects the mathematically-identical matmul +
+    depth-to-space rewrite (_D2SUp) with the same parameter tree."""
+
+    ch: int
+    dtype: Optional[Any] = None
+    mode: str = "convtranspose"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.mode == "d2s":
+            return _D2SUp(self.ch, x.shape[-1], dtype=self.dtype,
+                          name="ConvTranspose_0")(x)
         return nn.ConvTranspose(self.ch, (2, 2), strides=(2, 2),
                                 transpose_kernel=True, dtype=self.dtype)(x)
 
@@ -80,6 +114,7 @@ class _NestedBody(nn.Module):
 
     n1: int = 32
     dtype: Optional[Any] = None
+    up_mode: str = "convtranspose"
 
     @nn.compact
     def __call__(self, xa, xb, train=False):
@@ -104,7 +139,7 @@ class _NestedBody(nn.Module):
         x4_0B = blk(f[4], f[4], "conv4_0")(max_pool(x3_0B), train)
 
         cat = lambda *xs: jnp.concatenate(xs, axis=-1)
-        up = lambda ch, name: Up(ch, dtype=dt, name=name)
+        up = lambda ch, name: Up(ch, dtype=dt, mode=self.up_mode, name=name)
 
         x0_1 = blk(f[0], f[0], "conv0_1")(cat(x0_0A, x0_0B, up(f[1], "Up1_0")(x1_0B)), train)
         x1_1 = blk(f[1], f[1], "conv1_1")(cat(x1_0A, x1_0B, up(f[2], "Up2_0")(x2_0B)), train)
@@ -127,10 +162,12 @@ class SNUNetECAM(nn.Module):
     out_ch: int = 1
     n1: int = 32
     dtype: Optional[Any] = None
+    up_mode: str = "convtranspose"  # "d2s": exact matmul+interleave Up
 
     @nn.compact
     def __call__(self, xa, xb, train=False):
         x0_1, x0_2, x0_3, x0_4 = _NestedBody(self.n1, dtype=self.dtype,
+                                             up_mode=self.up_mode,
                                              name="body")(xa, xb, train)
         out = jnp.concatenate([x0_1, x0_2, x0_3, x0_4], axis=-1)
         intra = x0_1 + x0_2 + x0_3 + x0_4

@@ -88,8 +88,72 @@ def main():
 
     ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
     if ckpt_dir:
+        _run_tp_span_check(model, zeros)
         _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir)
         _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir)
+
+
+def _run_tp_span_check(model, zeros):
+    """Tensor parallelism with the 'model' axis SPANNING the two
+    processes (VERDICT r3 item 4a): the device order is permuted so each
+    model-axis pair holds one device from each process — the Megatron
+    conv-kernel shards then reduce across the process boundary through
+    gloo. The TP train-step loss must equal the replicated (DP) loss on
+    the same mesh, params and batch."""
+    import numpy as np
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                        param_sharding)
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_cd_steps
+    import jax.numpy as jnp
+
+    devs = jax.devices()  # [p0d0, p0d1, p1d0, p1d1]
+    assert len(devs) == 4
+    # rows = data shards, cols = model shards; cols mix processes
+    tp_mesh = create_mesh(data=2, model=2,
+                          devices=[devs[0], devs[2], devs[1], devs[3]])
+    assert {d.process_index for d in tp_mesh.devices[0]} == {0, 1}, (
+        "model axis does not span processes")
+
+    state = create_train_state(model, jax.random.PRNGKey(5), (zeros, zeros),
+                               optax.adam(1e-3))
+    rng = np.random.default_rng(21)
+    batch = {
+        "A": jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32),
+        "B": jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 3)), jnp.float32),
+        "label": jnp.asarray(rng.uniform(0, 1, (4, 32, 32, 1)) > 0.8,
+                             jnp.float32),
+    }
+    train_step, _ = make_cd_steps(model, augment=False)
+    rep = NamedSharding(tp_mesh, P())
+
+    def copy(st):
+        return jax.tree_util.tree_map(jnp.array, st)
+
+    def place(st, shardings):
+        return st.replace(
+            params=jax.device_put(st.params, shardings),
+            batch_stats=jax.device_put(st.batch_stats, rep),
+            opt_state=jax.device_put(st.opt_state, rep))
+
+    bsh = jax.device_put(batch, batch_sharding(tp_mesh))
+    _, out_dp = train_step(place(copy(state), rep), bsh,
+                           jax.random.PRNGKey(0))
+    shardings = param_sharding(tp_mesh, state.params, min_size_to_shard=1024)
+    n_sharded = sum(sh.spec != P()
+                    for sh in jax.tree_util.tree_leaves(shardings))
+    assert n_sharded > 0, "no kernel sharded over the spanning model axis"
+    _, out_tp = train_step(place(copy(state), shardings), bsh,
+                           jax.random.PRNGKey(0))
+    print("MP_TP " + json.dumps({
+        "dp_loss": float(out_dp["loss"]),
+        "tp_loss": float(out_tp["loss"]),
+        "n_sharded": int(n_sharded),
+    }), flush=True)
 
 
 def _run_checkpoint_check(state, model, zeros, mesh, rep, ckpt_dir):
@@ -183,11 +247,14 @@ def _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir):
         def __len__(self):
             return len(self.loader)
 
+        seen = []
+
         def __iter__(self):
             for batch in self.loader:
                 self.count += 1
                 if pid == 0 and self.count == 1:
                     guard.trigger()
+                self.seen.append(batch)
                 yield batch
 
     # length=8 is partitioned across the 2 processes by the multihost
@@ -199,9 +266,13 @@ def _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir):
             shuffle=True, num_workers=2, seed=6,
             sharding=global_batch_sharding(mesh))
 
+    import jax.numpy as jnp
+
+    state0 = jax.tree_util.tree_map(jnp.array, state)  # pre-run copy
     save_dir = os.path.join(ckpt_dir, "preempt")
+    trigger_loader = TriggerOnP0(make_loader())
     state, best, history = run_training(
-        train_step, eval_step, state, TriggerOnP0(make_loader()),
+        train_step, eval_step, state, trigger_loader,
         make_loader(),
         n_epochs=2, save_dir=save_dir, rng=jax.random.PRNGKey(3),
         preemption=guard)
@@ -216,6 +287,53 @@ def _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir):
         "ckpt_epoch": None if restored is None else restored[1],
         "ckpt_steps": None if restored is None else int(
             jax.device_get(restored[0].step)),
+    }), flush=True)
+
+    # resume-exactness (VERDICT r3 item 4b): continuing from the
+    # restored shared-FS checkpoint must track BOTH the live
+    # post-preemption state and a from-scratch replay (initial state +
+    # the one batch that trained before the stop) EXACTLY over the same
+    # continuation batches — the checkpoint IS the live state.
+    import numpy as np
+
+    rstate = restored[0].replace(
+        params=jax.device_put(restored[0].params, rep),
+        batch_stats=jax.device_put(restored[0].batch_stats, rep),
+        opt_state=jax.device_put(restored[0].opt_state, rep))
+    first_batch = {k: jnp.asarray(v)
+                   for k, v in trigger_loader.seen[0].items()
+                   if k != "name"}
+    rng2 = np.random.default_rng(31)
+    extra = []
+    for i in range(2):
+        extra.append({
+            "A": jnp.asarray(rng2.uniform(0, 1, (4, 32, 32, 3)),
+                             jnp.float32),
+            "B": jnp.asarray(rng2.uniform(0, 1, (4, 32, 32, 3)),
+                             jnp.float32),
+            "label": jnp.asarray(rng2.uniform(0, 1, (4, 32, 32, 1)) > 0.8,
+                                 jnp.float32)})
+
+    def cont(st, batches, keys):
+        st = jax.tree_util.tree_map(jnp.array, st)
+        ls = []
+        for b, k in zip(batches, keys):
+            st, o = train_step(st, b, k)
+            ls.append(float(o["loss"]))
+        return ls
+
+    # k1 reproduces run_training's first step key exactly (loops.py:
+    # ``rng, step_rng = jax.random.split(rng)`` from rng=PRNGKey(3)), so
+    # the from-scratch replay walks the SAME augmentation stream the
+    # preempted run did — all three continuations must agree exactly.
+    k1 = jax.random.split(jax.random.PRNGKey(3))[1]
+    k2, k3 = jax.random.PRNGKey(102), jax.random.PRNGKey(103)
+    live = cont(state, extra, [k2, k3])
+    resumed = cont(rstate, extra, [k2, k3])
+    replay = cont(state0, [first_batch] + extra, [k1, k2, k3])
+    print("MP_RESUME " + json.dumps({
+        "live": live, "resumed": resumed, "replay_tail": replay[1:],
+        "replay_finite": bool(np.all(np.isfinite(replay))),
     }), flush=True)
 
 
