@@ -555,8 +555,8 @@ def test_cdtrainer_pp_stages_changevig(tmp_path):
     np.testing.assert_allclose(np.asarray(f_pp), np.asarray(f_seq),
                                rtol=2e-4, atol=2e-4)
 
-    s2, metrics = t_pp.train_step(s_pp, a, b, label, jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["loss"]))
+    s2, loss, _cm = t_pp.train_step(s_pp, a, b, label, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
     moved = any(
         float(np.abs(np.asarray(x) - np.asarray(y)).max()) > 0
         for x, y in zip(jax.tree_util.tree_leaves(s_seq.params),
