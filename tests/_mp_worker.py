@@ -47,6 +47,25 @@ def main():
     multihost_utils.sync_global_devices("stcd_mp_warmup")
     multihost_utils.process_allgather(np.zeros((1,), np.float32))
 
+    # also warm the PERMUTED TP-span clique (_run_tp_span_check pairs
+    # devices across processes — a distinct gloo context whose lazy
+    # creation at first use hits the 30 s rendezvous deadline when the
+    # preceding model compiles skew the processes; observed DEADLINE_
+    # EXCEEDED on the 1-core host). One tiny all-reduce now, in lockstep.
+    from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+    from stcd_tpu.parallel.mesh import create_mesh as _cm
+    _devs = jax.devices()
+    _tpm = _cm(data=2, model=2,
+               devices=[_devs[0], _devs[2], _devs[1], _devs[3]])
+    _z = jax.device_put(np.zeros((4, 4), np.float32),
+                        _NS(_tpm, _P("data", "model")))
+    # full-mesh reduce (one clique) ...
+    float(jax.jit(lambda t: t.sum(), out_shardings=_NS(_tpm, _P()))(_z))
+    # ... and the model-PAIR subgroup reduce ({p0d0,p1d0}, {p0d1,p1d1})
+    jax.block_until_ready(jax.jit(
+        lambda t: t.sum(axis=1),
+        out_shardings=_NS(_tpm, _P("data")))(_z))
+
     import jax.numpy as jnp
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -116,7 +135,7 @@ def _run_tp_span_check(model, zeros):
     # rows = data shards, cols = model shards; cols mix processes
     tp_mesh = create_mesh(data=2, model=2,
                           devices=[devs[0], devs[2], devs[1], devs[3]])
-    assert {d.process_index for d in tp_mesh.devices[0]} == {0, 1}, (
+    assert {d.process_index for d in tp_mesh.devices[0].flat} == {0, 1}, (
         "model axis does not span processes")
 
     state = create_train_state(model, jax.random.PRNGKey(5), (zeros, zeros),
