@@ -145,6 +145,18 @@ def make_mesh(args):
         # SP runs use the (sharding-transparent) jnp augmentation path
         from stcd_tpu.data.augment import set_pallas_augment
         set_pallas_augment("off")
+        enc = getattr(args, "encoder", "") or ""
+        if enc and not enc.startswith(("resnet", "resnext")):
+            # the >= 2-rows-per-shard spatial pins that guard the GSPMD
+            # wrong-gradient miscompile (docs/SCALING.md, round 4) are
+            # implemented stage-by-stage in the resnet family only; other
+            # families train correctly above the floor but are unpinned
+            # at sub-floor map sizes
+            print(f"warning: --space_axis {space} with encoder {enc!r}: "
+                  "spatial-partition gradient pins are validated for the "
+                  "resnet/resnext families; keep feature maps >= "
+                  f"{2 * space} rows (input >= {64 * space} px) or use a "
+                  "resnet encoder (docs/SCALING.md)", flush=True)
     n_dev = len(jax.devices())
     if space * model > n_dev:
         raise SystemExit(
