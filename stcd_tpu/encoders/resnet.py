@@ -96,32 +96,40 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # interior spatial pins, same contract as BasicBlock's (ADVICE
+        # r4: the asymmetry was undocumented): no-ops without a 'space'
+        # mesh; with one, they leave GSPMD no freedom to route interiors
+        # through a free 'model' axis (the round-4 conv-backward
+        # miscompile, parallel/mesh._space_shardable docstring)
+        from stcd_tpu.parallel.mesh import constrain_spatial
+
         width = int(self.features * (self.base_width / 64.0)) * self.groups
         identity = x
         d = self.dilation
         out = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         out = _bn(train, self.dtype, "bn1")(out)
-        out = nn.relu(out)
+        out = constrain_spatial(nn.relu(out))
         out = nn.Conv(
             width, (3, 3), strides=(self.stride, self.stride), padding=[(d, d)] * 2,
             kernel_dilation=(d, d), feature_group_count=self.groups, use_bias=False,
             dtype=self.dtype, name="conv2",
         )(out)
         out = _bn(train, self.dtype, "bn2")(out)
-        out = nn.relu(out)
+        out = constrain_spatial(nn.relu(out))
         out = nn.Conv(
             self.features * self.expansion, (1, 1), use_bias=False,
             dtype=self.dtype, name="conv3",
         )(out)
-        out = _bn(train, self.dtype, "bn3")(out)
+        out = constrain_spatial(_bn(train, self.dtype, "bn3")(out))
         if self.downsample:
             identity = nn.Conv(
                 self.features * self.expansion, (1, 1),
                 strides=(self.stride, self.stride), use_bias=False,
                 dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = _bn(train, self.dtype, "downsample_bn")(identity)
-        return nn.relu(out + identity)
+            identity = constrain_spatial(
+                _bn(train, self.dtype, "downsample_bn")(identity))
+        return constrain_spatial(nn.relu(out + identity))
 
 
 _RESNET_CFGS = {

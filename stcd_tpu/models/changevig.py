@@ -43,6 +43,9 @@ from stcd_tpu.models.changeformer import (
 )
 from stcd_tpu.models.gcn_lib import Grapher, act_layer
 
+# one-shot flag for the pipelined-train frozen-BN warning (ADVICE r4)
+_PP_TRAIN_WARNED = False
+
 Dtype = Any
 
 
@@ -181,6 +184,20 @@ class VIGBackbone(nn.Module):
         cheap), mirroring how the taps land on stage ENDS (the sequential
         taps {1,4,11,14} for (2,2,6,2) are exactly the stage outputs)."""
         from stcd_tpu.parallel.pipeline import gpipe_hetero
+
+        if train:
+            # one-shot runtime signal for the documented deviation above:
+            # a from-scratch pp run normalizes the whole encoder with
+            # frozen (init-valued) BN running stats (ADVICE r4)
+            global _PP_TRAIN_WARNED
+            if not _PP_TRAIN_WARNED:
+                _PP_TRAIN_WARNED = True
+                import logging
+                logging.getLogger(__name__).warning(
+                    "VIGBackbone.pipeline with train=True: pipelined "
+                    "encoder stages run frozen-BN / no-DropPath "
+                    "(documented deviation, docs/SCALING.md); from-scratch "
+                    "pp training normalizes with init-valued running stats")
 
         cfg = dict(self.pipeline)
         params = self.variables["params"]

@@ -121,6 +121,9 @@ def place_train_state(mesh: Mesh, state):
 
 _SPATIAL_MESH: Optional[Mesh] = None
 _ACTIVE_MESH: Optional[Mesh] = None
+# model-axis sizes returned by model_axis_size() since the last cache
+# flush — i.e. the sizes some live compiled trace may have captured
+_MODEL_AXIS_OBSERVED: set = set()
 
 
 def set_active_mesh(mesh: Optional[Mesh]) -> None:
@@ -128,19 +131,36 @@ def set_active_mesh(mesh: Optional[Mesh]) -> None:
     dryrun). Feeds two consumers: `set_spatial_mesh` (the 'space'-axis
     activation pinning) and `model_axis_size` (ops/attention routes away
     from the un-partitionable Pallas kernel under a real 'model' axis —
-    ADVICE r3). None resets both."""
+    ADVICE r3). None resets both.
+
+    `model_axis_size()` is read at TRACE time, so a step jitted before
+    this call would keep the wrong attention route in its executable
+    cache forever (ADVICE r4). Guard: if any trace may have observed a
+    different model-axis size, drop the jit caches here so the next step
+    call re-traces under the new mesh — ordering is then a one-time
+    recompile cost, never a silent mis-route."""
     global _ACTIVE_MESH
+    new_size = 1 if mesh is None else int(dict(mesh.shape).get("model", 1))
+    if _MODEL_AXIS_OBSERVED and new_size not in _MODEL_AXIS_OBSERVED:
+        import logging
+        logging.getLogger(__name__).info(
+            "set_active_mesh: model-axis size changed (%s -> %d); "
+            "clearing jax caches so stale traces re-route",
+            sorted(_MODEL_AXIS_OBSERVED), new_size)
+        jax.clear_caches()
+        _MODEL_AXIS_OBSERVED.clear()
     _ACTIVE_MESH = mesh
     set_spatial_mesh(mesh)
 
 
 def model_axis_size() -> int:
     """Size of the active mesh's 'model' (tensor-parallel) axis; 1 when
-    no mesh is registered."""
+    no mesh is registered. Records the returned size so `set_active_mesh`
+    can invalidate traces compiled under a different mesh (ADVICE r4)."""
     m = _ACTIVE_MESH
-    if m is None:
-        return 1
-    return int(dict(m.shape).get("model", 1))
+    size = 1 if m is None else int(dict(m.shape).get("model", 1))
+    _MODEL_AXIS_OBSERVED.add(size)
+    return size
 
 
 def set_spatial_mesh(mesh: Optional[Mesh]) -> None:

@@ -385,8 +385,35 @@ class CDTrainer:
         if self.cfg.loss in ("fl", "miou") and self.alpha is None:
             self.alpha = get_alpha_from_loader(self.dataloaders["train"])
 
+    def close(self) -> None:
+        """Release the process-global mesh registration (ADVICE r4).
+
+        A tp_axis>1 trainer registers its mesh via set_active_mesh so
+        ops/attention routes off the un-partitionable Pallas kernel;
+        without this reset a LATER trainer/model built in the same
+        process with tp_axis=1 would inherit the stale 'model' axis.
+        set_active_mesh itself clears jit caches on size change, so the
+        residual cost of a missed close() is a recompile, not a
+        mis-route — but tests and multi-trainer processes should still
+        call close() (train_models does so on exit)."""
+        if self._tp_mesh is not None:
+            from stcd_tpu.parallel.mesh import set_active_mesh
+            set_active_mesh(None)
+
     def train_models(self) -> TrainState:
-        """ref trainer.py:316-371 (train/val loop + curves + checkpoints)."""
+        """ref trainer.py:316-371 (train/val loop + curves + checkpoints).
+        Resets the process-global mesh registration on exit (close())."""
+        if self._tp_mesh is not None:
+            # re-register in case an earlier close() (or another trainer)
+            # reset the global since __init__
+            from stcd_tpu.parallel.mesh import set_active_mesh
+            set_active_mesh(self._tp_mesh)
+        try:
+            return self._train_models()
+        finally:
+            self.close()
+
+    def _train_models(self) -> TrainState:
         cfg = self.cfg
         self._ensure_alpha()
         state = self._init_state()

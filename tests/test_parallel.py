@@ -355,7 +355,8 @@ def test_gspmd_free_axis_kernel_grad_hazard():
         create_mesh(data=2, space=2, stage=2)
 
 
-def test_spatial_backward_tiny_maps():
+@pytest.mark.parametrize("arch", ["resnet18", "resnet50"])
+def test_spatial_backward_tiny_maps(arch):
     """Round-4 discovery #3: below 2 rows per space-shard, the GSPMD
     conv BACKWARD of a strided residual stage is miscompiled (loss
     exact, kernel grads off by ~1e2) — caught because rounds 1-3 only
@@ -364,13 +365,15 @@ def test_spatial_backward_tiny_maps():
     (mesh._space_shardable) now pins every too-small stage batch-
     parallel, and this test asserts DIRECT gradient equality for the
     resnet encoder under DP x SP — the layout the r3 dryrun/tests ran
-    loss-only."""
+    loss-only. Covers BOTH block types: resnet18 (BasicBlock) and
+    resnet50 (Bottleneck — the bench encoder; ADVICE r4 asked for its
+    interior pins + coverage)."""
     from stcd_tpu.encoders.resnet import ResNetEncoder
     from stcd_tpu.parallel.mesh import set_spatial_mesh
 
     x = jax.random.normal(jax.random.PRNGKey(0), (16, 16, 16, 3))
     mesh = create_mesh(data=4, model=1, space=2)
-    module = ResNetEncoder(arch="resnet18", depth=3)
+    module = ResNetEncoder(arch=arch, depth=3)
     variables = module.init(jax.random.PRNGKey(3), x, True)
 
     def loss_fn(p, a):
@@ -394,9 +397,16 @@ def test_spatial_backward_tiny_maps():
     for (path, g1), g2 in zip(
             jax.tree_util.tree_leaves_with_path(ref_grads),
             jax.tree_util.tree_leaves(grads)):
-        # fp32 BN-stat reduction reordering is the only allowed noise
-        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
-                                   atol=2e-3, rtol=1e-3,
+        # fp32 BN-stat reduction reordering is the only allowed noise.
+        # Measured for the Bottleneck stack: a DP-ONLY sharded run shows
+        # the same ~5e-3..5e-2 absolute diffs vs unsharded on O(1e2-1e3)
+        # grads (pure reduction-order noise, no 'space' involvement);
+        # the miscompile this test guards produces O(|g|) errors, so the
+        # floor scales with the leaf's gradient magnitude.
+        a1 = np.asarray(g1)
+        atol = max(2e-3, 1e-4 * float(np.abs(a1).max()))
+        np.testing.assert_allclose(a1, np.asarray(g2),
+                                   atol=atol, rtol=1e-3,
                                    err_msg=jax.tree_util.keystr(path))
 
 
