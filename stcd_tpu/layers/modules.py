@@ -37,7 +37,13 @@ Dtype = Any
 
 
 def max_pool(x: jax.Array, window: int = 2, stride: int = 2, padding: int = 0) -> jax.Array:
-    """NHWC max pool. torch F.max_pool2d(kernel, stride, padding) parity."""
+    """NHWC max pool. torch F.max_pool2d(kernel, stride, padding) parity.
+
+    Inside a manual spatial shard_map body (parallel/spatial.py) the
+    rows are a local strip: route through the halo-exchange variant."""
+    from stcd_tpu.parallel.spatial import active_space_axis, max_pool_spatial
+    if active_space_axis() is not None and x.ndim == 4:
+        return max_pool_spatial(x, window, stride, padding)
     pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
     return jax.lax.reduce_window(
         x,

@@ -45,6 +45,16 @@ class BatchNorm(nn.Module):
             mean = jnp.mean(xf, axes)
             # E[x^2] - E[x]^2 in fp32: one fused pass over the bf16 input
             mean2 = jnp.mean(jnp.square(xf), axes)
+            # Inside a manual spatial shard_map body each shard sees only
+            # its H-strip; the reference's BN statistics span the whole
+            # image (single-device whole-batch BN, SURVEY.md §5) — pmean
+            # the moments over 'space' (equal-sized strips). The GSPMD
+            # axes ('data') are all-reduced automatically by XLA.
+            from stcd_tpu.parallel.spatial import active_space_axis
+            space_axis = active_space_axis()
+            if space_axis is not None:
+                mean = jax.lax.pmean(mean, space_axis)
+                mean2 = jax.lax.pmean(mean2, space_axis)
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = (self.momentum * ra_mean.value

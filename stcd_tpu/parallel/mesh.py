@@ -34,25 +34,15 @@ def create_mesh(data: Optional[int] = None, model: int = 1, space: int = 1,
         data = n // (model * space * stage)
     assert data * model * space * stage == n, \
         f"mesh {data}x{model}x{space}x{stage} != {n} devices"
-    if space > 1 and (model > 1 or stage > 1):
-        # Round-4 discovery, upheld by minimal repro
-        # (tests/test_parallel.py::test_gspmd_free_axis_kernel_grad_hazard):
-        # when the mesh carries a THIRD size>1 axis next to
-        # 'data' x 'space', the GSPMD partitioner (classic AND shardy)
-        # computes WRONG conv kernel GRADIENTS for spatially-sharded
-        # wide-channel convs — f64 error ~3e1 while the loss stays exact,
-        # so training silently diverges from the replicated math. The
-        # 2-axis data x space mesh is exact at every split tested, as is
-        # data x model (TP) without 'space'. Until the upstream
-        # partitioner is fixed, the 'space' axis composes with 'data'
-        # ONLY; compose TP/PP with DP freely on space=1 meshes.
-        raise ValueError(
-            f"mesh {data}x{model}x{space}x{stage}: a 'space' axis > 1 "
-            "cannot share a mesh with 'model'/'stage' > 1 — the GSPMD "
-            "partitioner miscompiles conv kernel gradients under a free "
-            "third axis (see parallel/mesh.create_mesh and docs/"
-            "SCALING.md 'TPxSP composition'). Use data x space alone, "
-            "or drop --space_axis when using --model_axis/--pp_stages.")
+    # Composed space x {model, stage} geometry is ACCEPTED since round 5:
+    # the manual shard_map 'space' implementation (parallel/spatial.py —
+    # explicit halo exchange, GSPMD never sees the axis) makes it exact
+    # (tests/test_spatial_shardmap.py::test_dp_tp_sp_2x2x2_direct_grads).
+    # The GSPMD-automatic spatial path still miscompiles conv kernel
+    # gradients on such meshes (round-4 discovery; standalone repro
+    # tools/gspmd_repro.py), so ITS entry point — batch_sharding(...,
+    # spatial=True) — rejects the composed geometry instead, and
+    # set_spatial_mesh refuses to arm the GSPMD layout pins for it.
     arr = np.asarray(devices).reshape(data, model, space, stage)
     return Mesh(arr, ("data", "model", "space", "stage"))
 
@@ -63,9 +53,25 @@ def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
     With ``spatial=True`` additionally shard NHWC dim 1 (image rows) over
     'space' — GSPMD partitions every conv/pool/resize spatially and
     inserts the halo exchanges (collective-permutes of the kernel-overlap
-    rows) automatically.
+    rows) automatically. This GSPMD-automatic spatial path is only exact
+    on 2-axis data x space meshes: with a size>1 'model'/'stage' axis on
+    the mesh the partitioner miscompiles conv kernel gradients (round-4
+    discovery, standalone repro tools/gspmd_repro.py) — composed meshes
+    must use the MANUAL implementation (parallel/spatial.py), which
+    takes its batches data-sharded only (rows enter via shard_map).
     """
     if spatial:
+        shape = dict(mesh.shape)
+        if shape.get("space", 1) > 1 and (
+                shape.get("model", 1) > 1 or shape.get("stage", 1) > 1):
+            raise ValueError(
+                "GSPMD-automatic spatial sharding on a mesh composing "
+                "'space' with 'model'/'stage' > 1: the partitioner "
+                "miscompiles conv kernel gradients on this geometry "
+                "(tools/gspmd_repro.py). Use the manual halo-exchange "
+                "implementation instead: parallel/spatial.py "
+                "make_spatial_cd_steps / spatial_context "
+                "(docs/SCALING.md 'Spatial partitioning').")
         return NamedSharding(mesh, P("data", "space"))
     return NamedSharding(mesh, P("data"))
 
@@ -167,7 +173,12 @@ def set_spatial_mesh(mesh: Optional[Mesh]) -> None:
     """Enable `constrain_spatial` inside model code for this process.
     Call with the active mesh when its 'space' axis > 1 (scripts/common.py
     make_mesh and the driver dryrun do); None — or a mesh without a real
-    'space' axis — disables (the default: zero effect on 1-axis runs)."""
+    'space' axis — disables (the default: zero effect on 1-axis runs).
+
+    Inside a manual shard_map spatial body (parallel/spatial.py) the
+    'space' axis is manual and the constrain_* pins below no-op
+    regardless of what is registered here — the pins only act on
+    GSPMD-automatic traces."""
     global _SPATIAL_MESH
     if mesh is not None and dict(mesh.shape).get("space", 1) > 1:
         _SPATIAL_MESH = mesh
@@ -187,11 +198,19 @@ def constrain_replicated(x):
     partitioned conv computes wrong values (minimal repro in
     tests/test_parallel.py::test_gspmd_conv_kernel_slice_hazard; f64
     error ~3e2 on a 2x2x2 mesh, exact once the kernel is pinned).
-    Model code pins derived conv kernels with this before use."""
+    Model code pins derived conv kernels with this before use.
+
+    No-op inside a manual shard_map spatial body (the 'space' axis is
+    manual there; halos make the conv exact without pins)."""
     m = _SPATIAL_MESH
-    if m is None:
+    if m is None or _in_manual_space():
         return x
     return jax.lax.with_sharding_constraint(x, NamedSharding(m, P()))
+
+
+def _in_manual_space() -> bool:
+    from stcd_tpu.parallel.spatial import active_space_axis
+    return active_space_axis() is not None
 
 
 def _space_shardable(h: int, sp: int) -> bool:
@@ -223,9 +242,13 @@ def constrain_spatial(x, prev_h: Optional[int] = None,
     activation feeds will shrink below the _space_shardable floor, the
     whole stage must run batch-parallel (pinning only its output is NOT
     enough — the wrong-gradient miscompile lives in the stage interior),
-    so the input is pinned P('data'). Used by the encoders' stage loop."""
+    so the input is pinned P('data'). Used by the encoders' stage loop.
+
+    No-op inside a manual shard_map spatial body: there the 'space' axis
+    is manual (halo exchange handles correctness) and a constraint
+    naming it would be invalid."""
     m = _SPATIAL_MESH
-    if m is None or getattr(x, "ndim", 0) != 4:
+    if m is None or getattr(x, "ndim", 0) != 4 or _in_manual_space():
         return x
     sp = m.shape["space"]
     if not _space_shardable(x.shape[1], sp) or (
@@ -251,7 +274,8 @@ _ATTN_COL = ("q", "kv", "to_qkv", "to_q", "to_k", "to_v")
 _ATTN_ROW = ("proj", "to_out")
 
 
-def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
+def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20,
+                   manual_space: bool = False):
     """Tensor-parallel sharding map over the 'model' axis. Returns a
     pytree of shardings (replicated where no rule applies; with model=1
     pure replication — the data-parallel baseline).
@@ -284,7 +308,12 @@ def param_sharding(mesh: Mesh, params, min_size_to_shard: int = 2 ** 20):
         in_ffn = grand.startswith("ff") and parent.startswith("Dense_")
         in_mlp = "mlp" in keys
 
-        space_axis = dict(mesh.shape).get("space", 1)
+        # manual_space: the run shards 'space' via the MANUAL shard_map
+        # implementation (parallel/spatial.py) — GSPMD never sees the
+        # axis, so the TPxSP suppressions below (which guard the GSPMD
+        # partitioner miscompiles) do not apply and conv/MLP kernels may
+        # take 'model' freely.
+        space_axis = 1 if manual_space else dict(mesh.shape).get("space", 1)
         if space_axis > 1:
             # under TPxSP the MLP family keeps 'model' off entirely: its
             # depthwise conv would otherwise be feature-partitioned (see

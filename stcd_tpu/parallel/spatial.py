@@ -1,0 +1,417 @@
+"""Manual shard_map spatial partitioning: the OWNED 'space' axis.
+
+Round 4 discovered the GSPMD partitioner (classic and shardy alike)
+miscompiles spatially-sharded conv VALUES and KERNEL GRADIENTS whenever
+the mesh carries a size>1 third axis next to 'data' x 'space' (minimal
+repros: tests/test_parallel.py::test_gspmd_*, standalone
+tools/gspmd_repro.py) — so the GSPMD-automatic 'space' implementation
+composes with 'data' ONLY. This module is the round-5 answer (VERDICT r4
+item 1): spatial partitioning as a MANUAL jax.shard_map axis with
+explicit halo exchange, the same pattern parallel/pipeline.py uses for
+'stage'. GSPMD never sees the 'space' axis — inside the body every
+activation is a local H-strip and convs/pools are plain dense ops over a
+locally-padded strip — so the partitioner bug cannot bite, and 'space'
+composes freely with 'data' (GSPMD), 'model' (GSPMD tensor parallel) and
+'stage' (manual pipeline).
+
+Reference bar: this is the TPU answer to the reference's offline raster
+tiling (/root/reference/split.py:43-46) applied at TRAINING time —
+512²+ steps whose per-device batch would otherwise be < 1 image scale
+over 'space' instead of 'data'.
+
+How it works
+------------
+``spatial_context(size)`` arms a trace-time patch of
+``jax.lax.conv_general_dilated`` (the single primitive every
+flax ``nn.Conv`` and the fused decoder lower through) plus hooks in
+``layers/modules.max_pool`` and ``layers/norm.BatchNorm``:
+
+- every conv with vertical extent pulls ``ht = pt // L`` rows from the
+  shard above and ``hb = ((kh-1)*dh - sh - pt) // L + 1`` rows from the
+  shard below (one ``lax.ppermute`` each — pure ICI neighbour traffic),
+  then runs the original conv on the locally-padded strip with
+  ``pt_local = pt mod L`` top padding. The derivation covers strided,
+  kernel-dilated AND lhs-dilated (transposed / fused-upsample) convs;
+  1x1 convs have zero halo and zero overhead.
+- ``max_pool`` does the same with a -inf fill at the global edges.
+- ``BatchNorm`` batch statistics are ``lax.pmean``-ed over 'space'
+  (reference BN sees the whole image, ref train loops are single-device
+  whole-batch BN — SURVEY.md §5).
+- losses/metrics: ``space_mean`` / ``space_sum`` build psum-aware
+  reductions (Dice is a ratio of sums, so the sums must be global
+  BEFORE the division).
+
+Gradients need no special casing: the traced graph contains
+ppermute + dense convs, whose transposes are exact — the backward halo
+exchange is AD of the forward one. Uniformity requirements (loud
+ValueError otherwise): every conv's global H and Ho divide the shard
+count, and (Ho/S)*stride is a multiple of the lhs_dilation.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import functools
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# trace-time context: set while tracing inside a spatial shard_map body
+_CTX = {"axis": None, "size": 0}
+
+_ORIG_CONV = jax.lax.conv_general_dilated
+_ORIG_CONV_TRANSPOSE = jax.lax.conv_transpose
+
+
+def active_space_axis() -> Optional[str]:
+    """The manual 'space' axis name while tracing inside a spatial
+    shard_map body; None elsewhere. Read by layers/norm.BatchNorm and
+    layers/modules.max_pool."""
+    return _CTX["axis"]
+
+
+def space_size() -> int:
+    return _CTX["size"]
+
+
+# ---------------------------------------------------------------- halos
+
+
+def _take_rows(x, dim: int, start: int, stop: int):
+    idx = [slice(None)] * x.ndim
+    idx[dim] = slice(start, stop)
+    return x[tuple(idx)]
+
+
+def _edge_fill(block, idx, edge_index, fill):
+    """Replace ppermute's zero-fill at a global edge with ``fill``."""
+    if fill == 0.0:
+        return block
+    return jnp.where(jnp.equal(idx, edge_index),
+                     jnp.full_like(block, fill), block)
+
+
+def halo_rows(x, dim: int, ht: int, hb: int, *, fill: float = 0.0):
+    """Concatenate ``ht`` rows from the shard above and ``hb`` rows from
+    the shard below onto the local strip along ``dim``. Global edges get
+    ``fill`` (0 reproduces conv zero-padding, -inf max-pool padding).
+
+    Single ppermute per side when the neighbour holds enough rows; the
+    deep tiny-map case (halo wider than a shard) falls back to an
+    all_gather + dynamic window — a few rows, cost is nil.
+    """
+    axis, size = _CTX["axis"], _CTX["size"]
+    if ht == 0 and hb == 0:
+        return x
+    hl = x.shape[dim]
+    if ht > hl or hb > hl:
+        full = lax.all_gather(x, axis, axis=dim, tiled=True)
+        pad = [(0, 0)] * x.ndim
+        pad[dim] = (ht, hb)
+        full = jnp.pad(full, pad, constant_values=fill)
+        i = lax.axis_index(axis)
+        starts = [0] * x.ndim
+        starts[dim] = i * hl
+        return lax.dynamic_slice(full, starts, tuple(
+            (ht + hl + hb) if d == dim else s
+            for d, s in enumerate(x.shape)))
+    i = lax.axis_index(axis)
+    parts = []
+    if ht > 0:
+        top = _take_rows(x, dim, hl - ht, hl)
+        top = lax.ppermute(top, axis, [(j, j + 1) for j in range(size - 1)])
+        parts.append(_edge_fill(top, i, 0, fill))
+    parts.append(x)
+    if hb > 0:
+        bot = _take_rows(x, dim, 0, hb)
+        bot = lax.ppermute(bot, axis, [(j + 1, j) for j in range(size - 1)])
+        parts.append(_edge_fill(bot, i, size - 1, fill))
+    return jnp.concatenate(parts, axis=dim)
+
+
+def halo_geometry(H: int, kh: int, sh: int, pt: int, pb: int,
+                  dh: int = 1, L: int = 1, *, what: str = "conv"):
+    """Static halo math for one H-dim stencil op on ``S`` shards.
+
+    Returns (Hl, Hol, ht, hb, pt_local, pb_local): local rows in, local
+    rows out, top/bottom halo rows, and the local padding for a
+    correctness-equivalent local op. Derivation (docstring of the
+    module): output row o taps dilated coords [o*sh - pt,
+    o*sh - pt + (kh-1)*dh]; with Hol*sh divisible by L the halo widths
+    are shard-invariant.
+    """
+    S = _CTX["size"]
+    ext = (kh - 1) * dh
+    V = (H - 1) * L + 1
+    Ho = (V + pt + pb - ext - 1) // sh + 1
+    if H % S or Ho % S:
+        raise ValueError(
+            f"manual 'space' partitioning: {what} with H={H} -> Ho={Ho} "
+            f"does not divide over {S} space shards — choose an input "
+            "size whose every stage height is a multiple of the space "
+            "axis (docs/SCALING.md 'Spatial partitioning')")
+    Hl, Hol = H // S, Ho // S
+    if (Hol * sh) % L:
+        raise ValueError(
+            f"manual 'space' partitioning: {what} with lhs_dilation={L}, "
+            f"stride={sh}, per-shard output rows {Hol}: shard boundaries "
+            "fall between dilated taps; adjust the space axis or size")
+    ht = pt // L
+    hb = max(0, (ext - sh - pt) // L + 1)
+    pt_local = pt - ht * L
+    need = (Hol - 1) * sh + ext + 1
+    have = (ht + Hl + hb - 1) * L + 1 + pt_local
+    pb_local = max(0, need - have)
+    return Hl, Hol, ht, hb, pt_local, pb_local
+
+
+def _dilate_rows(x, L: int, dim: int):
+    """Materialize lhs_dilation along ``dim``: interleave L-1 zero rows
+    between consecutive rows ((n-1)*L + 1 rows out)."""
+    if L == 1:
+        return x
+    n = x.shape[dim]
+    xe = jnp.expand_dims(x, dim + 1)
+    zshape = list(xe.shape)
+    zshape[dim + 1] = L - 1
+    y = jnp.concatenate([xe, jnp.zeros(zshape, x.dtype)], axis=dim + 1)
+    yshape = list(x.shape)
+    yshape[dim] = n * L
+    y = y.reshape(yshape)
+    return _take_rows(y, dim, 0, (n - 1) * L + 1)
+
+
+def _canon_padding(padding, lhs_shape, rhs_shape, window_strides,
+                   lhs_dilation, rhs_dilation, dn):
+    """Resolve string paddings against the GLOBAL spatial dims (the local
+    strip would give the wrong SAME pads)."""
+    if not isinstance(padding, str):
+        return [tuple(p) for p in padding]
+    S = _CTX["size"]
+    spatial = [lhs_shape[d] for d in dn.lhs_spec[2:]]
+    spatial[0] *= S
+    kdims = [rhs_shape[d] for d in dn.rhs_spec[2:]]
+    effective = [(k - 1) * d + 1 for k, d in zip(kdims, rhs_dilation)]
+    dilated_in = [(s - 1) * l + 1 for s, l in zip(spatial, lhs_dilation)]
+    return lax.padtype_to_pads(dilated_in, effective, window_strides, padding)
+
+
+def _spatial_conv_general_dilated(
+        lhs, rhs, window_strides, padding, lhs_dilation=None,
+        rhs_dilation=None, dimension_numbers=None, feature_group_count=1,
+        batch_group_count=1, precision=None, preferred_element_type=None):
+    """Halo-exchange wrapper installed over jax.lax.conv_general_dilated
+    while tracing inside a spatial shard_map body."""
+    if _CTX["axis"] is None or getattr(lhs, "ndim", 0) != 4:
+        return _ORIG_CONV(
+            lhs, rhs, window_strides, padding, lhs_dilation, rhs_dilation,
+            dimension_numbers, feature_group_count, batch_group_count,
+            precision, preferred_element_type)
+    dn = lax.conv_dimension_numbers(lhs.shape, rhs.shape, dimension_numbers)
+    lhs_dilation = tuple(lhs_dilation) if lhs_dilation else (1, 1)
+    rhs_dilation = tuple(rhs_dilation) if rhs_dilation else (1, 1)
+    window_strides = tuple(window_strides)
+    pads = _canon_padding(padding, lhs.shape, rhs.shape, window_strides,
+                          lhs_dilation, rhs_dilation, dn)
+    hdim = dn.lhs_spec[2]        # first spatial dim of the input layout
+    ohdim = dn.out_spec[2]
+    kh = rhs.shape[dn.rhs_spec[2]]
+    sh, L, dh = window_strides[0], lhs_dilation[0], rhs_dilation[0]
+    pt, pb = pads[0]
+    S = _CTX["size"]
+    H = lhs.shape[hdim] * S
+    _, Hol, ht, hb, pt_loc, pb_loc = halo_geometry(
+        H, kh, sh, pt, pb, dh, L, what=f"conv k{kh}s{sh}L{L}")
+    x = halo_rows(lhs, hdim, ht, hb, fill=0.0)
+    dil_rows = (ht + lhs.shape[hdim] + hb - 1) * L + 1 + pt_loc + pb_loc
+    if L > 1 and dil_rows < 2 * ((kh - 1) * dh + 1):
+        # degenerate-strip lhs-dilated conv (deep decoder blocks at 1-2
+        # local rows): jax's grad conv for this shape crashes XLA's
+        # algebraic simplifier ("Window dimensions do not match RHS
+        # shape", CHECK failure) — materialize the H-dilation as explicit
+        # zero rows and run a plain conv instead. Only fires on tiny
+        # strips, so the skipped-zero efficiency of the native
+        # lhs-dilated path is kept where it matters.
+        x = _dilate_rows(x, L, hdim)
+        lhs_dilation = (1, lhs_dilation[1])
+    out = _ORIG_CONV(
+        x, rhs, window_strides, ((pt_loc, pb_loc), tuple(pads[1])),
+        lhs_dilation, rhs_dilation, dn, feature_group_count,
+        batch_group_count, precision, preferred_element_type)
+    if out.shape[ohdim] != Hol:
+        out = lax.slice_in_dim(out, 0, Hol, axis=ohdim)
+    return out
+
+
+def _spatial_conv_transpose(*args, **kwargs):
+    raise NotImplementedError(
+        "manual 'space' partitioning: lax.conv_transpose is not routed "
+        "through the halo machinery (the supported SP surface — SegCD/"
+        "UnetSeg/FFCTLCD with resnet-family encoders — lowers transposed "
+        "convs through conv_general_dilated via the fused decoder). "
+        "Models using flax nn.ConvTranspose need a halo rule first; see "
+        "parallel/spatial.py.")
+
+
+def max_pool_spatial(x, window: int, stride: int, padding: int):
+    """Halo-exchange max pool for layers/modules.max_pool under an active
+    spatial context: -inf fill at global edges (reduce_window's padding
+    contributes the init value, so local pads stay -inf too)."""
+    S = _CTX["size"]
+    H = x.shape[1] * S
+    _, Hol, ht, hb, pt_loc, pb_loc = halo_geometry(
+        H, window, stride, padding, padding, what=f"max_pool k{window}")
+    neg = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+           else jnp.iinfo(x.dtype).min)
+    xp = halo_rows(x, 1, ht, hb, fill=float(neg))
+    out = lax.reduce_window(
+        xp, neg, lax.max, (1, window, window, 1), (1, stride, stride, 1),
+        ((0, 0), (pt_loc, pb_loc), (padding, padding), (0, 0)))
+    if out.shape[1] != Hol:
+        out = lax.slice_in_dim(out, 0, Hol, axis=1)
+    return out
+
+
+@contextlib.contextmanager
+def spatial_context(size: int, axis: str = "space"):
+    """Arm the manual-space trace context: patches
+    jax.lax.conv_general_dilated (every flax nn.Conv and the fused
+    decoder resolve it by attribute at call time) and flags the hooks in
+    max_pool / BatchNorm. Enter INSIDE the traced shard_map body so
+    retraces (jax.grad, cache misses) re-arm automatically."""
+    if _CTX["axis"] is not None:
+        raise RuntimeError("nested spatial_context")
+    _CTX["axis"], _CTX["size"] = axis, int(size)
+    jax.lax.conv_general_dilated = _spatial_conv_general_dilated
+    jax.lax.conv_transpose = _spatial_conv_transpose
+    try:
+        yield
+    finally:
+        _CTX["axis"], _CTX["size"] = None, 0
+        jax.lax.conv_general_dilated = _ORIG_CONV
+        jax.lax.conv_transpose = _ORIG_CONV_TRANSPOSE
+
+
+# ----------------------------------------------------- reductions
+
+
+def space_mean(x):
+    """Global mean of a per-shard mean (equal-sized shards)."""
+    return lax.pmean(x, _CTX["axis"])
+
+
+def space_sum(x):
+    return lax.psum(x, _CTX["axis"])
+
+
+def bce_dice_spatial(probs, target):
+    """BCE_DICE (ref train_sup.py:312-338) over H-sharded strips: BCE is
+    a mean (pmean of per-strip means), Dice is a RATIO of sums — the
+    three sums go global via psum BEFORE the division (a pmean of local
+    Dice values would NOT equal the global Dice)."""
+    from stcd_tpu.losses.functional import bce_loss
+    bce = space_mean(bce_loss(probs, target))
+    p = probs.astype(jnp.float32).reshape(-1)
+    t = target.astype(jnp.float32).reshape(-1)
+    inter = space_sum(jnp.sum(p * t))
+    denom = space_sum(jnp.sum(p)) + space_sum(jnp.sum(t))
+    return bce + 1.0 - (2.0 * inter + 1.0) / (denom + 1.0)
+
+
+# ----------------------------------------------------- step builders
+
+
+def spatial_batch_spec():
+    """in/out spec for NHWC batches inside the spatial shard_map: H (dim
+    1) over 'space'; batch/model dims stay GSPMD-auto."""
+    return P(None, "space")
+
+
+def make_spatial_cd_steps(model, mesh: Mesh, augment: bool = True):
+    """Stage-2 CD steps (ref train_pse_cd.py:199-301 semantics, the same
+    contract as train/steps.make_cd_steps) with the batch's image ROWS
+    sharded over the mesh's manual 'space' axis.
+
+    Composition: 'space' is the ONLY manual axis — 'data' (batch
+    sharding) and 'model' (tensor-parallel conv kernels,
+    mesh.param_sharding(manual_space=True)) stay GSPMD-automatic inside
+    the body, so DP x SP x TP runs on one mesh (the layout GSPMD alone
+    miscompiles — module docstring).
+
+    Augmentation runs OUTSIDE the shard_map, batch-parallel over 'data'
+    with rows replicated (the blur stencil would otherwise need its own
+    halos); the shard_map entry re-shards H. Equal-shard invariants:
+    global batch divisible by the 'data' axis, H by the 'space' axis.
+    """
+    import numpy as np
+
+    from stcd_tpu.metrics.confusion import confusion_matrix
+    from stcd_tpu.train.steps import _augment_pairs
+
+    S = int(mesh.shape["space"])
+    axis = "space"
+    repl = P()
+    bspec = spatial_batch_spec()
+
+    def _train_body(state, a, b, label):
+        with spatial_context(S, axis):
+            def loss_fn(params):
+                (seg_a, seg_b, diff), mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    a, b, True, mutable=["batch_stats"])
+                probs = jax.nn.sigmoid(diff.astype(jnp.float32))
+                loss = bce_dice_spatial(probs, label)
+                return loss, (mutated, probs)
+
+            (loss, (mutated, probs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        # NO explicit psum of grads: params enter the body unvarying over
+        # 'space', and jax's shard_map AD inserts the replication-psum
+        # for cotangents of unvarying inputs itself (the transpose of the
+        # implicit pvary) — an explicit psum would double-count (measured:
+        # grads exactly 2x on a 2-shard mesh).
+        state = state.apply_gradients(grads=grads,
+                                      batch_stats=mutated["batch_stats"])
+        cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                              label.astype(jnp.int32), 2)
+        return state, loss, lax.psum(cm, axis)
+
+    sharded_train = jax.shard_map(
+        _train_body, mesh=mesh,
+        in_specs=(repl, bspec, bspec, bspec),
+        out_specs=(repl, repl, repl),
+        axis_names=frozenset({axis}))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        aug_key, _ = jax.random.split(rng)
+        a, b = _augment_pairs(aug_key, [(batch["A"], batch["B"], 0.5)],
+                              enabled=augment)
+        label = batch["label"].astype(jnp.float32)
+        state, loss, cm = sharded_train(state, a, b, label)
+        return state, {"loss": loss, "cm": cm}
+
+    def _eval_body(state, a, b):
+        with spatial_context(S, axis):
+            seg_a, seg_b, diff = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                a, b)
+        return jax.nn.sigmoid(diff.astype(jnp.float32))
+
+    sharded_eval = jax.shard_map(
+        _eval_body, mesh=mesh, in_specs=(repl, bspec, bspec),
+        out_specs=bspec, axis_names=frozenset({axis}))
+
+    @jax.jit
+    def eval_step(state, batch):
+        from stcd_tpu.data.augment import eval_preprocess
+        probs = sharded_eval(state, eval_preprocess(batch["A"]),
+                             eval_preprocess(batch["B"]))
+        cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                              batch["label"].astype(jnp.int32), 2)
+        return {"cm": cm, "probs": probs}
+
+    return train_step, eval_step

@@ -309,13 +309,18 @@ def test_gspmd_conv_kernel_slice_hazard():
         set_spatial_mesh(None)
     np.testing.assert_allclose(y_ref, y_fix, atol=1e-5)
 
-    # guard (b): conv kernels stay off 'model' whenever space > 1 (raw
-    # Mesh: create_mesh itself rejects this geometry outright)
+    # guard (b): conv kernels stay off 'model' whenever space > 1 in
+    # GSPMD mode; manual_space=True (the shard_map spatial path, where
+    # GSPMD never sees the axis) re-enables conv TP on the same mesh
     cnn_params = {"big_conv": {"kernel": jnp.zeros((3, 3, 64, 64))}}
     raw3 = Mesh(np.array(jax.devices()).reshape(2, 2, 2),
                 ("data", "model", "space"))
     sh = param_sharding(raw3, cnn_params, min_size_to_shard=1024)
     assert sh["big_conv"]["kernel"].spec == P()
+    sh_manual = param_sharding(raw3, cnn_params, min_size_to_shard=1024,
+                               manual_space=True)
+    assert sh_manual["big_conv"]["kernel"].spec \
+        == P(None, None, None, "model")
     sh2 = param_sharding(create_mesh(data=4, model=2), cnn_params,
                          min_size_to_shard=1024)
     assert sh2["big_conv"]["kernel"].spec == P(None, None, None, "model")
@@ -349,10 +354,14 @@ def test_gspmd_free_axis_kernel_grad_hazard():
     np.testing.assert_allclose(np.asarray(g_ref), np.asarray(g2),
                                atol=1e-5)
 
-    with pytest.raises(ValueError, match="space"):
-        create_mesh(data=2, model=2, space=2)
-    with pytest.raises(ValueError, match="space"):
-        create_mesh(data=2, space=2, stage=2)
+    # Round 5: create_mesh ACCEPTS the composed geometry (the manual
+    # shard_map 'space' path makes it exact — test_spatial_shardmap.py);
+    # the guard moved to the GSPMD-spatial entry point, which still
+    # must reject it while the partitioner bug stands.
+    for mesh_bad in (create_mesh(data=2, model=2, space=2),
+                     create_mesh(data=2, space=2, stage=2)):
+        with pytest.raises(ValueError, match="spatial.py"):
+            batch_sharding(mesh_bad, spatial=True)
 
 
 @pytest.mark.parametrize("arch", ["resnet18", "resnet50"])
