@@ -139,10 +139,14 @@ def make_mesh(args):
     from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
     space = getattr(args, "space_axis", 1) or 1
     model = getattr(args, "model_axis", 1) or 1
-    if space > 1:
-        # the fused Pallas augmentation kernel partitions over batch only;
-        # under a spatial sharding GSPMD would all-gather H around it, so
-        # SP runs use the (sharding-transparent) jnp augmentation path
+    composed_sp = space > 1 and model > 1
+    if space > 1 and not composed_sp:
+        # GSPMD-automatic spatial path: the fused Pallas augmentation
+        # kernel partitions over batch only; under a spatial sharding
+        # GSPMD would all-gather H around it, so these runs use the
+        # (sharding-transparent) jnp augmentation path. The MANUAL
+        # composed path keeps Pallas aug: its augmentation happens
+        # outside the shard_map on data-sharded full-row batches.
         from stcd_tpu.data.augment import set_pallas_augment
         set_pallas_augment("off")
         enc = getattr(args, "encoder", "") or ""
@@ -176,7 +180,38 @@ def make_mesh(args):
     # Pallas kernel (ADVICE r3)
     from stcd_tpu.parallel.mesh import set_active_mesh
     set_active_mesh(mesh)
+    if composed_sp:
+        # composed DP x TP x SP: the 'space' axis runs as a MANUAL
+        # shard_map axis (parallel/spatial.py halo exchange — the GSPMD
+        # automatic path miscompiles this geometry, tools/gspmd_repro.py).
+        # Loaders feed data-sharded full-row batches; the spatial step
+        # builders re-shard H inside their shard_map.
+        print(f"mesh {data}x{model}x{space} (data x model x space): "
+              "'space' via manual shard_map halo exchange "
+              "(docs/SCALING.md 'Manual shard_map spatial partitioning')",
+              flush=True)
+        return mesh, batch_sharding(mesh, spatial=False)
     return mesh, batch_sharding(mesh, spatial=space > 1)
+
+
+def uses_manual_spatial(mesh) -> bool:
+    """True when the run's mesh routes 'space' through the manual
+    shard_map implementation (composed space x model geometry)."""
+    s = dict(mesh.shape)
+    return s.get("space", 1) > 1 and (s.get("model", 1) > 1
+                                      or s.get("stage", 1) > 1)
+
+
+def pick_steps(mesh, model, make_gspmd_steps, make_spatial_steps, args):
+    """Choose the step pair for the run's mesh: the manual spatial
+    builders on composed meshes, the standard jit builders otherwise.
+    The spatial builders take no remat/accum knobs — warn if set."""
+    if not uses_manual_spatial(mesh):
+        return make_gspmd_steps()
+    if getattr(args, "remat", False) or getattr(args, "accum_steps", 1) > 1:
+        print("warning: --remat/--accum_steps are not supported by the "
+              "manual spatial step builders; ignored", flush=True)
+    return make_spatial_steps()
 
 
 def place_state(mesh, state):

@@ -60,8 +60,13 @@ def main():
     tx = optax.adam(poly_schedule(args.lr, args.n_epochs, max(len(train_loader), 1)))
     state = create_train_state(model, rng, (example, example), tx,
                                encoder_weights=args.encoder_weights)
-    train_step, eval_step = make_cd_steps(model, augment=True, remat=args.remat,
-                                        accum_steps=args.accum_steps)
+    from scripts.common import pick_steps
+    from stcd_tpu.parallel.spatial import make_spatial_cd_steps
+    train_step, eval_step = pick_steps(
+        mesh, model,
+        lambda: make_cd_steps(model, augment=True, remat=args.remat,
+                              accum_steps=args.accum_steps),
+        lambda: make_spatial_cd_steps(model, mesh, augment=True), args)
 
     if args.load_model:
         mgr = CheckpointManager(args.load_path)

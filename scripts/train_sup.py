@@ -64,8 +64,13 @@ def main():
         else:
             print("Will start from scratch")
 
-    train_step, eval_step = make_seg_steps(model, augment=True, remat=args.remat,
-                                        accum_steps=args.accum_steps)
+    from scripts.common import pick_steps
+    from stcd_tpu.parallel.spatial import make_spatial_seg_steps
+    train_step, eval_step = pick_steps(
+        mesh, model,
+        lambda: make_seg_steps(model, augment=True, remat=args.remat,
+                               accum_steps=args.accum_steps),
+        lambda: make_spatial_seg_steps(model, mesh, augment=True), args)
     state, run_kwargs = resume_and_guard(args, state)
     state = place_state(mesh, state)  # TP/replicated placement on the mesh
     state, best, history = run_training(

@@ -90,9 +90,17 @@ def place_train_state(mesh: Mesh, state):
     the first donated train_step would silently re-shard it anyway. The
     single canonical placement used by the CLI scripts, CDTrainer and the
     driver dryrun — call it AFTER any checkpoint restore (restored arrays
-    arrive with no sharding)."""
+    arrive with no sharding).
+
+    Composed space x {model, stage} meshes imply the MANUAL spatial path
+    (their GSPMD entry raises), so conv-kernel TP is enabled for them
+    (param_sharding manual_space) automatically."""
     repl = NamedSharding(mesh, P())
-    shard_map_tree = param_sharding(mesh, state.params)
+    shape = dict(mesh.shape)
+    manual_sp = shape.get("space", 1) > 1 and (
+        shape.get("model", 1) > 1 or shape.get("stage", 1) > 1)
+    shard_map_tree = param_sharding(mesh, state.params,
+                                    manual_space=manual_sp)
     params_def = jax.tree_util.tree_structure(state.params)
 
     def _mirrors_params(node):

@@ -321,6 +321,26 @@ def bce_dice_spatial(probs, target):
     return bce + 1.0 - (2.0 * inter + 1.0) / (denom + 1.0)
 
 
+def contrastive_loss_spatial(pred, cd_label, pse_label):
+    """ref train_stcd.py:334-385 over H-sharded strips: both terms are
+    masked-mean ratios, so the four sums go global via psum before the
+    divisions (losses/functional.contrastive_loss semantics)."""
+    n = cd_label.shape[0]
+    cd_pred = pred[:n].astype(jnp.float32)
+    pse_pred = pred[n:].astype(jnp.float32)
+    agree = (cd_label == pse_label).astype(jnp.float32)
+    disagree = 1.0 - agree
+    neg_cdpre = jnp.abs(cd_pred - 1.0)
+    se_pos = (pse_pred - cd_pred) ** 2
+    se_neg = (pse_pred - neg_cdpre) ** 2
+    eps = 1e-8
+    loss_pos = space_sum(jnp.sum(se_pos * agree)) / (
+        space_sum(jnp.sum(agree)) + eps)
+    loss_neg = space_sum(jnp.sum(se_neg * disagree)) / (
+        space_sum(jnp.sum(disagree)) + eps)
+    return loss_pos + loss_neg
+
+
 # ----------------------------------------------------- step builders
 
 
@@ -408,6 +428,152 @@ def make_spatial_cd_steps(model, mesh: Mesh, augment: bool = True):
     @jax.jit
     def eval_step(state, batch):
         from stcd_tpu.data.augment import eval_preprocess
+        probs = sharded_eval(state, eval_preprocess(batch["A"]),
+                             eval_preprocess(batch["B"]))
+        cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                              batch["label"].astype(jnp.int32), 2)
+        return {"cm": cm, "probs": probs}
+
+    return train_step, eval_step
+
+
+def make_spatial_seg_steps(model, mesh: Mesh, augment: bool = True):
+    """Stage-1 supervised segmentation steps (ref train_sup.py:112-185,
+    the train/steps.make_seg_steps contract) with rows over the manual
+    'space' axis. See make_spatial_cd_steps for the composition rules."""
+    from stcd_tpu.data.augment import eval_preprocess, train_augment
+    from stcd_tpu.metrics.confusion import confusion_matrix
+
+    S = int(mesh.shape["space"])
+    axis = "space"
+    repl = P()
+    bspec = spatial_batch_spec()
+
+    def _train_body(state, image, label):
+        with spatial_context(S, axis):
+            def loss_fn(params):
+                pred, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    image, True, mutable=["batch_stats"])
+                probs = jax.nn.sigmoid(pred.astype(jnp.float32))
+                return bce_dice_spatial(probs, label), (mutated, probs)
+
+            (loss, (mutated, probs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads,
+                                      batch_stats=mutated["batch_stats"])
+        cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                              label.astype(jnp.int32), 2)
+        return state, loss, lax.psum(cm, axis)
+
+    sharded_train = jax.shard_map(
+        _train_body, mesh=mesh, in_specs=(repl, bspec, bspec),
+        out_specs=(repl, repl, repl), axis_names=frozenset({axis}))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        aug_key, _ = jax.random.split(rng)
+        image = (train_augment(aug_key, batch["image"]) if augment
+                 else eval_preprocess(batch["image"]))
+        label = batch["label"].astype(jnp.float32)
+        state, loss, cm = sharded_train(state, image, label)
+        return state, {"loss": loss, "cm": cm}
+
+    def _eval_body(state, image):
+        with spatial_context(S, axis):
+            pred = state.apply_fn(
+                {"params": state.params,
+                 "batch_stats": state.batch_stats}, image)
+        return jax.nn.sigmoid(pred.astype(jnp.float32))
+
+    sharded_eval = jax.shard_map(
+        _eval_body, mesh=mesh, in_specs=(repl, bspec), out_specs=bspec,
+        axis_names=frozenset({axis}))
+
+    @jax.jit
+    def eval_step(state, batch):
+        probs = sharded_eval(state, eval_preprocess(batch["image"]))
+        cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
+                              batch["label"].astype(jnp.int32), 2)
+        return {"cm": cm, "probs": probs}
+
+    return train_step, eval_step
+
+
+def make_spatial_semi_cd_steps(model, mesh: Mesh, augment: bool = True):
+    """Stage-3 STCD fine-tune steps (ref train_stcd.py:388-512, the
+    train/steps.make_semi_cd_steps contract — concatenated pseudo+real
+    batches, loss = seg_loss_A + cd_loss + ct_loss) with rows over the
+    manual 'space' axis."""
+    from stcd_tpu.data.augment import eval_preprocess
+    from stcd_tpu.metrics.confusion import confusion_matrix
+    from stcd_tpu.train.steps import _augment_pairs
+
+    S = int(mesh.shape["space"])
+    axis = "space"
+    repl = P()
+    bspec = spatial_batch_spec()
+
+    def _train_body(state, a, b, ca, cb, s_label_a, cd_l, cl):
+        n = a.shape[0]
+        data_a = jnp.concatenate([a, ca], axis=0)
+        data_b = jnp.concatenate([b, cb], axis=0)
+        labels = jnp.concatenate([cd_l, cl], axis=0)
+        with spatial_context(S, axis):
+            def loss_fn(params):
+                (seg_a, seg_b, diff), mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    data_a, data_b, True, mutable=["batch_stats"])
+                seg_probs = jax.nn.sigmoid(seg_a.astype(jnp.float32))
+                cd_probs = jax.nn.sigmoid(diff.astype(jnp.float32))
+                seg_loss_a = bce_dice_spatial(seg_probs[:n], s_label_a)
+                cd_loss_v = bce_dice_spatial(cd_probs, labels)
+                ct_loss = contrastive_loss_spatial(cd_probs, cd_l, cl)
+                return seg_loss_a + cd_loss_v + ct_loss, (
+                    mutated, cd_probs, (seg_loss_a, cd_loss_v, ct_loss))
+
+            (loss, (mutated, cd_probs, extras)), grads = \
+                jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads,
+                                      batch_stats=mutated["batch_stats"])
+        cm = confusion_matrix(
+            (cd_probs > 0.5).astype(jnp.int32),
+            jnp.concatenate([cd_l, cl], axis=0).astype(jnp.int32), 2)
+        return state, loss, extras, lax.psum(cm, axis)
+
+    sharded_train = jax.shard_map(
+        _train_body, mesh=mesh, in_specs=(repl,) + (bspec,) * 7,
+        out_specs=(repl, repl, repl, repl),
+        axis_names=frozenset({axis}))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state, batch, rng):
+        aug_key, _ = jax.random.split(rng)
+        a, b, ca, cb = _augment_pairs(
+            aug_key, [(batch["A"], batch["B"], 0.5),
+                      (batch["CA"], batch["CB"], 0.8)], enabled=augment)
+        state, loss, extras, cm = sharded_train(
+            state, a, b, ca, cb,
+            batch["s_label_A"].astype(jnp.float32),
+            batch["c_label"].astype(jnp.float32),
+            batch["CL"].astype(jnp.float32))
+        return state, {"loss": loss, "seg_loss": extras[0],
+                       "cd_loss": extras[1], "ct_loss": extras[2],
+                       "cm": cm}
+
+    def _eval_body(state, a, b):
+        with spatial_context(S, axis):
+            seg_a, seg_b, diff = state.apply_fn(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                a, b)
+        return jax.nn.sigmoid(diff.astype(jnp.float32))
+
+    sharded_eval = jax.shard_map(
+        _eval_body, mesh=mesh, in_specs=(repl, bspec, bspec),
+        out_specs=bspec, axis_names=frozenset({axis}))
+
+    @jax.jit
+    def eval_step(state, batch):
         probs = sharded_eval(state, eval_preprocess(batch["A"]),
                              eval_preprocess(batch["B"]))
         cm = confusion_matrix((probs > 0.5).astype(jnp.int32),
