@@ -42,9 +42,14 @@ from stcd_tpu.train.state import create_train_state
 
 
 def build_state(args):
-    """Model + weights from args (shared with scripts/serve.py): SegCD by
-    default, any define_G zoo model with --net_G; checkpoint resolution
-    order is *_best_model, best_ckpt, last_ckpt, then an explicit path."""
+    """Model + weights from args (shared with scripts/serve.py and
+    scripts/export_model.py): SegCD by default, any define_G zoo model
+    with --net_G; checkpoint resolution order is *_best_model,
+    best_ckpt, last_ckpt, then an explicit path."""
+    return build_model_and_state(args)[1]
+
+
+def build_model_and_state(args):
     dtype = jnp.bfloat16 if args.bf16 else None
     if args.net_G:
         from stcd_tpu.models.factory import define_G
@@ -79,7 +84,7 @@ def build_state(args):
                          f"{args.load_path}")
     state = mgr.load_weights(state, ckpt)
     print(f"loaded {ckpt}")
-    return state
+    return model, state
 
 
 def make_base_fn(args, state):
