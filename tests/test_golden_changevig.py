@@ -205,3 +205,181 @@ def test_grapher_cross_framework_consistency():
     got = _apply(model, params, stats, jx)
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.slow
+def test_changegnn_v2_training_dynamics():
+    """VERDICT r4 item 4: TRAINING-level parity for the ViG family — the
+    family whose gcn_lib had to be invented from behavior. N full
+    optimizer steps through the reference's OWN EncoderV2 + DecoderV2
+    composition (ChangeGNNV2.forward's modules; the ChangeGNNV2 class
+    itself hardcodes 256² pos_embed/channels — ref ChangeVIG.py:649 —
+    so the twin instantiates the same modules at a tractable size, which
+    the class's __init__ merely forwards to) vs our ChangeGNNV2 with the
+    matching config: identical init (converted weights), identical
+    batches, the reference's own models/losses.py cross_entropy on the
+    torch side, Adam + per-iter Poly(0.9) on both.
+
+    BN-statistics composition: ours folds the temporal pair into one 2N
+    encoder batch (TPU-first default, documented deviation); the torch
+    twin concatenates identically, so both sides see the same batch
+    statistics — the fold-vs-sequential question itself is validated
+    both ways by test_golden_training_dynamics for the flagship.
+
+    ORDERING: all JAX computation runs BEFORE torch training (oneDNN
+    precision-state gotcha — see test_golden_training_dynamics)."""
+    import optax
+
+    from _ref_stubs import load_ref_model_module
+    from stcd_tpu.convert.torch_to_flax import convert_changevig
+    from stcd_tpu.losses.functional import cross_entropy
+    from stcd_tpu.models.changevig import ChangeGNNV2
+    from stcd_tpu.train.state import TrainState, adam_poly
+
+    mod = _load_ref_changevig()
+    ref_losses_mod = load_ref_model_module("losses")
+
+    channels = [16, 24, 32, 48]
+    img, bs, n_steps = 64, 2, 5
+
+    torch.manual_seed(11)
+    enc = mod.EncoderV2(k=9, conv="mr", act="gelu", norm="batch",
+                        bias=True, dropout=0.0, use_dilation=True,
+                        epsilon=0.2, use_stochastic=False,
+                        drop_path_rate=0.0, blocks=[2, 2, 6, 2],
+                        channels=channels, num_classes=2, emb_dims=1024,
+                        img_size=img)
+    dec = mod.DecoderV2(input_transform="multiple_select",
+                        in_index=[0, 1, 2, 3], align_corners=False,
+                        in_channels=channels, embedding_dim=32,
+                        output_nc=2, decoder_softmax=False,
+                        feature_strides=[2, 4, 8, 16],
+                        decoder_heads="MLP")
+
+    class RefTwin(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder, self.decoder = enc, dec
+
+        def forward(self, x1, x2):
+            n = x1.shape[0]
+            feats = self.encoder(torch.cat([x1, x2], dim=0))
+            f1 = [f[:n] for f in feats]
+            f2 = [f[n:] for f in feats]
+            return self.decoder(f1, f2)
+
+    tv = RefTwin()
+    tv.encoder.pos_embed.data.normal_(0.0, 0.02)
+
+    rng = np.random.default_rng(13)
+    batches = [
+        dict(A=rng.standard_normal((bs, 3, img, img)).astype(np.float32),
+             B=rng.standard_normal((bs, 3, img, img)).astype(np.float32),
+             label=(rng.uniform(size=(bs, img, img)) > 0.7)
+             .astype(np.int64))
+        for _ in range(n_steps)]
+    eval_pair = (rng.standard_normal((1, 3, img, img)).astype(np.float32),
+                 rng.standard_normal((1, 3, img, img)).astype(np.float32))
+
+    params, stats = convert_changevig(
+        {k: v.numpy() for k, v in tv.state_dict().items()}, "gnn_v2")
+
+    class TinyGNNV2(ChangeGNNV2):
+        embed_dims = tuple(channels)
+
+    model = TinyGNNV2(output_nc=2, embed_dim=32, img_size=img)
+    _check_paths(model, params, stats,
+                 jnp.zeros((1, img, img, 3)), jnp.zeros((1, img, img, 3)))
+
+    # ---- JAX side FIRST (ordering constraint) ----
+    state = TrainState.create_with_stats(
+        apply_fn=model.apply,
+        params=jax.tree_util.tree_map(jnp.asarray, params),
+        batch_stats=jax.tree_util.tree_map(jnp.asarray, stats),
+        tx=adam_poly(1e-3, num_epochs=1, iters_per_epoch=n_steps))
+
+    @jax.jit
+    def train_step(state, a, b, label):
+        def loss_fn(p):
+            logits, mutated = state.apply_fn(
+                {"params": p, "batch_stats": state.batch_stats},
+                a, b, True, mutable=["batch_stats"])
+            if isinstance(logits, (list, tuple)):  # multi-scale: final
+                logits = logits[-1]
+            return cross_entropy(logits, label), mutated
+
+        (loss, mutated), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        return state.apply_gradients(
+            grads=grads, batch_stats=mutated["batch_stats"]), loss
+
+    our_losses = []
+    for batch in batches:
+        state, loss = train_step(
+            state,
+            jnp.asarray(batch["A"].transpose(0, 2, 3, 1)),
+            jnp.asarray(batch["B"].transpose(0, 2, 3, 1)),
+            jnp.asarray(batch["label"]))
+        our_losses.append(float(loss))
+    a, b = eval_pair
+    got = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        jnp.asarray(a.transpose(0, 2, 3, 1)),
+        jnp.asarray(b.transpose(0, 2, 3, 1)))
+
+    # ---- torch side ----
+    def poly_lr(step):
+        return 1e-3 * max(1.0 - step / n_steps, 0.0) ** 0.9
+
+    opt = torch.optim.Adam(tv.parameters(), lr=1e-3, betas=(0.9, 0.999))
+    torch_losses = []
+    tv.train()
+    for t, batch in enumerate(batches):
+        for g in opt.param_groups:
+            g["lr"] = poly_lr(t)
+        opt.zero_grad()
+        logits = tv(torch.from_numpy(batch["A"]),
+                    torch.from_numpy(batch["B"]))
+        if isinstance(logits, (list, tuple)):
+            logits = logits[-1]
+        loss = ref_losses_mod.cross_entropy(
+            logits, torch.from_numpy(batch["label"]))
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+    # step 0 is a pure forward+loss+grad on identical weights: tight;
+    # later steps drift by Adam's near-zero-gradient rescaling (see
+    # test_golden_training_dynamics._compare)
+    np.testing.assert_allclose(our_losses[0], torch_losses[0], atol=1e-4)
+    np.testing.assert_allclose(our_losses, torch_losses, atol=5e-3,
+                               err_msg=f"ours={our_losses} "
+                                       f"torch={torch_losses}")
+
+    # post-training PARAM deltas (VERDICT r4 item 4): every Adam update
+    # has magnitude <= lr regardless of gradient size, so after 5
+    # poly-decayed steps the two sides can diverge by at most a few
+    # multiples of lr per leaf even where fp32 noise flips near-zero
+    # gradients; O(1) deltas would mean wrong gradients. The post-step
+    # eval FORWARD is deliberately not asserted: the KNN graph op picks
+    # discrete neighbor sets from near-tied distances, so ~1e-3 weight
+    # drift flips neighbors and amplifies into O(1e-1) logit jumps —
+    # an architecture property, not a dynamics error.
+    trained_params, trained_stats = convert_changevig(
+        {k: v.detach().numpy() for k, v in tv.state_dict().items()},
+        "gnn_v2")
+    for (path_, g1), g2 in zip(
+            jax.tree_util.tree_leaves_with_path(
+                jax.tree_util.tree_map(jnp.asarray, trained_params)),
+            jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(
+            np.asarray(g1), np.asarray(g2), atol=2e-2,
+            err_msg="param " + jax.tree_util.keystr(path_))
+    # batch_stats are intentionally NOT asserted: they are statistics
+    # of the ACTIVATIONS, and downstream of a KNN neighbor flip the
+    # deepest-stage maps (2x2, 16 samples) move their running variance
+    # by up to ~60% while every weight stays within 2e-2 — an
+    # architecture property (discrete graph selection on near-tied
+    # distances), not a dynamics error. BN-statistics correctness itself
+    # is pinned by the forward goldens and the flagship dynamics test.
+    del trained_stats
+    del got, a, b  # eval forward intentionally unasserted (see above)
