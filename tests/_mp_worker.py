@@ -356,5 +356,214 @@ def _run_preemption_check(pid, model, zeros, mesh, rep, ckpt_dir):
     }), flush=True)
 
 
+
+
+# ---------------------------------------------------------------- round 5
+
+
+def _init_dist(pid, nprocs, port, local_devices):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", local_devices)
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR",
+                                     "/root/.cache/stcd_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from stcd_tpu.parallel.distributed import initialize
+    initialize(coordinator_address=f"127.0.0.1:{port}",
+               num_processes=nprocs, process_id=pid)
+
+
+def _tiny_setup():
+    import jax.numpy as jnp
+    import optax
+
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.state import create_train_state
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 8, 8, 8))
+    zeros = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (zeros, zeros), optax.adam(1e-3))
+    return model, state
+
+
+def _det_batch(i, n=8):
+    import numpy as np
+    rng = np.random.default_rng(1000 + i)
+    return {
+        "A": rng.uniform(0, 1, (n, 32, 32, 3)).astype("float32"),
+        "B": rng.uniform(0, 1, (n, 32, 32, 3)).astype("float32"),
+        "label": (rng.uniform(0, 1, (n, 32, 32, 1)) > 0.8)
+        .astype("float32"),
+    }
+
+
+def tp4(pid, nprocs, port):
+    """4 processes x 1 device: a 2x2 data x model mesh where BOTH axes
+    span process boundaries (VERDICT r4 item 5a) — every gradient psum
+    AND every Megatron kernel-shard reduction crosses gloo. TP loss must
+    equal DP loss; two further TP train steps must stay finite and
+    identical across all four processes."""
+    _init_dist(pid, nprocs, port, 1)
+    assert jax.process_count() == 4 and jax.device_count() == 4
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("tp4_warmup")
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.parallel.mesh import (batch_sharding, create_mesh,
+                                        param_sharding)
+    from stcd_tpu.train.steps import make_cd_steps
+
+    mesh = create_mesh(data=2, model=2)
+    for row in mesh.devices:          # data axis rows: 2 procs per row
+        assert len({d.process_index for d in row.flat}) == 2
+    for col in mesh.devices.T.reshape(2, -1):   # model axis columns
+        assert len({d.process_index for d in col.flat}) == 2
+
+    # warm both cliques in lockstep (full mesh + model-pair subgroups)
+    z = jax.device_put(np.zeros((4, 4), np.float32),
+                       NamedSharding(mesh, P("data", "model")))
+    float(jax.jit(lambda t: t.sum(),
+                  out_shardings=NamedSharding(mesh, P()))(z))
+    jax.block_until_ready(jax.jit(
+        lambda t: t.sum(axis=1),
+        out_shardings=NamedSharding(mesh, P("data")))(z))
+
+    model, state = _tiny_setup()
+    train_step, _ = make_cd_steps(model, augment=False)
+    rep = NamedSharding(mesh, P())
+    batch = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in _det_batch(0).items()}
+
+    def place(st, shardings):
+        return st.replace(
+            params=jax.device_put(st.params, shardings),
+            batch_stats=jax.device_put(st.batch_stats, rep),
+            opt_state=jax.device_put(st.opt_state, rep))
+
+    def copy(st):
+        return jax.tree_util.tree_map(jnp.array, st)
+
+    _, out_dp = train_step(place(copy(state), rep), batch,
+                           jax.random.PRNGKey(0))
+    shardings = param_sharding(mesh, state.params, min_size_to_shard=1024)
+    n_sharded = sum(sh.spec != P()
+                    for sh in jax.tree_util.tree_leaves(shardings))
+    tp_state = place(copy(state), shardings)
+    tp_losses = []
+    for i in range(3):
+        b = {k: jax.device_put(v, batch_sharding(mesh))
+             for k, v in _det_batch(i).items()}
+        tp_state, out = train_step(tp_state, b, jax.random.PRNGKey(i))
+        tp_losses.append(float(out["loss"]))
+    print("MP_TP4 " + json.dumps({
+        "dp_loss": float(out_dp["loss"]),
+        "tp_losses": tp_losses,
+        "n_sharded": int(n_sharded),
+    }), flush=True)
+
+
+def killrun(pid, nprocs, port, ckpt_dir):
+    """Phase A of the hard-kill test (VERDICT r4 item 5b): train with a
+    per-step multi-host checkpoint; the parent SIGKILLs this process
+    mid-run with NO cleanup (then kills the hung peer). Emits a marker
+    file per completed step so the parent can time the kill."""
+    _init_dist(pid, nprocs, port, 2)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("killrun_warmup")
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.steps import make_cd_steps
+
+    mesh = create_mesh()
+    rep = NamedSharding(mesh, P())
+    model, state = _tiny_setup()
+    state = state.replace(
+        params=jax.device_put(state.params, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.device_put(state.opt_state, rep))
+    train_step, _ = make_cd_steps(model, augment=False)
+    mgr = CheckpointManager(ckpt_dir)
+
+    for i in range(12):
+        batch = {k: jax.device_put(v, batch_sharding(mesh))
+                 for k, v in _det_batch(i).items()}
+        state, out = train_step(state, batch, jax.random.PRNGKey(100 + i))
+        mgr.save_last(state, epoch_id=i, best_val_acc=0.0, best_epoch_id=0)
+        if pid == 0:
+            with open(os.path.join(ckpt_dir, f"step_{i}.ok"), "w") as f:
+                f.write(repr(float(out["loss"])))
+        print(f"KILLRUN step {i} loss {float(out['loss'])}", flush=True)
+
+
+def killresume(pid, nprocs, port, ckpt_dir):
+    """Phase B: both processes restart from the shared-FS checkpoint the
+    SIGKILL left behind (CheckpointManager.repair handles any torn
+    .new), then run 3 deterministic continuation steps. The parent
+    asserts both processes agree AND match its own single-process replay
+    from the same checkpoint — exact-loss recovery from an uncleaned
+    hard kill."""
+    _init_dist(pid, nprocs, port, 2)
+    import numpy as np
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("killresume_warmup")
+    multihost_utils.process_allgather(np.zeros((1,), np.float32))
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from stcd_tpu.parallel.mesh import batch_sharding, create_mesh
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.steps import make_cd_steps
+
+    mesh = create_mesh()
+    rep = NamedSharding(mesh, P())
+    model, fresh = _tiny_setup()
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore_last(fresh)
+    assert restored is not None, "no coherent checkpoint after hard kill"
+    state, epoch_id, _, _ = restored
+    state = state.replace(
+        params=jax.device_put(state.params, rep),
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        opt_state=jax.device_put(state.opt_state, rep))
+    train_step, _ = make_cd_steps(model, augment=False)
+
+    losses = []
+    for j in range(3):
+        batch = {k: jax.device_put(v, batch_sharding(mesh))
+                 for k, v in _det_batch(500 + epoch_id * 10 + j).items()}
+        state, out = train_step(state, batch, jax.random.PRNGKey(200 + j))
+        losses.append(float(out["loss"]))
+    print("MP_KILLRESUME " + json.dumps({
+        "epoch": int(epoch_id),
+        "step": int(jax.device_get(state.step)),
+        "losses": losses,
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    main()
+    mode = sys.argv[5] if len(sys.argv) > 5 else ""
+    if mode == "tp4":
+        tp4(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3])
+    elif mode == "killrun":
+        killrun(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                sys.argv[4])
+    elif mode == "killresume":
+        killresume(int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                   sys.argv[4])
+    else:
+        main()

@@ -186,3 +186,165 @@ def test_two_process_data_parallel_matches_single(tmp_path):
         np.testing.assert_allclose(d["replay_tail"], d["live"], rtol=1e-6)
     np.testing.assert_allclose(res[0]["resumed"], res[1]["resumed"],
                                rtol=1e-6)
+
+
+def _parse_line(stdout, tag):
+    for line in stdout.splitlines():
+        if line.startswith(tag + " "):
+            return json.loads(line[len(tag) + 1:])
+    return None
+
+
+@pytest.mark.slow
+def test_four_process_2x2_dp_tp(tmp_path):
+    """VERDICT r4 item 5a: a REAL 4-process 2x2 data x model mesh — one
+    device per process, so BOTH the gradient psum (data axis) and every
+    Megatron kernel-shard reduction (model axis) cross gloo process
+    boundaries. TP loss == DP loss, and all four processes agree on the
+    3-step TP loss trajectory."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "4", str(port), "-", "tp4"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(4)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
+    results = [_parse_line(out, "MP_TP4") for out in outs]
+    assert all(r is not None for r in results), outs[0][-2000:]
+    assert results[0]["n_sharded"] > 0
+    for r in results:
+        # step 0 runs DP and TP from identical params on the same batch
+        np.testing.assert_allclose(r["tp_losses"][0], r["dp_loss"],
+                                   rtol=2e-5)
+        assert np.all(np.isfinite(r["tp_losses"]))
+    for r in results[1:]:
+        np.testing.assert_allclose(r["tp_losses"], results[0]["tp_losses"],
+                                   rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_hard_kill_recovery(tmp_path):
+    """VERDICT r4 item 5b: the failure preemption systems actually face —
+    SIGKILL mid-step with NO cleanup (no SIGTERM guard, stale lockfiles,
+    possibly a torn orbax '.new'), peer killed too. Both processes must
+    restart from the last coherent shared-FS checkpoint and produce
+    EXACT continuation losses, equal to a single-process replay from the
+    same checkpoint (CheckpointManager.repair + crash-safe swap)."""
+    import shutil
+    import signal
+    import time
+
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    ckpt_dir = str(tmp_path / "kill_ckpt")
+    os.makedirs(ckpt_dir)
+
+    # ---- phase A: train + per-step checkpoints, then SIGKILL ----
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port), ckpt_dir,
+         "killrun"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(2)]
+    deadline = time.time() + 700
+    while time.time() < deadline:
+        if os.path.exists(os.path.join(ckpt_dir, "step_3.ok")):
+            break
+        if any(p.poll() is not None for p in procs):
+            outs = [p.communicate()[0] for p in procs]
+            raise AssertionError("worker died before step 3:\n"
+                                 + outs[0][-2000:] + outs[1][-2000:])
+        time.sleep(0.2)
+    else:
+        for p in procs:
+            p.kill()
+        raise AssertionError("phase A never reached step 3")
+    procs[1].send_signal(signal.SIGKILL)     # hard kill, no cleanup
+    time.sleep(3.0)                          # let p0 run into the stall
+    procs[0].send_signal(signal.SIGKILL)     # the peer dies too
+    for p in procs:
+        p.wait(timeout=60)
+
+    # deterministically plant the worst torn state on top of whatever
+    # the kill left: a PARTIAL last_ckpt.new with no .ok marker
+    torn = os.path.join(ckpt_dir, "last_ckpt.new")
+    if not os.path.exists(torn):
+        os.makedirs(torn)
+        with open(os.path.join(torn, "garbage"), "w") as f:
+            f.write("torn write")
+
+    steps_done = sorted(int(f.split("_")[1].split(".")[0])
+                        for f in os.listdir(ckpt_dir)
+                        if f.startswith("step_") and f.endswith(".ok"))
+    assert steps_done and steps_done[-1] >= 3
+
+    # ---- phase B: restart both from the shared-FS wreckage ----
+    port2 = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(pid), "2", str(port2), ckpt_dir,
+         "killresume"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for pid in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume worker {pid} failed:\n{out[-4000:]}"
+    res = [_parse_line(out, "MP_KILLRESUME") for out in outs]
+    assert res[0] is not None and res[1] is not None, outs[0][-2000:]
+    assert res[0] == res[1]
+    # the restored epoch is one of the coherently-saved steps, and at
+    # least as new as the last marker the parent saw before killing
+    assert res[0]["epoch"] >= 3, res[0]
+    assert res[0]["step"] == res[0]["epoch"] + 1 + 3  # restored + 3 cont.
+
+    # ---- single-process replay from the same checkpoint ----
+    import optax
+
+    from stcd_tpu.models import SegCD
+    from stcd_tpu.train.checkpoint import CheckpointManager
+    from stcd_tpu.train.state import create_train_state
+    from stcd_tpu.train.steps import make_cd_steps
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _mp_worker import _det_batch
+
+    model = SegCD(encoder_name="resnet18", classes=1,
+                  decoder_channels=(16, 12, 8, 8, 8))
+    zeros = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    fresh = create_train_state(model, jax.random.PRNGKey(0),
+                               (zeros, zeros), optax.adam(1e-3))
+    restored = CheckpointManager(ckpt_dir).restore_last(fresh)
+    assert restored is not None
+    state, epoch_id = restored[0], restored[1]
+    assert epoch_id == res[0]["epoch"]
+    train_step, _ = make_cd_steps(model, augment=False)
+    losses = []
+    for j in range(3):
+        batch = {k: jnp.asarray(v)
+                 for k, v in _det_batch(500 + epoch_id * 10 + j).items()}
+        state, out = train_step(state, batch, jax.random.PRNGKey(200 + j))
+        losses.append(float(out["loss"]))
+    # gloo cross-process reduction order vs in-process: tight agreement
+    np.testing.assert_allclose(res[0]["losses"], losses, rtol=1e-5)
