@@ -134,14 +134,15 @@ def _linear_factor(epoch, max_epochs):
     return 1.0 - epoch / float(max_epochs + 1)
 
 
-def run_torch(model_key, data_path, init_path, out_path, epochs):
+def run_torch(model_key, data_path, init_path, out_path, epochs,
+              init_seed=1337):
     import torch
 
     sys.path.insert(0, os.path.join(REPO, "tests"))
     from _ref_stubs import load_ref_model_module
 
     ref_losses = load_ref_model_module("losses")
-    torch.manual_seed(1337)
+    torch.manual_seed(init_seed)
     model = _build_ref(model_key)
     np.savez(init_path,
              **{k: v.numpy() for k, v in model.state_dict().items()})
@@ -313,6 +314,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--side", choices=["torch", "jax"], default=None)
+    ap.add_argument("--init-seed", type=int, default=1337,
+                    help="torch weight-init seed (null-distribution runs "
+                         "re-train from a different init on the same data)")
+    ap.add_argument("--torch-out", default="torch.json",
+                    help="torch-side result filename inside the workdir")
+    ap.add_argument("--init-out", default="init.npz",
+                    help="torch-side init dump filename inside the workdir")
     ap.add_argument("--deployed", action="store_true",
                     help="jax side on the REAL TPU chip (bf16, uint8 H2D);"
                          " images pre-quantized to the uint8 grid for both"
@@ -327,8 +335,9 @@ def main(argv=None):
     data, init = os.path.join(wd, "data.npz"), os.path.join(wd, "init.npz")
 
     if args.side == "torch":
-        run_torch(args.model, data, init, os.path.join(wd, "torch.json"),
-                  args.epochs)
+        run_torch(args.model, data, os.path.join(wd, args.init_out),
+                  os.path.join(wd, args.torch_out), args.epochs,
+                  init_seed=args.init_seed)
         return None
     if args.side == "jax":
         run_jax(args.model, data, init, os.path.join(wd, "jax.json"),
@@ -352,7 +361,8 @@ def main(argv=None):
                PYTHONPATH=f"{REPO}:{os.path.join(REPO, 'tests')}"
                           + (f":{inherited}" if inherited else ""))
     base = [sys.executable, os.path.abspath(__file__), "--model", args.model,
-            "--workdir", wd, "--epochs", str(args.epochs)]
+            "--workdir", wd, "--epochs", str(args.epochs),
+            "--init-seed", str(args.init_seed)]
     if args.deployed:
         base.append("--deployed")
     for side in ("torch", "jax"):  # torch first: it writes init.npz

@@ -214,7 +214,7 @@ def test_four_process_2x2_dp_tp(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -261,7 +261,7 @@ def test_hard_kill_recovery(tmp_path):
          "killrun"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in range(2)]
-    deadline = time.time() + 700
+    deadline = time.time() + 1500
     while time.time() < deadline:
         if os.path.exists(os.path.join(ckpt_dir, "step_3.ok")):
             break
@@ -273,7 +273,7 @@ def test_hard_kill_recovery(tmp_path):
     else:
         for p in procs:
             p.kill()
-        raise AssertionError("phase A never reached step 3")
+        raise AssertionError("phase A never reached step 3")  # 25 min: first-compile on a contended core
     procs[1].send_signal(signal.SIGKILL)     # hard kill, no cleanup
     time.sleep(3.0)                          # let p0 run into the stall
     procs[0].send_signal(signal.SIGKILL)     # the peer dies too
@@ -303,7 +303,7 @@ def test_hard_kill_recovery(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
