@@ -85,7 +85,7 @@ def test_two_process_data_parallel_matches_single(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -214,7 +214,7 @@ def test_four_process_2x2_dp_tp(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1800)
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -261,24 +261,47 @@ def test_hard_kill_recovery(tmp_path):
          "killrun"],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for pid in range(2)]
-    deadline = time.time() + 1500
+    # DRAIN stdout continuously: with a warm persistent compile cache the
+    # workers emit >64 KB of cpu_aot_loader cache-hit log lines BEFORE
+    # step 0 completes, so an unread PIPE deadlocks them against the
+    # 64 KB pipe buffer (observed live: main thread in anon_pipe_write,
+    # ckpt_dir empty after 20+ min).
+    import threading
+    bufs = [[], []]
+
+    def _drain(stream, buf):
+        for line in stream:
+            buf.append(line)
+
+    drains = [threading.Thread(target=_drain, args=(p.stdout, b),
+                               daemon=True)
+              for p, b in zip(procs, bufs)]
+    for t in drains:
+        t.start()
+    deadline = time.time() + 2700
     while time.time() < deadline:
         if os.path.exists(os.path.join(ckpt_dir, "step_3.ok")):
             break
         if any(p.poll() is not None for p in procs):
-            outs = [p.communicate()[0] for p in procs]
+            for p in procs:
+                p.wait(timeout=60)
+            for t in drains:
+                t.join(timeout=60)
+            outs = ["".join(b) for b in bufs]
             raise AssertionError("worker died before step 3:\n"
                                  + outs[0][-2000:] + outs[1][-2000:])
         time.sleep(0.2)
     else:
         for p in procs:
             p.kill()
-        raise AssertionError("phase A never reached step 3")  # 25 min: first-compile on a contended core
+        raise AssertionError("phase A never reached step 3")  # 45 min: cold persistent-cache first-compile on the 1-core host
     procs[1].send_signal(signal.SIGKILL)     # hard kill, no cleanup
     time.sleep(3.0)                          # let p0 run into the stall
     procs[0].send_signal(signal.SIGKILL)     # the peer dies too
     for p in procs:
         p.wait(timeout=60)
+    for t in drains:
+        t.join(timeout=60)
 
     # deterministically plant the worst torn state on top of whatever
     # the kill left: a PARTIAL last_ckpt.new with no .ok marker
@@ -303,7 +326,7 @@ def test_hard_kill_recovery(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1800)
+            out, _ = p.communicate(timeout=2400)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
